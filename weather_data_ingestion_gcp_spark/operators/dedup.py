@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle, partial
+  aggregation collapses each partition to its distinct fingerprints first.
+- **MinHash + LSH**: shingle -> per-seed min-hash signature -> banded bucket
+  keys -> candidate pairs via an equi-join on the band key -> exact-Jaccard
+  verification. The equi-join on band keys is the scale trick: no O(n^2)
+  cross join ever materializes; work is proportional to colliding pairs.
+- **SimHash**: weighted-bit signature; equal/near signatures bucket together.
+- **n-gram Jaccard**: exact set overlap within blocking groups (lang/source)
+  — the verifier used standalone when a cheap blocking key exists.
+
+Determinism: all hashing is md5-based (stable across engines and runs —
+this is also what makes the DuckDB oracles in plans/llm_ops.py possible).
+Lexicographic MIN over fixed-width md5 hex strings is equivalent to numeric
+MIN over the corresponding 128-bit integers, so signatures never need a
+hex->int conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """One row per distinct content: fingerprint, kept (min) id, copy count.
+
+    At 100 TB: group on md5(content) not content itself — fixed 32-byte keys
+    shuffle ~10-100x less than document bodies.
+    """
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content (deterministic keep-first)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle).
+
+    Row-per-shingle (vs array column) keeps downstream joins/aggregations
+    JVM-native and lets Spark redistribute shingle skew across partitions.
+    """
+    words = _words(F.col(text_col))
+    if n == 1:
+        sh = F.array_distinct(words)
+    else:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+        sh = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+                ),
+            )
+        )
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, seed, minhash): per-seed min of md5(shingle || '|' || seed).
+
+    One explode (x num_hashes) + one groupBy — the groupBy's partial
+    aggregation means each partition emits at most docs x seeds rows into
+    the shuffle regardless of shingle count.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        shingle_df.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", "shingle", F.col("seed").cast("string"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_band_keys(sig_df: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, band_key): md5 over the band's ordered minhashes."""
+    return (
+        sig_df.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("band").cast("string"),
+                    F.concat_ws("|", F.sort_array(F.collect_list("minhash"))),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket — an equi-join
+    on band_key, never a cross join. Hot buckets (boilerplate docs) are the
+    skew risk at scale; AQE skew-join splitting handles them."""
+    a = band_df.select(F.col("doc_id").alias("id_a"), "band_key")
+    b = band_df.select(F.col("doc_id").alias("id_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via two shingle joins (set sizes
+    from one aggregate; intersection from an equi-join on shingle)."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingle_df.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = shingle_df.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full pipeline: shingle -> minhash -> LSH bucket -> verify >= threshold."""
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
+    pairs = lsh_candidate_pairs(bands)
+    return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+#: portable hex-nibble value: engines disagree on hex->int casts, but
+#: "position in the hex alphabet" is pure string ops on both.
+_HEX = "0123456789abcdef"
+
+
+def _hex4_to_int(col: Column) -> Column:
+    """First 4 hex chars of an md5 -> 16-bit int, via alphabet positions."""
+    out = F.lit(0)
+    for k in range(4):
+        nib = F.instr(F.lit(_HEX), F.substring(col, k + 1, 1)) - 1
+        out = out * 16 + nib
+    return out
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document over term frequencies.
+
+    bit_i(doc) = sign( sum_tokens cnt * (2*bit_i(md5(token)) - 1) ); the
+    signature packs the 16 signs. Two aggregations, both map-side-combining:
+    (doc, token) counts, then (doc, bit) contributions.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("token"),
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = tf.select(
+        "doc_id", "cnt", _hex4_to_int(F.md5("token")).alias("hv")
+    )
+    bits = hashed.select(
+        "doc_id",
+        "cnt",
+        "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        # shift amount is a column -> SQL expression (the pyspark wrapper
+        # only takes literal shift counts)
+        F.expr("cnt * (2 * (shiftright(hv, bit) & 1) - 1)").alias("contrib"),
+    )
+    bit_signs = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    return bit_signs.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END")).alias(
+            "simhash"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_n: int = 2,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard inside blocking groups. Blocking bounds the
+    pair count (quadratic only within a block); the actual intersection is
+    still computed by shingle equi-join, not nested loops."""
+    base = df.select(F.col(id_col).alias("doc_id"), *block_cols)
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    a = base.toDF("id_a", *block_cols)
+    b = base.toDF("id_b", *block_cols)
+    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)

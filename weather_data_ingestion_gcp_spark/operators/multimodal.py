@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side contract is real and tested — schema, Arrow batching,
+``mapInPandas`` signatures, partitioning — while the actual codec calls are
+stubbed (the image/audio libraries are not in this container): decode goes
+through ``_decode_image_bytes``, which raises ``NotImplementedError`` unless
+``fake=True`` selects the deterministic fake decoder. Swapping in Pillow /
+torchaudio later changes one function, not the pipeline.
+
+At scale: binary payloads dominate row size, so every operator here projects
+the payload away as early as possible and mapInPandas batches are bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` to keep Arrow buffers in
+executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of decode_metadata — stable contract for downstream ops.
+DECODE_META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, width int, height int, channels int, format string"
+)
+
+
+def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, int, str]:
+    """(width, height, channels, format) for one payload.
+
+    STUB: real decoding needs an image library not present here. The fake
+    path is deterministic in the payload length so tests and oracles can
+    verify the distributed plumbing end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library (e.g. Pillow); "
+            "re-run with fake=True for the deterministic test decoder"
+        )
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1, 3, "fake-rgb")
+
+
+def with_binary_payload(df: DataFrame, src_col: str, id_col: str) -> DataFrame:
+    """Attach an opaque binary payload column (here: utf-8 bytes of a text
+    column standing in for real media bytes) + typed metadata."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(src_col).cast("binary").alias("payload"),
+        F.octet_length(F.col(src_col).cast("binary")).alias("byte_len"),
+        F.sha2(F.col(src_col).cast("binary"), 256).alias("sha256"),
+    )
+
+
+def decode_metadata(media: DataFrame, fake: bool = False) -> DataFrame:
+    """mapInPandas decode: (doc_id, payload) -> typed image metadata.
+
+    Arrow-batched: each pandas batch decodes vectorized-ish in one Python
+    call per batch, not per row; output drops the payload immediately.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_decode_image_bytes(p, fake) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
+                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "channels": pd.Series([m[2] for m in meta], dtype="int32"),
+                    "format": [m[3] for m in meta],
+                }
+            )
+            yield out
+
+    return media.select("doc_id", "payload").mapInPandas(decode, DECODE_META_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
+    """Video-frame-sampling *plumbing*: emit one row per sampled offset
+    (the decode of each frame is the same stub boundary). Pure JVM:
+    sequence + explode, no Python in the row path."""
+    return media.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("byte_len") - 1, F.lit(0)), F.lit(every_n_bytes))
+        ).alias("frame_offset"),
+    )

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **brute-force cosine top-k** — the exactness baseline. Queries broadcast
+  (they're small by construction); the corpus never shuffles; per-partition
+  top-k via window row_number. All arithmetic stays JVM-side with
+  higher-order array functions (zip_with + aggregate), in double precision.
+- **IVF (inverted-file) top-k** — the scale path: corpus pre-clustered
+  (here: the dataset's own label column, or any k-means assignment), query
+  probes only the `nprobe` nearest centroids, searching ~nprobe/k of the
+  corpus. At 100 TB the corpus is bucketed/partitioned by cluster id so a
+  probe reads only matching partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold in double precision — deterministic accumulation
+    order (matches the DuckDB oracle's list_dot_product element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Broadcast the query side: the corpus-side scan stays shuffle-free and
+    the only exchange is the final per-query top-k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe clusters whose centroids are
+    nearest each query, brute-force only inside them.
+
+    Centroids are a tiny aggregate (one row per cluster) — broadcast to the
+    query side; the candidate search is an equi-join on cluster id, which at
+    scale hits only the probed partitions of a cluster-bucketed corpus.
+    """
+    # centroid per cluster: element-wise mean via posexplode + re-assemble
+    exploded = corpus.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    centroids = (
+        exploded.groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.col("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "q_vec", "cluster", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"))
+        .withColumn("prk", F.row_number().over(probe_w))
+        .filter(F.col("prk") <= nprobe)
+        .select("q_id", "q_vec", "cluster")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col(cluster_col).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rk")
+    )

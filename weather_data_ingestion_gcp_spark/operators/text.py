@@ -1,0 +1,96 @@
+"""Text analysis operators (language ID, quality scoring, token counting,
+fingerprinting) — all built-in-expression based: the entire hot path stays
+inside whole-stage codegen; no Python touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny function-word lists for the n-gram/stopword language heuristic.
+#: (Deliberately small + deterministic; a production list is a config.)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist"],
+}
+
+#: BPE-ish word/number/symbol tokenizer (letter runs, digit runs, single
+#: non-space symbols) — a cheap stand-in for a real subword vocab.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """How many tokens are function words of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(sw, w)))
+
+
+def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row stopword-ratio score for each candidate language + argmax.
+
+    A real n-gram LM is a broadcast lookup table + the same explode/join
+    shape; ratios here keep it dependency-free and oracle-checkable.
+    """
+    n_tokens = F.size(words(F.col(text_col)))
+    out = df.withColumn("n_tokens", n_tokens)
+    best_lang, best_score = F.lit("und"), F.lit(-1.0)
+    for lang in sorted(STOPWORDS):
+        score = F.round(stopword_hits(F.col(text_col), lang) / F.greatest(n_tokens, F.lit(1)), 4)
+        out = out.withColumn(f"score_{lang}", score)
+        better = F.col(f"score_{lang}") > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, F.col(f"score_{lang}")).otherwise(best_score)
+    return out.withColumn("pred_lang", best_lang)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0,1] (monotone in "looks like prose")."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = words(text)
+    n_words = F.size(toks)
+    avg_word_len = (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1))
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_ratio = F.size(F.filter(toks, lambda w: F.array_contains(sw, w))) / F.greatest(
+        n_words, F.lit(1)
+    )
+    score = (
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.4
+        + F.least(sw_ratio * 5, F.lit(1.0)) * 0.4
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 10), 0.2).otherwise(0.0)
+    )
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        n_punct.alias("n_punct"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    text = F.col(text_col)
+    return df.select(
+        "*",
+        F.size(words(text)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias("re_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization-stable document fingerprint: md5 of lower(collapse-ws)
+    + a 16-hex-char prefix usable as a 64-bit shard/bucket key."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm)
+    return df.select("*", fp.alias("fp"), F.substring(fp, 1, 16).alias("fp64"))

@@ -1,0 +1,731 @@
+"""Core query inventory — the reference's operator families (SURVEY.md §2)
+re-expressed over the driver's TPC-H-ish tables, each with a DuckDB oracle.
+
+Every query here is pure DataFrame API compiled by Catalyst: filters and
+projections push into the parquet scan, small dimensions broadcast, and
+aggregations run partial+final with a single shuffle. Literals replace
+``current_date()`` (nondeterministic across engines — SURVEY.md §5).
+
+Reference citations are given per query (file:line in /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load_table, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the daily rollup (sp_raw_to_transformed_create_weather_data_query
+# .sql:26-55) transplanted onto the `events` stream table: GROUP BY day (A1),
+# multi-aggregate single pass (A2-A6), ROUND (F2), EXTRACT MONTH (F3),
+# CASE-over-aggregate till_time/EOD watermark (F4/T5), ORDER BY dt.
+# ---------------------------------------------------------------------------
+@register(
+    "daily_rollup_events",
+    oracle="""
+    SELECT dt,
+           ROUND(AVG(value), 2)                    AS avg_value,
+           ROUND(MAX(value), 2)                    AS max_value,
+           ROUND(MIN(value), 2)                    AS min_value,
+           COUNT(*)                                AS n_events,
+           COUNT(DISTINCT user_id)                 AS n_users,
+           CAST(EXTRACT(MONTH FROM dt) AS BIGINT)  AS month,
+           CASE WHEN MAX(tod) > '23:00:00' THEN 'EOD' ELSE MAX(tod) END AS till_time
+    FROM (SELECT CAST(ts AS DATE) AS dt,
+                 strftime(ts, '%H:%M:%S') AS tod,
+                 value, user_id
+          FROM events)
+    GROUP BY dt
+    ORDER BY dt
+    """,
+)
+def daily_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    max_tod = F.max(F.date_format("ts", "HH:mm:ss"))
+    return (
+        e.groupBy(F.to_date("ts").alias("dt"))
+        .agg(
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.month(F.to_date("ts")).cast("long").alias("month"),
+            F.when(max_tod > "23:00:00", F.lit("EOD")).otherwise(max_tod).alias("till_time"),
+        )
+        .orderBy("dt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P11 — null-safe nested access, rename/restructure, JSON deserialize
+# (clean_weather_data, Load-Data-From-API/main.py:79-143; ast.literal_eval,
+# Load-logs/main.py:41). JSON prop extraction stays JVM-side.
+# ---------------------------------------------------------------------------
+@register(
+    "clean_restructure_events",
+    oracle="""
+    SELECT event_id,
+           upper(event_type)                                   AS event_class,
+           value                                               AS amount,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)   AS prop_k,
+           user_id                                             AS actor_id
+    FROM events
+    WHERE event_type IS NOT NULL
+    """,
+)
+def clean_restructure_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type").isNotNull()).select(
+        "event_id",
+        F.upper("event_type").alias("event_class"),
+        F.col("value").alias("amount"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.col("user_id").alias("actor_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P13 — equality-dispatch filter ("collect-weather-data" gate,
+# Load-Data-From-API/main.py:168; Cleanup-job/main.py:42).
+# ---------------------------------------------------------------------------
+@register(
+    "filter_dispatch",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_clicks, ROUND(SUM(value), 2) AS click_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def filter_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("value"), 2).alias("click_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P14 — single-day predicate (WHERE dt = CURRENT_DATE(), sp_...update...sql:32),
+# pinned to a literal for oracle determinism; partition-prunable shape.
+# ---------------------------------------------------------------------------
+@register(
+    "date_filter_single_day",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem WHERE CAST(l_shipdate AS DATE) = DATE '1998-06-15'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def date_filter_single_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.to_date("l_shipdate") == F.lit("1998-06-15").cast("date"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P15/S13/T8 — retention cutoff (DELETE dt <= CURRENT_DATE()-15,
+# Cleanup-job/sp_raw_cleanup_15days_older_data_query.sql:2) as the
+# keep-side filter-rewrite, cutoff pinned.
+# ---------------------------------------------------------------------------
+@register(
+    "retention_keep_side",
+    oracle="""
+    SELECT event_type, COUNT(*) AS kept
+    FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-16'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def retention_keep_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.to_date("ts") > F.lit("2024-01-16").cast("date"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — regex filename cleanup (re.findall + replace, Load-gcs-to-bq/
+# main.py:38-47) over synthesized reference-shaped filenames.
+# ---------------------------------------------------------------------------
+@register(
+    "regex_filename_cleanup",
+    oracle=r"""
+    SELECT regexp_replace(fn, '-json-\d{8}-\d{2}:\d{2}:\d{2}', '') AS cleaned,
+           COUNT(*) AS n
+    FROM (SELECT 'hourly-weather-data-json-' || strftime(ts, '%Y%m%d-%H:%M:%S') || '.json' AS fn
+          FROM events)
+    GROUP BY cleaned ORDER BY cleaned
+    """,
+)
+def regex_filename_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    fn = F.concat(
+        F.lit("hourly-weather-data-json-"),
+        F.date_format("ts", "yyyyMMdd-HH:mm:ss"),
+        F.lit(".json"),
+    )
+    return (
+        e.select(F.regexp_replace(fn, r"-json-\d{8}-\d{2}:\d{2}:\d{2}", "").alias("cleaned"))
+        .groupBy("cleaned")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cleaned")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — path-stem extraction (Path(name).stem, Load-gcs-to-bq/main.py:66).
+# ---------------------------------------------------------------------------
+@register(
+    "path_stem_extract",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.json',
+                          '([^/]+?)(\.[^./]*)?$', 1) AS stem
+    FROM documents ORDER BY doc_id
+    """,
+)
+def path_stem_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    path = F.concat(F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"), F.lit(".json"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract(path, r"([^/]+?)(\.[^./]*)?$", 1).alias("stem"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# P9 — small-map routing lookup (FILE_TABLE_MAP, Load-gcs-to-bq/main.py:15-17,
+# 67,70): a broadcast hash join against a tiny inline dimension; unmatched
+# rows drop (the reference's `if load_table:` None-filter).
+# ---------------------------------------------------------------------------
+_ROUTES = [("click", "t_click"), ("view", "t_view"), ("purchase", "t_purchase")]
+
+
+@register(
+    "broadcast_route_lookup",
+    oracle="""
+    SELECT r.target AS target, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS total
+    FROM events e
+    JOIN (VALUES ('click', 't_click'), ('view', 't_view'), ('purchase', 't_purchase'))
+         AS r(event_type, target)
+      ON e.event_type = r.event_type
+    GROUP BY r.target ORDER BY target
+    """,
+)
+def broadcast_route_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    routes = spark.createDataFrame(_ROUTES, "event_type string, target string")
+    return (
+        e.join(F.broadcast(routes), "event_type")  # BroadcastHashJoin by construction
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("target")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 — base64 decode (Pub/Sub payloads, Load-Data-From-API/main.py:166).
+# Encode/decode roundtrip so both directions are checked.
+# ---------------------------------------------------------------------------
+@register(
+    "base64_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           to_base64(CAST(source AS BLOB))                               AS b64,
+           CAST(from_base64(to_base64(CAST(source AS BLOB))) AS VARCHAR) AS decoded
+    FROM documents ORDER BY doc_id
+    """,
+)
+def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    b64 = F.base64(F.col("source").cast("binary"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.unbase64(b64).cast("string").alias("decoded"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# P6/P5 — path concat (log_type/message_type/file, Load-logs/main.py:48-50)
+# and timestamp formatting (strftime patterns, main.py:16-19).
+# ---------------------------------------------------------------------------
+@register(
+    "log_path_and_format",
+    oracle="""
+    SELECT concat_ws('/', event_type, CAST(user_id % 10 AS VARCHAR)) AS log_path,
+           COUNT(*)                                                  AS n,
+           MIN(strftime(ts, '%Y%m%d-%H:%M:%S'))                      AS first_runtime,
+           MAX(strftime(ts, '%Y'))                                   AS yr
+    FROM events
+    GROUP BY log_path ORDER BY log_path
+    """,
+)
+def log_path_and_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.concat_ws("/", F.col("event_type"), (F.col("user_id") % 10).cast("string")).alias(
+                "log_path"
+            ),
+            F.date_format("ts", "yyyyMMdd-HH:mm:ss").alias("rt"),
+            F.date_format("ts", "yyyy").alias("y"),
+        )
+        .groupBy("log_path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rt").alias("first_runtime"),
+            F.max("y").alias("yr"),
+        )
+        .orderBy("log_path")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5/S10 — month-grain partitioning expression (PARTITION BY DATE_TRUNC(dt,
+# MONTH), sp_...create...sql:22-23) as a rollup by month start.
+# ---------------------------------------------------------------------------
+@register(
+    "month_partition_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS volume
+    FROM orders GROUP BY month_start ORDER BY month_start
+    """,
+)
+def month_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+        )
+        .orderBy("month_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — CASE over aggregates (the till_time rule) on finer groups so both
+# branches occur (sp_...create...sql:45-49).
+# ---------------------------------------------------------------------------
+@register(
+    "case_over_aggregate",
+    oracle="""
+    SELECT dt, event_type,
+           CASE WHEN MAX(tod) > '22:30:00' THEN 'EOD' ELSE MAX(tod) END AS till_time,
+           COUNT(*) AS n
+    FROM (SELECT CAST(ts AS DATE) AS dt, strftime(ts, '%H:%M:%S') AS tod, event_type
+          FROM events)
+    GROUP BY dt, event_type ORDER BY dt, event_type
+    """,
+)
+def case_over_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    max_tod = F.max(F.date_format("ts", "HH:mm:ss"))
+    return (
+        e.groupBy(F.to_date("ts").alias("dt"), "event_type")
+        .agg(
+            F.when(max_tod > "22:30:00", F.lit("EOD")).otherwise(max_tod).alias("till_time"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("dt", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.5): the engine's standard join surface. Dimensions broadcast
+# (region/nation/customer under the 64 MiB threshold at every tested SF);
+# fact-fact joins shuffle on the key and AQE handles skew.
+# ---------------------------------------------------------------------------
+@register(
+    "join_inner_agg",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS volume
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY n_orders ORDER BY n_orders
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers")).orderBy("n_orders")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_active
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("segment")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics — the multi-aggregate single-pass pattern (A6) and
+# the multiway broadcast-then-shuffle join plan the engine must produce.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate  AS DATE) > DATE '1998-03-15'
+    GROUP BY o.o_orderkey, orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY nation ORDER BY revenue DESC, nation
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / top-k (§2.6 north-star): row_number keep-first is also
+# the dedup primitive.
+# ---------------------------------------------------------------------------
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT segment, c_custkey, c_acctbal, rk
+    FROM (SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rk
+          FROM customer)
+    WHERE rk <= 3 ORDER BY segment, rk
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("segment", "rk")
+    )
+
+
+@register(
+    "order_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def order_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # TakeOrderedAndProject: per-partition top-N then driver merge — no full sort.
+    return o.select("o_orderkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    ).limit(10)
+
+
+@register(
+    "set_operations",
+    oracle="""
+    SELECT 'click_and_view' AS op, COUNT(*) AS n FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'view')
+    UNION ALL
+    SELECT 'click_not_purchase' AS op, COUNT(*) AS n FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'click_or_error' AS op, COUNT(*) AS n FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       UNION
+       SELECT user_id FROM events WHERE event_type = 'error')
+    ORDER BY op
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def ids(et: str) -> DataFrame:
+        return e.filter(F.col("event_type") == et).select("user_id")
+
+    def count_as(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(label).alias("op"), "n")
+
+    return (
+        count_as(ids("click").intersect(ids("view")), "click_and_view")
+        .unionAll(count_as(ids("click").subtract(ids("purchase")), "click_not_purchase"))
+        .unionAll(count_as(ids("click").union(ids("error")).distinct(), "click_or_error"))
+        .orderBy("op")
+    )
+
+
+@register(
+    "distinct_exact",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "grouping_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(c_custkey) AS n_customers
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    joined = r.join(n, n.n_regionkey == r.r_regionkey).join(
+        c, c.c_nationkey == n.n_nationkey, "left"
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P16 — error-capture projection: malformed records become structured error
+# rows instead of failures (try/except -> error log, Load-Data-From-API/
+# main.py:177-207). Here: JSON validity routing, the per-row analog.
+# ---------------------------------------------------------------------------
+@register(
+    "error_capture_routing",
+    oracle="""
+    SELECT CASE WHEN TRY_CAST(payload AS BIGINT) IS NULL THEN 'error' ELSE 'success' END
+             AS message_type,
+           COUNT(*) AS n,
+           CAST(SUM(COALESCE(TRY_CAST(payload AS BIGINT), 0)) AS BIGINT) AS parsed_total
+    FROM (SELECT CASE WHEN event_id % 10 = 0 THEN 'corrupt-' || CAST(user_id AS VARCHAR)
+                      ELSE CAST(user_id AS VARCHAR) END AS payload
+          FROM events)
+    GROUP BY message_type ORDER BY message_type
+    """,
+)
+def error_capture_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0, F.concat(F.lit("corrupt-"), F.col("user_id").cast("string"))
+    ).otherwise(F.col("user_id").cast("string"))
+    parsed = payload.try_cast("bigint")
+    return (
+        e.select(
+            F.when(parsed.isNull(), F.lit("error")).otherwise(F.lit("success")).alias(
+                "message_type"
+            ),
+            F.coalesce(parsed, F.lit(0)).alias("parsed"),
+        )
+        .groupBy("message_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("parsed").alias("parsed_total"),
+        )
+        .orderBy("message_type")
+    )

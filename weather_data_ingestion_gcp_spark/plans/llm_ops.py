@@ -1,0 +1,354 @@
+"""Training-data-pipeline query inventory: dedup, similarity search, text
+analysis, multimodal plumbing — each wired to the reusable operators in
+``..operators`` and (where SQL-expressible) to a DuckDB oracle.
+
+Oracle-parity notes:
+- all hashing is md5 (identical across engines); lexicographic MIN over
+  fixed-width hex == numeric min-hash;
+- ratios (Jaccard, stopword ratios) round at 6/4 dp — both engines round
+  half-away-from-zero on positives (verified), and md5-derived ints avoid
+  engine-specific hash functions entirely;
+- cosine similarities: both sides compute dot/(||a||*||b||) as a sequential
+  double-precision fold over the same element order -> bitwise-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from .registry import load_table, register
+
+# DuckDB fragment: distinct lowercase whitespace tokens, one row per (doc_id, token).
+_SQL_TOKENS = r"""
+    SELECT doc_id, w AS token
+    FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+          FROM documents)
+    WHERE w <> ''
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY fp ORDER BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "doc_id", "text").orderBy("fp")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=rf"""
+    WITH sh AS (SELECT DISTINCT doc_id, token AS shingle FROM ({_SQL_TOKENS})),
+    sig AS (
+        SELECT doc_id, s.seed,
+               MIN(md5(shingle || '|' || CAST(s.seed AS VARCHAR))) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(CAST(seed // 2 AS VARCHAR) || '|' ||
+                   string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+        FROM sig GROUP BY doc_id, band
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=1, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS cnt FROM ({_SQL_TOKENS}) GROUP BY doc_id, token
+    ),
+    hv AS (
+        SELECT doc_id, cnt,
+               (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1) AS hv
+        FROM tf
+    ),
+    bits AS (
+        SELECT doc_id, b.bit, SUM(cnt * (2 * ((hv >> b.bit) & 1) - 1)) AS s
+        FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+        GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash16(d, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+        FROM words, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
+    ),
+    base AS (SELECT doc_id, lang, source FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM base a JOIN base b ON a.lang = b.lang AND a.source = b.source
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.05
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.blocked_jaccard_pairs(
+        d, "doc_id", "text", block_cols=["lang", "source"], shingle_n=2, threshold=0.05
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT q_id, n_id,
+               list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        FROM q CROSS JOIN c
+        WHERE q_id <> n_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+        FROM scored
+    )
+    SELECT q_id, n_id, ROUND(sim, 6) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk").orderBy(
+        "q_id", "rk"
+    )
+
+
+@register("similarity_ann_ivf")  # iterative/centroid-based: rows-only driver check
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.ivf_topk(emb, queries, k=5, nprobe=2)
+    return out.select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk").orderBy(
+        "q_id", "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+def _sql_stoplist(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+
+
+@register(
+    "text_langid_scores",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(SUM(CASE WHEN token IN ({_sql_stoplist('de')}) THEN 1 ELSE 0 END) * 1.0
+                     / greatest(COUNT(*), 1), 4) AS score_de,
+               ROUND(SUM(CASE WHEN token IN ({_sql_stoplist('en')}) THEN 1 ELSE 0 END) * 1.0
+                     / greatest(COUNT(*), 1), 4) AS score_en,
+               ROUND(SUM(CASE WHEN token IN ({_sql_stoplist('es')}) THEN 1 ELSE 0 END) * 1.0
+                     / greatest(COUNT(*), 1), 4) AS score_es,
+               ROUND(SUM(CASE WHEN token IN ({_sql_stoplist('fr')}) THEN 1 ELSE 0 END) * 1.0
+                     / greatest(COUNT(*), 1), 4) AS score_fr
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score_de, score_en, score_es, score_fr,
+           CASE
+             WHEN score_de > -1.0 AND score_en <= score_de AND score_es <= score_de
+                  AND score_fr <= score_de THEN 'de'
+             WHEN score_es <= score_en AND score_fr <= score_en THEN 'en'
+             WHEN score_fr <= score_es THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM agg ORDER BY doc_id
+    """,
+)
+def text_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = text.langid_scores(d, "text")
+    return out.select(
+        "doc_id", "n_tokens", "score_de", "score_en", "score_es", "score_fr", "pred_lang"
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               SUM(CASE WHEN token IN ({_sql_stoplist('en')}) THEN 1 ELSE 0 END) AS sw_hits
+        FROM ({_SQL_TOKENS}) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           t.n_words,
+           ROUND((length(d.text) - (t.n_words - 1)) * 1.0 / greatest(t.n_words, 1), 4)
+             AS avg_word_len,
+           length(d.text) - length(regexp_replace(d.text, '[.,;:!?]', '', 'g')) AS n_punct,
+           ROUND(t.sw_hits * 1.0 / greatest(t.n_words, 1), 4) AS stopword_ratio,
+           ROUND(least(t.n_words / 200.0, 1.0) * 0.4
+                 + least((t.sw_hits * 1.0 / greatest(t.n_words, 1)) * 5, 1.0) * 0.4
+                 + CASE WHEN (length(d.text) - (t.n_words - 1)) * 1.0 / greatest(t.n_words, 1)
+                             BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = text.quality_features(d, "text")
+    return out.select(
+        "doc_id", "n_words", "avg_word_len", "n_punct", "stopword_ratio", "quality_score"
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS re_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = text.token_counts(d, "text")
+    return out.select("doc_id", "ws_tokens", "re_tokens").orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(d, "text").select("doc_id", "fp", "fp64").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_payload_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           sha256(text)                     AS sha256
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.with_binary_payload(d, "text", "doc_id").select(
+        "doc_id", "byte_len", "sha256"
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB))                    AS byte_len,
+           CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER)       AS width,
+           CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER)                                  AS channels,
+           'fake-rgb'                                          AS format
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path with the deterministic fake codec: the
+    oracle mirrors the fake formula, so the Arrow round-trip, batching, and
+    output schema are all verified by the hash compare."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.with_binary_payload(d, "text", "doc_id")
+    return multimodal.decode_metadata(media, fake=True).orderBy("doc_id")

@@ -1,0 +1,61 @@
+"""Query registry: name -> (spark, sf_dir) -> DataFrame, plus DuckDB oracle SQL.
+
+Contract (driver): the Spark result and the oracle SQL result must match on
+row count, schema (column names), and an order-insensitive value hash with
+columns sorted by name — so every computed column is aliased identically on
+both sides, aggregate outputs are cast to the same logical type DuckDB
+produces (e.g. DuckDB SUM(BIGINT) -> cast both to BIGINT), and floating
+aggregates are rounded on both sides to keep the hash stable across the two
+engines' accumulation orders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register(name: str, oracle: str | None = None):
+    """Register a query; ``oracle`` is the DuckDB-equivalent ANSI SQL
+    (omit only for genuinely non-SQL-expressible ops -> weaker rows-only
+    driver check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table. Plain columnar scan —
+    filters/projections applied downstream push into this scan
+    (PushedFilters / ReadSchema), so no eager caching here.
+
+    The events table stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and floor-convert to microseconds
+    (integer division — double division would lose precision at 1e18),
+    matching DuckDB's own nanos->micros truncation.
+    """
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,75 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates all execution to BigQuery; here Catalyst + Tungsten
+are the engine, so the only "physical design" we carry over is configuration
+(SURVEY.md section 4): dynamic partition overwrite (the reference's
+delete-today-+-reinsert upsert, ``sp_raw_to_transformed_update_weather_data_
+query.sql:2-5``), month/day partition pruning, and AQE for runtime shuffle
+sizing at the 100 TB design point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for a large cluster; harmless on local[N].
+#: - AQE re-plans shuffles at runtime (skew-join splitting, partition
+#:   coalescing) — essential at 100 TB where static planning guesses wrong.
+#: - dynamic partitionOverwriteMode implements the reference's idempotent
+#:   per-day refresh without a DELETE-capable table format.
+#: - Arrow makes any toPandas/pandas_udf boundary columnar, not row-by-row.
+SCALE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # 64 MiB broadcast ceiling: every dimension table in the star schema
+    # (region/nation/customer/supplier/part at any SF that matters) stays a
+    # broadcast-hash join; only fact-fact joins shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "weather-data-ingestion-gcp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for local runs; on a real cluster pass ``None`` with a pre-set master.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in SCALE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions if shuffle_partitions is not None else int(cpus)),
+    )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Best-effort apply of runtime-settable engine confs to an existing
+    session (e.g. the driver-provided one in __spark_entry__). Static confs
+    (already-started contexts) are skipped silently."""
+    for k, v in SCALE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
