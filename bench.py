@@ -1,0 +1,63 @@
+"""Benchmark harness: run the query inventory at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf"}.
+
+Each query is timed end-to-end (plan + execute + collect-to-driver of the
+final small result), matching how the driver's correctness harness consumes
+them. Run with a query-name argument list to bench a subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = set(sys.argv[1:])
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from weather_data_ingestion_gcp_spark.plans import QUERIES
+    from weather_data_ingestion_gcp_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup (the driver compares across rounds)
+    QUERIES["daily_rollup_events"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        n = len(fn(spark, sf_dir).collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,163 @@
+"""Unit tests for the training-data-pipeline operators on small, known
+inputs (the sf-scale equivalence is covered by the DuckDB-oracle gate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_ingestion_gcp_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "spark engines process completely different content about"),  # perm of 3
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text").collect()
+    by_keep = {r.keep_id: r.n_copies for r in groups}
+    assert by_keep[0] == 2  # docs 0 and 2 identical, keep min id
+    assert len(groups) == 4
+    kept = dedup.drop_exact_duplicates(docs, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 3, 4]
+
+
+def test_minhash_finds_near_dups(docs):
+    # 16 hashes / 8 bands: detection probability for j>=0.78 is ~1-(1-j^2)^8
+    # ~= 0.999, and md5-hashing makes the outcome deterministic
+    out = dedup.minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16, threshold=0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[(0, 2)] == 1.0  # exact dup
+    # dog vs cat: word sets share 7 of 9
+    assert pairs[(0, 1)] == pytest.approx(7 / 9)
+    # doc 4 = permutation of doc 3 + one extra word: 6 of 7
+    assert pairs[(3, 4)] == pytest.approx(6 / 7)
+
+
+def test_shingles_bigram(spark):
+    df = spark.createDataFrame([(1, "a b  c")], "doc_id bigint, text string")
+    got = {r.shingle for r in dedup.shingles(df, "doc_id", "text", n=2).collect()}
+    assert got == {"a b", "b c"}  # double space ignored, adjacency preserved
+
+
+def test_simhash_identical_for_exact_dups(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[2]
+    assert sh[3] == sh[4]  # simhash is bag-of-words: permutation-invariant
+    assert 0 <= sh[0] < 2**16
+    assert sh[0] != sh[3]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(20, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") < 2), k=3)
+    got = {(r.q_id, r.rk): (r.n_id, r.cos_sim) for r in out.collect()}
+    v = vecs.astype("float64")
+    for q in range(2):
+        sims = v @ v[q] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[q]))
+        order = sorted((-s, i) for i, s in enumerate(sims) if i != q)[:3]
+        for rk, (negs, i) in enumerate(order, start=1):
+            n_id, cs = got[(q, rk)]
+            assert n_id == i
+            assert math.isclose(cs, -negs, rel_tol=1e-9)
+
+
+def test_ivf_probes_subset_and_finds_in_cluster_neighbors(spark):
+    # two well-separated clusters: IVF with nprobe=1 must stay in-cluster
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + i * 0.01, 0.0, 1.0], 0))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 10.0 + i * 0.01, 1.0], 1))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = similarity.ivf_topk(df, df.filter(F.col("vec_id") == 0), k=3, nprobe=1)
+    neighbors = [r.n_id for r in out.collect()]
+    assert len(neighbors) == 3 and all(n < 10 for n in neighbors)
+
+
+def test_langid_and_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is in the house and it is warm"),
+            (1, "el gato es de la casa y que bien"),
+            (2, "xxxxx yyyyy zzzzz"),
+        ],
+        "doc_id bigint, text string",
+    )
+    lid = {r.doc_id: r for r in text.langid_scores(df).collect()}
+    assert lid[0].pred_lang == "en" and lid[0].score_en > 0.4
+    assert lid[1].pred_lang == "es"
+    assert lid[2].score_en == 0.0
+
+    q = {r.doc_id: r for r in text.quality_features(df).collect()}
+    assert q[0].quality_score > q[2].quality_score
+    assert q[0].n_words == 10
+
+    t = {r.doc_id: r for r in text.token_counts(df).collect()}
+    assert t[0].ws_tokens == 10
+    df2 = spark.createDataFrame([(9, "ab1 c-d, e2f!")], "doc_id bigint, text string")
+    t2 = text.token_counts(df2).collect()[0]
+    assert t2.ws_tokens == 3
+    # ab,1 | c,-,d,"," | e,2,f,! -> 10 regex tokens
+    assert t2.re_tokens == 10
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "hello worlds")],
+        "doc_id bigint, text string",
+    )
+    fp = {r.doc_id: r.fp for r in text.fingerprint(df).collect()}
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_multimodal_decode_fake_and_stub(spark):
+    df = spark.createDataFrame([(0, "abcd"), (1, "x" * 700)], "doc_id bigint, text string")
+    media = multimodal.with_binary_payload(df, "text", "doc_id")
+    meta = {r.doc_id: r for r in multimodal.decode_metadata(media, fake=True).collect()}
+    assert meta[0].byte_len == 4 and meta[0].width == 5 and meta[0].channels == 3
+    assert meta[1].width == 700 % 640 + 1
+    with pytest.raises(Exception, match="NotImplementedError|image library|Pillow"):
+        multimodal.decode_metadata(media, fake=False).collect()
+
+    frames = multimodal.frame_sample_plan(media.withColumn("byte_len", F.octet_length("payload")), every_n_bytes=100)
+    per_doc = {r[0]: r[1] for r in frames.groupBy("doc_id").count().collect()}
+    assert per_doc[0] == 1 and per_doc[1] == 7
+
+
+def test_scalar_function_helpers(spark):
+    from weather_data_ingestion_gcp_spark.functions import (
+        filename_cleanup,
+        path_stem,
+        stable_uuid,
+    )
+
+    df = spark.createDataFrame(
+        [("hourly-weather-data-json-20220703-14:00:05.json", "a/b/c.txt")],
+        "fn string, p string",
+    )
+    r = df.select(
+        filename_cleanup(F.col("fn")).alias("c"),
+        path_stem(F.col("p")).alias("s"),
+        stable_uuid(F.col("fn")).alias("u"),
+    ).collect()[0]
+    assert r.c == "hourly-weather-data.json"
+    assert r.s == "c"
+    assert len(r.u) == 36 and r.u.count("-") == 4

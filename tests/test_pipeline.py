@@ -1,0 +1,154 @@
+"""Batch + streaming pipeline tests (SURVEY.md §5.3): ingest -> land ->
+load+transform -> daily; idempotence (T4), exactly-once file processing
+(T2/T7), retention (T8), partitioned log sink (S15/T9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_ingestion_gcp_spark.jobs import WeatherWarehouse
+from weather_data_ingestion_gcp_spark.operators.rollup import daily_rollup
+from weather_data_ingestion_gcp_spark.schemas import WEATHER_SCHEMA
+from weather_data_ingestion_gcp_spark.sources.landing import (
+    ingest_once,
+    read_landing,
+    write_landing_file,
+)
+from weather_data_ingestion_gcp_spark.streaming.pipeline import run_landing_stream
+from tests.conftest import hourly_rows, raw_api_payload
+
+
+def _land_fixture(spark, landing_dir: str, days=3) -> int:
+    """Land the hourly fixture as one NDJSON file per day (the per-event
+    file grain of the reference)."""
+    rows = hourly_rows(days=days)
+    df = spark.createDataFrame(rows, WEATHER_SCHEMA)
+    for i, day in enumerate(sorted({r["dt"] for r in rows})):
+        write_landing_file(
+            spark,
+            df.filter(F.col("dt") == F.lit(day)),
+            landing_dir,
+            stamp=f"2022070{i + 1}-23:00:05",
+        )
+    return len(rows)
+
+
+def test_ingest_once_lands_one_clean_file(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    path = ingest_once(
+        spark,
+        fetch=raw_api_payload,
+        landing_dir=landing,
+        ingest_date=F.lit("2022-07-03").cast("date"),
+        ingest_time=F.lit("14:00:05"),
+        stamp="20220703-14:00:05",
+    )
+    assert os.path.basename(path).startswith("hourly-weather-data-json-20220703-140005")
+    back = read_landing(spark, landing)
+    assert back.count() == 1
+    row = back.collect()[0]
+    assert row.coordinate.longitude == 87.07
+    assert row.dt == dt.date(2022, 7, 3)
+
+
+def test_load_and_transform_and_idempotent_refresh(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    n = _land_fixture(spark, landing)
+    wh = WeatherWarehouse(spark, str(tmp_path / "wh"))
+
+    batch = read_landing(spark, landing)
+    wh.load_and_transform(batch)
+
+    assert wh.read_hourly().count() == n
+    daily1 = {r.dt: r for r in wh.read_daily().collect()}
+    assert len(daily1) == 3
+    # daily equals a from-scratch recompute of the same hourly rows
+    expected = {r.dt: r for r in daily_rollup(wh.read_hourly()).collect()}
+    for day, r in daily1.items():
+        assert r.avg_temp == expected[day].avg_temp
+        assert r.till_time == expected[day].till_time
+
+    # T4 idempotence: refreshing the same days again changes nothing
+    wh.refresh_daily([dt.date(2022, 7, 3)])
+    daily2 = {r.dt: r for r in wh.read_daily().collect()}
+    assert {d: (r.avg_temp, r.till_time) for d, r in daily2.items()} == {
+        d: (r.avg_temp, r.till_time) for d, r in daily1.items()
+    }
+
+    # day-scoped refresh touches only its (month, dt) partition: append a
+    # new day-3 observation, refresh day 3, days 1-2 stay byte-identical
+    extra = spark.createDataFrame(
+        [dict(hourly_rows(days=3)[-2], current_time="23:30:05")], WEATHER_SCHEMA
+    )
+    wh.append_hourly(extra)
+    wh.refresh_daily([dt.date(2022, 7, 3)])
+    daily3 = {r.dt: r for r in wh.read_daily().collect()}
+    assert daily3[dt.date(2022, 7, 1)].avg_temp == daily1[dt.date(2022, 7, 1)].avg_temp
+    assert daily3[dt.date(2022, 7, 3)].till_time == "EOD"  # 23:30:05 > 23:00:00
+
+    # success logs landed under log_type=/message_type= partitions (S15)
+    logs = wh.read_logs()
+    assert logs.filter((F.col("log_type") == "bq-load-logging") & (F.col("message_type") == "success")).count() >= 1
+
+
+def test_retention_drops_old_partitions_only(spark, tmp_path):
+    wh = WeatherWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(hourly_rows(days=3), WEATHER_SCHEMA)
+    wh.append_hourly(df)
+    today = dt.date(2022, 7, 17)  # day1 = 7/1 -> cutoff 7/2: drops 7/1, 7/2
+    dropped = wh.cleanup_hourly(retention_days=15, today=today)
+    assert sorted(dropped) == ["2022-07-01", "2022-07-02"]
+    left = wh.read_hourly().select("dt").distinct().collect()
+    assert [r.dt for r in left] == [dt.date(2022, 7, 3)]
+
+
+def test_streaming_exactly_once_and_incremental(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    wh = WeatherWarehouse(spark, str(tmp_path / "wh"))
+    n = _land_fixture(spark, landing)
+
+    run_landing_stream(spark, landing, wh, ckpt)
+    assert wh.read_hourly().count() == n
+
+    # re-run with same checkpoint: files NOT reprocessed (T2/T7 — the
+    # reference double-appends on Pub/Sub redelivery; we don't)
+    run_landing_stream(spark, landing, wh, ckpt)
+    assert wh.read_hourly().count() == n
+
+    # land one more file -> only it is processed, daily day-3 updated
+    extra_row = dict(hourly_rows(days=3)[-2], current_time="23:45:05")
+    extra = spark.createDataFrame([extra_row], WEATHER_SCHEMA)
+    write_landing_file(spark, extra, landing, stamp="20220703-23:45:05")
+    run_landing_stream(spark, landing, wh, ckpt)
+    assert wh.read_hourly().count() == n + 1
+    d3 = {r.dt: r for r in wh.read_daily().collect()}[dt.date(2022, 7, 3)]
+    assert d3.till_time == "EOD"
+
+
+def test_streaming_dedup_hardening(spark, tmp_path):
+    """T6 improvement: dedup=True drops the duplicated (dt, current_time)
+    delivery inside the batch."""
+    landing = str(tmp_path / "landing")
+    wh = WeatherWarehouse(spark, str(tmp_path / "wh"))
+    rows = hourly_rows(days=1, partial_last_day=False)  # 24 rows + 1 duplicate
+    write_landing_file(
+        spark, spark.createDataFrame(rows, WEATHER_SCHEMA), landing, stamp="20220701-23:00:05"
+    )
+    run_landing_stream(spark, landing, wh, str(tmp_path / "ckpt"), dedup=True)
+    assert wh.read_hourly().count() == 24
+
+
+def test_error_rows_logged_on_failure(spark, tmp_path):
+    """P16: a failing batch produces an error log row and re-raises."""
+    wh = WeatherWarehouse(spark, str(tmp_path / "wh"))
+    bad = spark.range(1)  # wrong schema: append partitionBy("dt") will fail
+    with pytest.raises(Exception):
+        wh.load_and_transform(bad)
+    logs = wh.read_logs().filter(F.col("message_type") == "error")
+    assert logs.count() == 1
+    assert logs.collect()[0].log_type == "bq-load-logging"

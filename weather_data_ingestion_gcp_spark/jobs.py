@@ -1,0 +1,164 @@
+"""Warehouse jobs: the reference's four Cloud Functions as Spark batch jobs
+over a partitioned parquet warehouse.
+
+Layout (all paths under one warehouse root):
+- ``hourly/``  — raw observations, **partitioned by dt** (the reference
+  leaves its raw table unpartitioned, Load-gcs-to-bq/main.py:74-77; at the
+  100 TB design point day-partitioning is what makes the daily rollup, the
+  day-scoped refresh, and retention all partition-pruned / metadata-only).
+- ``daily/``   — the rollup, partitioned by (month, dt): month preserves
+  the reference's PARTITION BY DATE_TRUNC(dt, MONTH) grain
+  (sp_...create...sql:22-23) for month-range scans, the nested dt level
+  gives the delete-today-+-reinsert upsert (sp_...update...sql:2-5) exact
+  per-day dynamic-partition-overwrite semantics.
+- ``logs/``    — op log rows, partitioned log_type/message_type
+  (Load-logs/main.py:48-50).
+
+Sequencing note: the reference submits the BigQuery load job and CALLs the
+transform without awaiting the load (T10 race, Load-gcs-to-bq/main.py:79-92);
+here append-then-refresh is sequential by construction — an intentional fix.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.rollup import daily_rollup
+from .schemas import LOG_SCHEMA, WEATHER_SCHEMA
+
+
+class WeatherWarehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.hourly_path = os.path.join(root, "hourly")
+        self.daily_path = os.path.join(root, "daily")
+        self.logs_path = os.path.join(root, "logs")
+
+    # -- raw layer ----------------------------------------------------------
+
+    def append_hourly(self, batch: DataFrame) -> None:
+        """S8: append-load into the raw table (WRITE_APPEND,
+        Load-gcs-to-bq/main.py:77), day-partitioned."""
+        batch.write.mode("append").partitionBy("dt").parquet(self.hourly_path)
+
+    def read_hourly(self) -> DataFrame:
+        if not self._exists(self.hourly_path):
+            return self.spark.createDataFrame([], WEATHER_SCHEMA)
+        # dt is the partition column — Spark matches it by name in the schema
+        return self.spark.read.schema(WEATHER_SCHEMA).parquet(self.hourly_path)
+
+    # -- daily layer ----------------------------------------------------------
+
+    def refresh_daily(self, dates: list[dt.date] | None = None) -> None:
+        """S10/S11/S12: recompute the daily rollup.
+
+        - first call (table absent) = the CREATE stored procedure: full
+          history (sp_...create...sql:24-55);
+        - later calls = the UPDATE procedure: recompute only the affected
+          days and dynamic-partition-overwrite exactly those (month, dt)
+          partitions — the delete+insert upsert without a DELETE-capable
+          format (sp_...update...sql:2-36).
+        """
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        hourly = self.read_hourly()
+        if dates is not None and self._exists(self.daily_path):
+            hourly = hourly.filter(F.col("dt").isin(list(dates)))
+        out = daily_rollup(hourly).withColumn("part_month", F.trunc("dt", "month"))
+        (
+            out.write.mode("overwrite")
+            .partitionBy("part_month", "dt")  # dynamic overwrite: only written days replaced
+            .parquet(self.daily_path)
+        )
+
+    def read_daily(self) -> DataFrame:
+        return self.spark.read.parquet(self.daily_path).drop("part_month")
+
+    # -- retention ------------------------------------------------------------
+
+    def cleanup_hourly(self, retention_days: int = 15, today: dt.date | None = None) -> list[str]:
+        """S13/T8: DELETE WHERE dt <= today - retention_days
+        (Cleanup-job/sp_raw_cleanup_15days_older_data_query.sql:2).
+
+        Day-partitioned raw layer makes this a metadata-only partition drop
+        (what Delta's DELETE on a partition predicate compiles to) — O(days
+        dropped), never a 100 TB rewrite.
+        """
+        today = today or dt.date.today()
+        cutoff = today - dt.timedelta(days=retention_days)
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        dropped = []
+        hourly = self.read_hourly()
+        old = [r.dt for r in hourly.select("dt").distinct().collect() if r.dt <= cutoff]
+        for day in old:
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.hourly_path, f"dt={day}"))
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
+                dropped.append(str(day))
+        return dropped
+
+    # -- log sink ---------------------------------------------------------------
+
+    def log(self, **fields) -> None:
+        """S5/S15: structured op-log row -> partitioned log table
+        (MESSAGE_DATA template, Load-Data-From-API/main.py:32-38; sink
+        partitioning Load-logs/main.py:48-50)."""
+        base = {f.name: None for f in LOG_SCHEMA.fields}
+        base.update(
+            project="local",
+            service="spark-job",
+            runtime=dt.datetime.now().strftime("%Y%m%d-%H:%M:%S"),
+        )
+        base.update(fields)
+        row_df = self.spark.createDataFrame([Row(**base)], LOG_SCHEMA)
+        (
+            row_df.write.mode("append")
+            .partitionBy("log_type", "message_type")
+            .json(self.logs_path)
+        )
+
+    def read_logs(self) -> DataFrame:
+        return self.spark.read.schema(LOG_SCHEMA).json(self.logs_path)
+
+    # -- the load+transform entry point (main_gcs analog) ---------------------
+
+    def load_and_transform(self, batch: DataFrame) -> None:
+        """Entry point 2 (Load-gcs-to-bq/main.py:56-110): append raw, then
+        refresh exactly the affected days, then log — sequential, fixing the
+        reference's unawaited-load race (T10); errors become error-log rows
+        (P16) and re-raise."""
+        try:
+            batch = batch.cache()  # two passes: append + affected-dates
+            self.append_hourly(batch)
+            dates = [r.dt for r in batch.select("dt").distinct().collect()]
+            self.refresh_daily(dates)
+            self.log(
+                log_type="bq-load-logging",
+                message_type="success",
+                process="load_and_transform",
+                message=f"loaded {len(dates)} day(s)",
+            )
+        except Exception as exc:
+            self.log(
+                log_type="bq-load-logging",
+                message_type="error",
+                process="load_and_transform",
+                message=str(exc)[:1000],
+            )
+            raise
+        finally:
+            batch.unpersist()
+
+    # -- helpers -----------------------------------------------------------------
+
+    def _exists(self, path: str) -> bool:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))

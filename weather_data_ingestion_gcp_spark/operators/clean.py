@@ -46,8 +46,13 @@ def clean_weather(
     timezone, matching the reference; tests inject literals for determinism
     (the reference cannot be tested this way at all — SURVEY.md section 5).
     """
-    head = F.element_at("weather", 1)  # P3: only weather[0] is kept
-    return raw.select(
+    from ..schemas import WEATHER_SCHEMA
+
+    # P3: only weather[0] is kept; try_ variant: the reference null-guards
+    # the empty-array case (`if weather_data.get('weather') else None`) and
+    # ANSI element_at would throw instead
+    head = F.try_element_at("weather", F.lit(1))
+    shaped = raw.select(
         F.struct(
             F.col("coord.lon").alias("longitude"),
             F.col("coord.lat").alias("latitude"),
@@ -93,3 +98,6 @@ def clean_weather(
         F.col("timezone"),
         F.col("name"),
     )
+    # exact target nullability (schema.json: everything NULLABLE) — struct()
+    # literals are otherwise marked non-null
+    return shaped.to(WEATHER_SCHEMA)

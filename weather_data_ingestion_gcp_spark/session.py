@@ -48,6 +48,12 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
+    # local-mode driver == the only JVM: default 1g heap OOMs on the heavier
+    # dedup joins; size it to the box (static conf — only effective for a
+    # session we create ourselves).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    )
     if master is None and not os.environ.get("SPARK_MASTER"):
         master = f"local[{cpus}]"
     if master:
