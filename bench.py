@@ -36,7 +36,10 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        n = len(fn(spark, sf_dir).collect())
+        # Arrow transfer: measures engine throughput, not py4j Row
+        # materialization (which is 2x the query time on multi-million-row
+        # outputs)
+        n = fn(spark, sf_dir).toArrow().num_rows
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 

@@ -174,6 +174,9 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full pipeline: shingle -> minhash -> LSH bucket -> verify >= threshold."""
+    # note: NOT persisted — re-tokenizing per subtree is cheaper than a
+    # cache materialization barrier here (measured at sf0.1), and at 100 TB
+    # a cached shingle relation wouldn't fit memory anyway
     sh = shingles(df, id_col, text_col, n=shingle_n)
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     bands = lsh_band_keys(sig, rows_per_band=rows_per_band)

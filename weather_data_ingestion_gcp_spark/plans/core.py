@@ -692,6 +692,119 @@ def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P12 — uuid generation for log-file names (uuid4, Load-logs/main.py:27),
+# made reproducible: content-derived md5 formatted as a UUID.
+# ---------------------------------------------------------------------------
+@register(
+    "uuid_stable",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(source), 1, 8) || '-' || substr(md5(source), 9, 4) || '-' ||
+           substr(md5(source), 13, 4) || '-' || substr(md5(source), 17, 4) || '-' ||
+           substr(md5(source), 21, 12) AS file_uuid
+    FROM documents ORDER BY doc_id
+    """,
+)
+def uuid_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import stable_uuid
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", stable_uuid(F.col("source")).alias("file_uuid")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — the pure scan-filter-aggregate: the query whose plan MUST
+# be filter-pushdown + column-pruned scan + single partial/final agg.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 25
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based sessions per user (30-min inactivity): the
+# batch form of the streaming session-window operator. lag + conditional
+# cumulative sum; one shuffle on user_id shared by both window passes.
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sessions = e.select("user_id", "ts", "value", "event_id").withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / F.lit(1_000_000))
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # P16 — error-capture projection: malformed records become structured error
 # rows instead of failures (try/except -> error log, Load-Data-From-API/
 # main.py:177-207). Here: JSON validity routing, the per-row analog.

@@ -79,7 +79,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes na ON na.doc_id = i.id_a
     JOIN sizes nb ON nb.doc_id = i.id_b
     WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.5
-    ORDER BY id_a, id_b
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,9 +86,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_near_duplicates(
         d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=1, threshold=0.5
     )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
-        "id_a", "id_b"
-    )
+    # no ORDER BY: the output is millions of pairs on vocabulary-degenerate
+    # corpora and the driver compare is order-insensitive — a full sort here
+    # is a pure waste of a range-partition shuffle
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @register(
@@ -154,7 +154,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes na ON na.doc_id = i.id_a
     JOIN sizes nb ON nb.doc_id = i.id_b
     WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.05
-    ORDER BY id_a, id_b
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,9 +161,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.blocked_jaccard_pairs(
         d, "doc_id", "text", block_cols=["lang", "source"], shingle_n=2, threshold=0.05
     )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
-        "id_a", "id_b"
-    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
