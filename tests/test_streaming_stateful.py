@@ -1,0 +1,62 @@
+"""applyInPandasWithState: per-user running totals accumulate across
+micro-batches and survive via the checkpointed state store."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from weather_data_ingestion_gcp_spark.streaming.stateful import user_running_stats
+
+EVENTS_SCHEMA = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+
+
+def _land(tmp_path, name: str, rows: list[tuple[int, str, float]]) -> None:
+    p = tmp_path / "in" / name
+    p.parent.mkdir(exist_ok=True)
+    p.write_text(
+        "\n".join(json.dumps({"user_id": u, "ts": t, "value": v}) for u, t, v in rows) + "\n"
+    )
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    _land(tmp_path, "b1.json", [(1, "2024-01-01 10:00:00", 1.5), (1, "2024-01-01 10:05:00", 2.5), (2, "2024-01-01 10:06:00", 4.0)])
+    _land(tmp_path, "b2.json", [(1, "2024-01-01 11:00:00", 3.0), (3, "2024-01-01 11:01:00", 7.0)])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .json(str(tmp_path / "in"))
+    )
+    q = (
+        user_running_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM user_stats")
+    # last emission per user = the accumulated totals over ALL batches
+    last = {
+        r.user_id: r
+        for r in emitted.withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.desc("emit_seq"))
+            ),
+        )
+        .filter("rk = 1")
+        .collect()
+    }
+    assert last[1].n_events == 3 and last[1].value_total == 7.0
+    assert last[2].n_events == 1 and last[2].value_total == 4.0
+    assert last[3].n_events == 1 and last[3].value_total == 7.0
+    # user 1 appeared in two different micro-batches -> state carried over
+    assert last[1].emit_seq == 2

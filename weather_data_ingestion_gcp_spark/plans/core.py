@@ -745,6 +745,33 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T3 — tumbling event-time window (the daily GROUP BY dt generalized to
+# F.window; batch form of the streaming windowed aggregate). Epoch-aligned
+# 6h buckets on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+        .orderBy("win_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sessionization — gap-based sessions per user (30-min inactivity): the
 # batch form of the streaming session-window operator. lag + conditional
 # cumulative sum; one shuffle on user_id shared by both window passes.
