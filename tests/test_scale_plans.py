@@ -1,0 +1,116 @@
+"""Physical-plan regression tests — the 100 TB design assertions.
+
+These pin the *plan shapes* that make the engine scale: filter/column
+pushdown into parquet scans, broadcast joins for dimensions, partial
+aggregation before shuffles, and exchange-free joins on co-bucketed
+tables. A refactor that silently regresses one of these still passes the
+value-equality gate but fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_ingestion_gcp_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_filters_push_into_scan(spark):
+    df = QUERIES["tpch_q6_forecast_revenue"](spark, SF)
+    plan = _formatted(df)
+    # Catalyst rewrites to_date(ts) bounds into raw timestamp range predicates
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    # column pruning: only the 4 needed columns reach the scan
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert all(c in read for c in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+    assert "l_orderkey" not in read
+
+
+def test_q5_dimensions_broadcast(spark):
+    plan = _formatted(QUERIES["tpch_q5_local_supplier_volume"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_partial_aggregation(spark):
+    plan = _formatted(QUERIES["daily_rollup_events"](spark, SF))
+    # partial + final aggregate pair -> map-side combine before the
+    # shuffle. (MAX over the string till_time puts a var-length field in
+    # the agg buffer, so Spark picks SortAggregate over HashAggregate —
+    # still two-phase.)
+    assert plan.count("Aggregate") >= 2
+
+
+def test_minhash_no_cartesian(spark):
+    """The LSH candidate join must be an equi-join on band_key — a plan
+    with a cartesian/nested-loop product would be O(n^2) at scale."""
+    plan = _formatted(QUERIES["dedup_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_topk_broadcasts_queries_not_corpus(spark):
+    plan = _formatted(QUERIES["similarity_cosine_topk"](spark, SF))
+    # the deliberate exception: query side broadcast -> nested loop is fine
+    # (tiny build side), corpus never shuffles before scoring
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join without a shuffle: the physical design for
+    repeated fact-fact joins at scale (bucket pruning + exchange-free SMJ)."""
+    # warehouse.dir is static; place the demo DB explicitly instead
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckets_demo LOCATION '{tmp_path / 'wh'}'")
+    # at the test SF everything fits the broadcast threshold and the planner
+    # would skip bucketed scans entirely; force the at-scale (SMJ) path
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("buckets_demo.orders_b")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("buckets_demo.lineitem_b")
+        )
+        joined = spark.table("buckets_demo.lineitem_b").join(
+            spark.table("buckets_demo.orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # no shuffle on either side: bucketing pre-partitioned both tables
+        assert "Exchange hashpartitioning" not in plan
+        # sanity: the join actually runs and matches the unbucketed count
+        expected = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP DATABASE IF EXISTS buckets_demo CASCADE")
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "text_fingerprint", "sessionize_events"])
+def test_no_python_udfs_in_core_plans(spark, name):
+    """Core operators stay JVM-side: no BatchEvalPython / ArrowEvalPython
+    stages (mapInPandas appears only in the multimodal decode path)."""
+    plan = _formatted(QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

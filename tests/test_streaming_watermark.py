@@ -1,0 +1,115 @@
+"""T6 hardening beyond the reference: event-time watermark + windowed
+aggregation and in-stream dedup. The reference has NO late/duplicate
+handling (Pub/Sub redelivery double-appends, SURVEY.md T6); these show the
+Spark-native mechanisms the engine adds."""
+
+from __future__ import annotations
+
+import json
+
+
+EVENTS_SCHEMA = "user_id BIGINT, ts TIMESTAMP, value DOUBLE, eid STRING"
+
+
+def _land(tmp_path, name: str, rows) -> None:
+    import os
+    import time
+
+    p = tmp_path / "in" / name
+    p.parent.mkdir(exist_ok=True)
+    p.write_text(
+        "\n".join(
+            json.dumps({"user_id": u, "ts": t, "value": v, "eid": e}) for u, t, v, e in rows
+        )
+        + "\n"
+    )
+    # file source batches in modification-time order; make it explicit
+    n_existing = len(list(p.parent.iterdir()))
+    mtime = time.time() + n_existing * 10
+    os.utime(p, (mtime, mtime))
+
+
+def test_windowed_agg_with_watermark_drops_too_late_events(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    # batch 1: events up to 12:00 -> watermark computed from this batch is
+    # 11:50, but Spark applies it to LATE-ROW FILTERING only from the batch
+    # after next (the filter uses the previous batch's committed watermark)
+    _land(
+        tmp_path,
+        "b1.json",
+        [
+            (1, "2024-01-01 10:01:00", 1.0, "a"),
+            (1, "2024-01-01 10:04:00", 2.0, "b"),
+            (1, "2024-01-01 12:00:00", 4.0, "c"),
+        ],
+    )
+    # batch 2: mildly-late event inside the watermark -> kept
+    _land(tmp_path, "b2.json", [(1, "2024-01-01 11:55:00", 8.0, "e")])
+    # batch 3: 2h-late event (10:02 vs committed watermark 11:50) -> dropped
+    _land(tmp_path, "b3.json", [(1, "2024-01-01 10:02:00", 100.0, "d")])
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "total", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM win_agg").collect()
+    latest = {}
+    for r in rows:  # update mode re-emits windows; keep the last emission
+        latest[str(r.start)] = (r.total, r.n)
+    # 10:00 window: the 100.0 two-hours-late event was DROPPED -> stays 3.0
+    assert latest["2024-01-01 10:00:00"] == (3.0, 2)
+    # the within-watermark event was kept
+    assert latest["2024-01-01 11:55:00"] == (8.0, 1)
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    _land(
+        tmp_path,
+        "b1.json",
+        [
+            (1, "2024-01-01 10:00:00", 1.0, "x"),
+            (1, "2024-01-01 10:00:30", 9.0, "y"),
+        ],
+    )
+    _land(
+        tmp_path,
+        "b2.json",
+        [
+            (1, "2024-01-01 10:00:00", 1.0, "x"),  # redelivered duplicate
+            (1, "2024-01-01 10:02:00", 5.0, "z"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["eid"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.eid for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == ["x", "y", "z"]  # the redelivered "x" was dropped across batches
