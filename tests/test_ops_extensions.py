@@ -161,3 +161,14 @@ def test_scalar_function_helpers(spark):
     assert r.c == "hourly-weather-data.json"
     assert r.s == "c"
     assert len(r.u) == 36 and r.u.count("-") == 4
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL++) vs exact, on real testdata — the
+    rows-only driver query's accuracy claim, asserted here."""
+    from weather_data_ingestion_gcp_spark.plans import QUERIES
+
+    rows = QUERIES["approx_distinct_users"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users)

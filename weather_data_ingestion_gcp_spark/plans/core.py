@@ -832,6 +832,81 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact percentiles — the beyond-reference stats surface (SURVEY §2.4 notes
+# the reference has no percentiles). Exact interpolated percentile matches
+# DuckDB's quantile_cont formula.
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(MIN(value), 4) AS vmin,
+           ROUND(MAX(value), 4) AS vmax
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct — HLL implementations differ across engines, so this
+# is deliberately rows-only at the driver; the pytest suite asserts the
+# estimate is within rsd of the exact count.
+# ---------------------------------------------------------------------------
+@register("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — levenshtein pairs inside blocks: the edit-distance
+# complement to the token-level dedup family.
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+    WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 6
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"), F.col("n_regionkey").alias("rk"))
+    b = n.select(F.col("n_name").alias("name_b"), F.col("n_regionkey").alias("rk"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "rk")
+        .filter((F.col("name_a") < F.col("name_b")) & (dist <= 6))
+        .select("name_a", "name_b", dist.alias("dist"))
+        .orderBy("name_a", "name_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # P16 — error-capture projection: malformed records become structured error
 # rows instead of failures (try/except -> error log, Load-Data-From-API/
 # main.py:177-207). Here: JSON validity routing, the per-row analog.

@@ -198,6 +198,37 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vector_l2_normalize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS norm,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))), 6) AS self_cos,
+           len(embedding) AS dim
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def vector_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array ops over the embedding column: norm via
+    zip_with+aggregate fold, unit-vector sanity (self-cosine == 1), dim.
+    The multimodal/vector column manipulation primitive — all JVM-side."""
+    from ..operators.similarity import cosine, _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(_dot(e, e)), 6).alias("norm"),
+        F.round(cosine(e, e), 6).alias("self_cos"),
+        F.size("embedding").alias("dim"),
+    ).orderBy("vec_id")
+
+
 @register("similarity_ann_ivf")  # iterative/centroid-based: rows-only driver check
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
