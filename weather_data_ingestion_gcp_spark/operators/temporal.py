@@ -1,0 +1,94 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bucketed range join — implemented as compositions of existing DataFrame
+ops (SURVEY.md custom-operator guidance: composition first, Pandas UDF
+only if semantics demand it; they don't here).
+
+**As-of join** (backward, inclusive): for each left row, the most recent
+right row with ``right_ts <= left_ts`` per key. Implementation: tag both
+sides, union, one window pass per key ordered by (ts, side) forward-filling
+the last right-row payload. Cost: ONE shuffle of left+right on the key —
+the same lower bound a native as-of join would have. No range explosion,
+no per-row Python.
+
+**Bucketed range join**: interval-point matching (``lo <= x <= hi``)
+without the O(n*m) nested loop a naive inequality join plans: intervals
+explode to the fixed-width buckets they overlap, points map to their one
+bucket, the match is an equi-join on bucket + an exact refine predicate.
+Bucket width trades explode factor vs candidate density; at 100 TB both
+sides shuffle-partition by bucket, which AQE sizes at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right row at-or-before
+    its timestamp (null payload when none). ``tiebreak`` names a right
+    payload column ordering equal-ts right rows (last one wins)."""
+    payload_t = right.select(*right_payload).schema
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(payload_t).alias("_p"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.schema).alias("_l"),
+        F.struct(*right_payload).alias("_p"),
+    )
+    # (_ts, _side) puts right rows BEFORE left rows at equal ts ->
+    # inclusive backward semantics; the tiebreak keeps equal-ts right rows
+    # deterministic (nulls — i.e. left rows — sort last at the same ts)
+    order = [F.col("_ts"), F.col("_side")]
+    if tiebreak:
+        order.insert(1, F.col("_p").getField(tiebreak).asc_nulls_last())
+    w = Window.partitionBy("_k").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    filled = l.unionByName(r).withColumn("_match", F.last("_p", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1)
+    cols = [F.col("_l").getField(c).alias(c) for c in left.columns]
+    cols += [F.col("_match").getField(c).alias(f"asof_{c}") for c in right_payload]
+    return out.select(*cols)
+
+
+def bucketed_range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    lo: str,
+    hi: str,
+    x: str,
+    bucket_width: float,
+) -> DataFrame:
+    """All (interval, point) pairs with lo <= x <= hi, via bucket equi-join
+    + exact refine. Each point lives in exactly one bucket, so no dedup
+    pass is needed."""
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bucket_width).cast("long"),
+                F.floor(F.col(hi) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", F.floor(F.col(x) / bucket_width).cast("long"))
+    return (
+        iv.join(pt, "_bucket")
+        .filter((F.col(x) >= F.col(lo)) & (F.col(x) <= F.col(hi)))
+        .drop("_bucket")
+    )

@@ -88,6 +88,44 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, pure DataFrame ops (no MLlib —
+    keeps it oracle-checkable and JVM-side).
+
+    tfidf = tf * (ln((N+1)/(df+1)) + 1)  (smoothed idf)
+
+    Two aggregations + one broadcast of the tiny (term, df) relation; the
+    corpus-size scalar is a broadcast cross join, never a driver collect.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = (
+        tokens.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rk")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization-stable document fingerprint: md5 of lower(collapse-ws)
     + a 16-hex-char prefix usable as a 64-bit shard/bucket key."""

@@ -343,6 +343,95 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins Spark lacks natively (composition-based operators)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_clicks_views",
+    oracle="""
+    SELECT t.event_id AS click_id, t.user_id AS user_id,
+           q.event_id AS view_id, q.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON t.user_id = q.user_id AND q.ts <= t.ts
+    ORDER BY click_id
+    """,
+)
+def asof_join_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click paired with the user's latest view
+    at-or-before it (DuckDB's native ASOF JOIN is the oracle; ours is the
+    union + window forward-fill composition in operators/temporal.py)."""
+    from ..operators.temporal import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    out = asof_join_backward(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id", "value"], tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof_event_id").alias("view_id"),
+        F.col("asof_value").alias("view_value"),
+    ).orderBy("click_id")
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+    SELECT p.p_partkey, c.c_custkey, p.p_retailprice, c.c_acctbal
+    FROM part p JOIN customer c
+      ON c.c_acctbal BETWEEN p.p_retailprice - 5 AND p.p_retailprice + 5
+    ORDER BY p_partkey, c_custkey
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-point range join via bucket equi-join + refine (the naive
+    inequality join plans a nested-loop product; the oracle side uses
+    DuckDB's IEJoin, ours never materializes the cross space)."""
+    from ..operators.temporal import bucketed_range_join
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        (F.col("p_retailprice") - 5).alias("lo"),
+        (F.col("p_retailprice") + 5).alias("hi"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = bucketed_range_join(p, c, lo="lo", hi="hi", x="c_acctbal", bucket_width=10.0)
+    return out.select("p_partkey", "c_custkey", "p_retailprice", "c_acctbal").orderBy(
+        "p_partkey", "c_custkey"
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    tf AS (SELECT doc_id, token AS term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, token AS term FROM toks) GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+               tf.tf * (ln((n.n_docs + 1) * 1.0 / (dfc.df + 1)) + 1) AS tfidf
+        FROM tf JOIN dfc USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf, rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, "doc_id", "text", k=3).orderBy("doc_id", "rk")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 @register(
