@@ -172,3 +172,22 @@ def test_approx_distinct_within_tolerance(spark):
     assert len(rows) > 0
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from weather_data_ingestion_gcp_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one hot key
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i, float(i)) for i in range(1000)], "k bigint, v double"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(0, 1000, 7)], "k bigint, name string")
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(fact, dim, "k").select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched fact rows exactly once
+    plain_l = fact.join(dim, "k", "left").select("k", "v", "name")
+    salted_l = salted_join(fact, dim, "k", how="left").select("k", "v", "name")
+    assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(
+        map(tuple, plain_l.collect()), key=str
+    )

@@ -152,3 +152,25 @@ def test_error_rows_logged_on_failure(spark, tmp_path):
     logs = wh.read_logs().filter(F.col("message_type") == "error")
     assert logs.count() == 1
     assert logs.collect()[0].log_type == "bq-load-logging"
+
+
+def test_compaction_reduces_files_keeps_rows(spark, tmp_path):
+    wh = WeatherWarehouse(spark, str(tmp_path / "wh"))
+    rows = hourly_rows(days=2, partial_last_day=False)
+    df = spark.createDataFrame(rows, WEATHER_SCHEMA)
+    for _ in range(3):  # 3 separate appends -> >=3 files per day partition
+        wh.append_hourly(df)
+    import glob
+
+    def files_per_day(day):
+        return [
+            f
+            for f in glob.glob(str(tmp_path / "wh" / "hourly" / f"dt={day}" / "*.parquet"))
+        ]
+
+    assert len(files_per_day("2022-07-01")) >= 3
+    before = wh.read_hourly().count()
+    wh.compact_hourly()
+    assert wh.read_hourly().count() == before
+    assert len(files_per_day("2022-07-01")) == 1
+    assert len(files_per_day("2022-07-02")) == 1

@@ -103,6 +103,24 @@ class WeatherWarehouse:
                 dropped.append(str(day))
         return dropped
 
+    def compact_hourly(self, dates: list[dt.date] | None = None) -> None:
+        """Small-file compaction: the hourly layer accretes one file per
+        landed batch per day; at 100 TB that is millions of KB-files whose
+        open/footer cost dominates scans. Rewrite each (selected) day
+        partition in one pass: repartition by dt clusters each day into one
+        task, dynamic partition overwrite swaps only the rewritten days —
+        concurrent readers of other days are untouched."""
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        hourly = self.read_hourly()
+        if dates is not None:
+            hourly = hourly.filter(F.col("dt").isin(list(dates)))
+        (
+            hourly.repartition("dt")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(self.hourly_path)
+        )
+
     # -- log sink ---------------------------------------------------------------
 
     def log(self, **fields) -> None:
