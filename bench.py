@@ -42,6 +42,10 @@ def main() -> int:
         n = fn(spark, sf_dir).toArrow().num_rows
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # multi-million-row queries leave the old gen full of dead shuffle
+        # and Arrow buffers; without an explicit collection the NEXT queries
+        # pay 5-15x in GC stalls (measured), which would misattribute time
+        spark._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

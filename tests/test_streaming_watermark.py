@@ -113,3 +113,43 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.eid for r in spark.sql("SELECT * FROM dedup_stream").collect())
     assert got == ["x", "y", "z"]  # the redelivered "x" was dropped across batches
+
+
+def test_session_window_emits_closed_sessions(spark, tmp_path):
+    """Built-in session_window + watermark: append mode emits a session
+    only after the watermark passes its gap-extended end."""
+    from pyspark.sql import functions as F
+
+    _land(tmp_path, "b1.json", [
+        (1, "2024-01-01 10:00:00", 1.0, "a"),
+        (1, "2024-01-01 10:10:00", 2.0, "b"),
+    ])
+    # far-future events advance the watermark past session 1's close…
+    _land(tmp_path, "b2.json", [(1, "2024-01-01 15:00:00", 5.0, "c")])
+    # …and a third batch gives the evictor a run with that watermark
+    _land(tmp_path, "b3.json", [(1, "2024-01-01 15:01:00", 6.0, "d")])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    sessions = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").alias("start"), "total", "n")
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {str(r.start): (r.total, r.n) for r in spark.sql("SELECT * FROM sessions_out").collect()}
+    # the 10:00 session (2 events merged by the 30-min gap) closed and emitted;
+    # the 15:00 session is still open -> absent from append output
+    assert got == {"2024-01-01 10:00:00": (3.0, 2)}

@@ -697,6 +697,34 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q17_small_quantity_avg",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — no per-row re-execution)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("l_q17")
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("p_q17")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n
+        FROM l_q17 l JOIN p_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM l_q17 l2 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / sorts / top-k (§2.6 north-star): row_number keep-first is also
 # the dedup primitive.
@@ -960,6 +988,62 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot — the reshape surface: wide daily metrics per event type
+# and back to long form. Pivot columns are pinned (deterministic schema).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_daily_event_values",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS dt,
+           ROUND(SUM(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           ROUND(SUM(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           ROUND(SUM(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM events GROUP BY dt ORDER BY dt
+    """,
+)
+def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.to_date("ts").alias("dt"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out.orderBy("dt")
+
+
+@register(
+    "unpivot_event_metrics",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS dt,
+               ROUND(SUM(value), 2) AS total_value,
+               CAST(COUNT(*) AS DOUBLE) AS n_events
+        FROM events GROUP BY dt
+    )
+    SELECT dt, metric, val FROM (
+        SELECT dt, 'total_value' AS metric, total_value AS val FROM daily
+        UNION ALL
+        SELECT dt, 'n_events' AS metric, n_events AS val FROM daily
+    ) ORDER BY dt, metric
+    """,
+)
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("dt")).agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+    )
+    return daily.unpivot(
+        ["dt"], ["total_value", "n_events"], "metric", "val"
+    ).orderBy("dt", "metric")
 
 
 # ---------------------------------------------------------------------------

@@ -451,6 +451,26 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pandas_zscore_normalize",
+    oracle="""
+    SELECT event_type, event_id AS row_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS zscore
+    FROM events ORDER BY row_id
+    """,
+)
+def pandas_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map vs the window-function oracle: the Arrow
+    group-to-pandas round trip must reproduce SQL stddev_samp semantics."""
+    from ..operators.grouped import grouped_zscore
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").alias("row_id"), "value"
+    )
+    return grouped_zscore(e, "event_type", "row_id", "value").orderBy("row_id")
+
+
+@register(
     "multimodal_decode_meta",
     oracle="""
     SELECT doc_id,
