@@ -140,8 +140,16 @@ def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
 
 
 def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs via two shingle joins (set sizes
-    from one aggregate; intersection from an equi-join on shingle)."""
+    """Exact Jaccard for candidate pairs via two shingle equi-joins (set
+    sizes from one aggregate; intersection counts from a join on shingle).
+
+    Measured note (sf0.1, 9.5M pairs): this explode-join shape beats the
+    "attach collect_set arrays to each pair + array_intersect" formulation
+    ~2.5x — per-pair array intersection is evaluated per output expression
+    (no cross-expression CSE) at ~4us a call, while the equi-join's
+    intermediate rows are cheap primitive tuples with partial aggregation
+    collapsing them before the shuffle.
+    """
     sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = shingle_df.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = shingle_df.select(F.col("doc_id").alias("id_b"), "shingle")
