@@ -191,3 +191,22 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(
         map(tuple, plain_l.collect()), key=str
     )
+
+
+def test_kmeans_assign_separates_clear_clusters(spark):
+    from weather_data_ingestion_gcp_spark.operators.similarity import kmeans_assign
+
+    rows = []
+    for i in range(12):  # two orthogonal bundles
+        rows.append((i, [10.0 + (i % 3), 0.1, 0.0]))
+    for i in range(12, 24):
+        rows.append((i, [0.1, 10.0 + (i % 3), 0.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = kmeans_assign(df, k=2, max_iter=4)
+    got = {r.vec_id: r.kmeans_cluster for r in out.collect()}
+    first = {got[i] for i in range(12)}
+    second = {got[i] for i in range(12, 24)}
+    assert len(first) == 1 and len(second) == 1 and first != second
+    # deterministic: same input -> same assignment
+    again = {r.vec_id: r.kmeans_cluster for r in kmeans_assign(df, k=2, max_iter=4).collect()}
+    assert again == got

@@ -62,6 +62,60 @@ def brute_force_topk(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column, pure
+    DataFrame ops — produces the cluster assignment IVF needs when no
+    pre-clustering exists.
+
+    Per iteration: one broadcast of k centroids to score assignments (no
+    corpus shuffle) + one aggregation for the new centroids (posexplode ->
+    (cluster, pos) partial means). Iterations are a driver-side loop over
+    small centroid tables — the corpus-side work is Catalyst-planned each
+    round. Seeds: the k lowest-id vectors (deterministic, no RNG).
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    from pyspark.sql.window import Window
+
+    centroids = (
+        vecs.orderBy("_id").limit(k)
+        .select(F.col("_v").alias("centroid"))
+        .withColumn("cluster", F.row_number().over(Window.orderBy(F.col("centroid")[0])) - 1)
+    )
+    for _ in range(max_iter):
+        w = Window.partitionBy("_id").orderBy(F.desc("sim"), F.col("cluster"))
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .select("_id", "_v", "cluster", cosine(F.col("_v"), F.col("centroid")).alias("sim"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("_id", "_v", "cluster")
+        )
+        centroids = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+        )
+    w = Window.partitionBy("_id").orderBy(F.desc("sim"), F.col("cluster"))
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .select("_id", cosine(F.col("_v"), F.col("centroid")).alias("sim"), "cluster")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("_id").alias(id_col), F.col("cluster").alias("kmeans_cluster"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -164,6 +164,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: cluster-blocked (the IVF
+    assignment doubles as the LSH-style blocking key) + exact cosine verify
+    — the embedding-space member of the dedup family. Quadratic only
+    within a cluster, never across the corpus. (Threshold calibrated to
+    the synthetic corpus, whose vectors are near-orthogonal — max
+    within-cluster cosine ~0.47; production near-dup uses 0.9+.)"""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "label")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "label")
+    sim = cosine(F.col("e_a"), F.col("e_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("raw"))
+        .filter(F.col("raw") >= 0.35)
+        .select("id_a", "id_b", F.round("raw", 6).alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -227,6 +262,22 @@ def vector_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(e, e), 6).alias("self_cos"),
         F.size("embedding").alias("dim"),
     ).orderBy("vec_id")
+
+
+@register("similarity_ann_ivf_kmeans")  # iterative k-means: rows-only driver check
+def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully self-contained IVF: cluster with deterministic Lloyd k-means
+    (operators/similarity.kmeans_assign), then probe-and-search. The
+    iterative clustering loop is why this entry has no SQL oracle."""
+    from ..operators.similarity import ivf_topk, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.join(kmeans_assign(emb, k=8, max_iter=3), "vec_id")
+    queries = corpus.filter(F.col("vec_id") < 8)
+    out = ivf_topk(corpus, queries, k=5, nprobe=2, cluster_col="kmeans_cluster")
+    return out.select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk").orderBy(
+        "q_id", "rk"
+    )
 
 
 @register("similarity_ann_ivf")  # iterative/centroid-based: rows-only driver check
