@@ -174,3 +174,22 @@ def test_compaction_reduces_files_keeps_rows(spark, tmp_path):
     assert wh.read_hourly().count() == before
     assert len(files_per_day("2022-07-01")) == 1
     assert len(files_per_day("2022-07-02")) == 1
+
+
+def test_corrupt_landing_lines_quarantined(spark, tmp_path):
+    """P16 data-path: a malformed NDJSON line becomes an all-null row under
+    PERMISSIVE parsing; the loader quarantines it (error log row) instead
+    of writing a null-dt partition."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    good = spark.createDataFrame(hourly_rows(days=1), WEATHER_SCHEMA).toJSON().collect()
+    with open(os.path.join(landing, "mixed.json"), "w") as f:
+        f.write("\n".join(good[:5]) + "\n")
+        f.write('{"this is not: valid json\n')
+        f.write("\n".join(good[5:8]) + "\n")
+    wh = WeatherWarehouse(spark, str(tmp_path / "wh"))
+    wh.load_and_transform(read_landing(spark, landing))
+    assert wh.read_hourly().count() == 8  # corrupt line excluded
+    assert wh.read_hourly().filter(F.col("dt").isNull()).count() == 0
+    errs = wh.read_logs().filter(F.col("message_type") == "error").collect()
+    assert len(errs) == 1 and "quarantined 1" in errs[0].message

@@ -150,9 +150,24 @@ class WeatherWarehouse:
         """Entry point 2 (Load-gcs-to-bq/main.py:56-110): append raw, then
         refresh exactly the affected days, then log — sequential, fixing the
         reference's unawaited-load race (T10); errors become error-log rows
-        (P16) and re-raise."""
+        (P16) and re-raise.
+
+        Data-level errors (a corrupt NDJSON line parses to an all-null row
+        under PERMISSIVE mode — null ``dt`` being the tell, since every
+        valid ingest stamps it) are quarantined: counted into an error-log
+        row instead of polluting the warehouse with a null partition.
+        """
         try:
             batch = batch.cache()  # two passes: append + affected-dates
+            n_corrupt = batch.filter(F.col("dt").isNull()).count()
+            if n_corrupt:
+                self.log(
+                    log_type="bq-load-logging",
+                    message_type="error",
+                    process="load_and_transform",
+                    message=f"quarantined {n_corrupt} corrupt row(s) (null dt)",
+                )
+                batch = batch.filter(F.col("dt").isNotNull())
             self.append_hourly(batch)
             dates = [r.dt for r in batch.select("dt").distinct().collect()]
             self.refresh_daily(dates)

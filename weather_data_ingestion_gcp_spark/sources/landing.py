@@ -83,10 +83,17 @@ def read_landing(spark: SparkSession, landing_dir: str) -> DataFrame:
     return spark.read.schema(WEATHER_SCHEMA).json(landing_dir)
 
 
-def stream_landing(spark: SparkSession, landing_dir: str) -> DataFrame:
+def stream_landing(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """The S7 event source: new files discovered exactly once (with the
-    sink's checkpoint), replacing GCS object-finalize events."""
-    return spark.readStream.schema(WEATHER_SCHEMA).json(landing_dir)
+    sink's checkpoint), replacing GCS object-finalize events.
+    ``max_files_per_trigger=1`` reproduces the reference's one-event-per-
+    file processing grain."""
+    reader = spark.readStream.schema(WEATHER_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(landing_dir)
 
 
 def parse_landing_json(text: str) -> dict:

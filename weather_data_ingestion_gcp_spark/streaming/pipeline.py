@@ -47,6 +47,7 @@ def start_landing_stream(
     available_now: bool = True,
     processing_time: str | None = None,
     dedup: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start the landing-dir -> warehouse stream.
 
@@ -55,7 +56,7 @@ def start_landing_stream(
     reference's hourly cadence (T1) as a long-lived query.
     """
     writer = (
-        stream_landing(spark, landing_dir)
+        stream_landing(spark, landing_dir, max_files_per_trigger=max_files_per_trigger)
         .writeStream.foreachBatch(_batch_processor(warehouse, dedup))
         .option("checkpointLocation", checkpoint_dir)
     )
