@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): the composed operators vs trivially
+correct Python reference implementations on arbitrary small inputs.
+
+Settings are tuned for Spark round-trip cost: few examples, no shrinking
+deadline — each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from weather_data_ingestion_gcp_spark.operators.dedup import exact_dedup_groups
+from weather_data_ingestion_gcp_spark.operators.temporal import (
+    asof_join_backward,
+    bucketed_range_join,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_ts0 = dt.datetime(2024, 1, 1)
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=1, max_size=12, unique=True
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=0, max_size=12, unique=True
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python_reference(spark, lefts, rights):
+    trades = spark.createDataFrame(
+        [(i, k, _ts0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        "tid bigint, k bigint, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [(100 + i, k, _ts0 + dt.timedelta(seconds=s), float(s)) for i, (k, s) in enumerate(rights)],
+        "qid bigint, k bigint, ts timestamp, px double",
+    )
+    got = {
+        r.tid: r.asof_qid
+        for r in asof_join_backward(
+            trades, quotes, key="k", left_ts="ts", right_ts="ts",
+            right_payload=["qid", "px"], tiebreak="qid",
+        ).collect()
+    }
+    # reference: latest right at-or-before, ties by highest qid
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, s) in enumerate(rights):
+        by_key.setdefault(k, []).append((s, 100 + i))
+    expect = {}
+    for i, (k, s) in enumerate(lefts):
+        cands = [(rs, qid) for rs, qid in by_key.get(k, []) if rs <= s]
+        expect[i] = max(cands)[1] if cands else None
+    assert got == expect
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 30)), min_size=1, max_size=10
+    ),
+    points=st.lists(st.integers(-60, 90), min_size=0, max_size=15),
+    width=st.sampled_from([1.0, 3.0, 7.5, 64.0]),
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_python_reference(spark, intervals, points, width):
+    iv = spark.createDataFrame(
+        [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(intervals)],
+        "iv_id bigint, lo double, hi double",
+    )
+    pt = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(points)], "pt_id bigint, x double"
+    )
+    got = sorted(
+        (r.iv_id, r.pt_id)
+        for r in bucketed_range_join(iv, pt, lo="lo", hi="hi", x="x", bucket_width=width).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, (lo, span) in enumerate(intervals)
+        for j, x in enumerate(points)
+        if lo <= x <= lo + span
+    )
+    assert got == expect
+
+
+@given(
+    texts=st.lists(st.sampled_from(["aa bb", "aa  bb", "cc", "dd ee ff", ""]), min_size=1, max_size=10)
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_group_sizes_sum_to_input(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    groups = exact_dedup_groups(df, "doc_id", "text").collect()
+    assert sum(r.n_copies for r in groups) == len(texts)
+    assert len(groups) == len(set(texts))
+    # keep_id is always the minimum id of its group
+    for g in groups:
+        ids = [i for i, t in enumerate(texts) if t == texts[g.keep_id]]
+        assert g.keep_id == min(ids)

@@ -125,10 +125,25 @@ def lsh_band_keys(sig_df: DataFrame, rows_per_band: int = 2) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(band_df: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket — an equi-join
-    on band_key, never a cross join. Hot buckets (boilerplate docs) are the
-    skew risk at scale; AQE skew-join splitting handles them."""
+    on band_key, never a cross join.
+
+    ``max_bucket_size`` drops buckets larger than the cap before pairing —
+    the standard LSH skew control: a bucket of n docs contributes O(n^2)
+    pairs, and mega-buckets (boilerplate, degenerate vocabularies) are
+    exactly the content whose pairs exact-dedup or blocking handles more
+    cheaply. Without the cap, AQE skew-join splitting still balances the
+    join, but the quadratic pair count itself remains.
+    """
+    if max_bucket_size is not None:
+        ok = (
+            band_df.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .select("band_key")
+        )
+        band_df = band_df.join(ok, "band_key", "left_semi")
     a = band_df.select(F.col("doc_id").alias("id_a"), "band_key")
     b = band_df.select(F.col("doc_id").alias("id_b"), "band_key")
     return (
@@ -180,6 +195,7 @@ def minhash_near_duplicates(
     rows_per_band: int = 2,
     shingle_n: int = 1,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full pipeline: shingle -> minhash -> LSH bucket -> verify >= threshold."""
     # note: NOT persisted — re-tokenizing per subtree is cheaper than a
@@ -188,7 +204,7 @@ def minhash_near_duplicates(
     sh = shingles(df, id_col, text_col, n=shingle_n)
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
-    pairs = lsh_candidate_pairs(bands)
+    pairs = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
     return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
 
 

@@ -93,6 +93,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_lsh_capped",
+    oracle=rf"""
+    WITH sh AS (SELECT DISTINCT doc_id, token AS shingle FROM ({_SQL_TOKENS})),
+    sig AS (
+        SELECT doc_id, s.seed,
+               MIN(md5(shingle || '|' || CAST(s.seed AS VARCHAR))) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(CAST(seed // 2 AS VARCHAR) || '|' ||
+                   string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+        FROM sig GROUP BY doc_id, band
+    ),
+    ok AS (SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) <= 50),
+    capped AS (SELECT b.* FROM bands b JOIN ok USING (band_key)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of MinHash-LSH: band buckets over 50 docs are
+    dropped before pairing (quadratic pair growth is exactly what kills
+    LSH on boilerplate/degenerate content; those docs belong to exact
+    dedup). Same verification; the cap is mirrored in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=1,
+        threshold=0.5, max_bucket_size=50,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH tf AS (
