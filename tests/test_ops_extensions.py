@@ -210,3 +210,65 @@ def test_kmeans_assign_separates_clear_clusters(spark):
     # deterministic: same input -> same assignment
     again = {r.vec_id: r.kmeans_cluster for r in kmeans_assign(df, k=2, max_iter=4).collect()}
     assert again == got
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    from weather_data_ingestion_gcp_spark.operators.text import scrub_pii
+
+    rows = [
+        (0, "mail me at a.b+c@site.org today"),
+        (1, "ssn 123-45-6789 phone 555-123-4567"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[0].scrubbed == "mail me at <EMAIL> today"
+    assert out[0].n_pii == 1
+    assert out[1].scrubbed == "ssn <SSN> phone <PHONE>"
+    assert out[1].n_pii == 2
+    assert out[2].scrubbed == "nothing sensitive here" and out[2].n_pii == 0
+
+
+def test_normalize_and_bigrams(spark):
+    from weather_data_ingestion_gcp_spark.operators.text import bigrams, normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "  Hello,   WORLD! 42 "), (1, "one"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            normalize_text(F.col("text")).alias("norm"),
+            bigrams(F.col("text")).alias("bg"),
+        ).collect()
+    }
+    assert rows[0].norm == "hello world 42"
+    assert rows[0].bg == ["hello, world!", "world! 42"]
+    assert rows[1].bg == [] and rows[2].bg == []
+
+
+def test_hash_sampling_deterministic_and_partition_invariant(spark):
+    from weather_data_ingestion_gcp_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in sampling.bernoulli_hash_sample(df, "k", 10).collect())
+    b = sorted(
+        r.k
+        for r in sampling.bernoulli_hash_sample(df.repartition(13), "k", 10).collect()
+    )
+    assert a == b  # partition layout cannot change the sample
+    assert 100 < len(a) < 300  # ~10% of 2000
+
+    # split: total partition, disjoint, deterministic
+    s = sampling.train_test_split(df, "k", test_pct=10, holdout_pct=5)
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "test", "holdout"}
+
+    # quota: never more than N per stratum
+    strat = df.withColumn("g", (F.col("k") % 7).cast("string"))
+    q = sampling.stratified_quota(strat, "g", "k", quota=5)
+    per = {r.g: r.n for r in q.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in per.values()) and len(per) == 7

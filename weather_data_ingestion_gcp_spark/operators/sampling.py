@@ -1,0 +1,66 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+At 100 TB, `df.sample()` is the wrong tool when runs must be reproducible
+and join-stable across retries/engines: its output depends on partition
+layout and RNG seeds. These operators derive the sampling decision from a
+content hash of a key column instead — any engine, any partitioning, any
+day produces the same sample. All expressions are built-in (JVM, codegen);
+the hash-bucket predicate pushes below joins and survives AQE re-planning.
+
+Reference analog: the reference pipeline has no sampling (SURVEY.md §2.4
+"Not present"); these are the §2.8 north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets) from the md5 of the key's string
+    form. Uses only arithmetic on the first 4 hex chars so the identical
+    computation is expressible in any SQL dialect (no engine-native hash).
+    """
+    hex4 = F.substring(F.md5(key.cast("string")), 1, 4)
+    return (F.conv(hex4, 16, 10).cast("long") % n_buckets).alias("bucket")
+
+
+def bernoulli_hash_sample(
+    df: DataFrame, key_col: str, fraction_pct: int, n_buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose hash bucket < fraction_pct — a deterministic
+    Bernoulli sample at fraction_pct/n_buckets rate. A pure filter: no
+    shuffle, pushes into the scan's data-filter stage."""
+    return df.filter(hash_bucket(F.col(key_col), n_buckets) < fraction_pct)
+
+
+def stratified_quota(
+    df: DataFrame, strata_col: str, key_col: str, quota: int
+) -> DataFrame:
+    """At most ``quota`` rows per stratum, chosen by hash order of the key
+    (deterministic, selection-bias-free). One shuffle on the stratum key;
+    Spark plans a WindowGroupLimit that stops ranking past the quota
+    instead of fully sorting each stratum."""
+    order = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(order, key_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .drop("rn")
+    )
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_pct: int = 10, holdout_pct: int = 0
+) -> DataFrame:
+    """Adds a ``split`` column (train/test/holdout) from the key hash.
+    Membership is a function of the key alone — re-ingesting a document
+    never migrates it across splits (the leakage guarantee)."""
+    b = hash_bucket(F.col(key_col))
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + holdout_pct, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

@@ -132,3 +132,64 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     fp = F.md5(norm)
     return df.select("*", fp.alias("fp"), F.substring(fp, 1, 16).alias("fp64"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical cleaning pass: lowercase, strip non-alphanumerics to
+    spaces, collapse runs of whitespace, trim. Character classes are kept
+    to ASCII-safe sets so the identical regex means the same thing in
+    Java regex (Spark) and RE2 (other engines)."""
+    t = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+#: Conservative PII patterns — ASCII-only so Java regex and RE2 agree.
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace email/phone/SSN-shaped spans with typed placeholder tokens
+    and count the replacements per row. Pure regexp_replace chain — stays
+    in codegen; at 100 TB this is a map-only stage with zero shuffle.
+    SSN runs before phone so the more specific pattern wins overlaps."""
+    out = F.col(text_col)
+    for name, pat, token in sorted(PII_PATTERNS, key=lambda p: p[0] != "ssn"):
+        out = F.regexp_replace(out, pat, token)
+    n_pii = sum(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        for _, pat, _ in PII_PATTERNS
+    )
+    return df.withColumn("scrubbed", out).withColumn(
+        "n_pii", n_pii.cast("long")
+    )
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent-token bigrams as an array column — built-in ``transform``
+    over an index sequence; no explode until the caller asks for one, so
+    the array stays columnar through intermediate stages."""
+    toks = words(text)
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus-wide top-k bigram frequencies. explode -> partial+final
+    count: the map-side combine collapses each partition's duplicates
+    before the single shuffle; top-k is TakeOrderedAndProject (no global
+    sort materialization)."""
+    return (
+        df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(k)
+    )

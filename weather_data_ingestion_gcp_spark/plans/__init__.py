@@ -9,3 +9,4 @@ from .registry import ORACLE, QUERIES, load_table, register  # noqa: F401
 from . import core  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
+from . import datapipe  # noqa: F401,E402

@@ -1,0 +1,253 @@
+"""Dataset-curation queries: deterministic sampling, splits, text
+normalization, PII scrubbing, n-gram stats, and multi-dimensional dataset
+summaries — the batch surface a 100 TB training-data pipeline runs between
+ingest and tokenization (SURVEY.md §2.8 north-star extensions).
+
+Parity notes: sampling/splits hash with md5 and convert hex to integers
+via a position-arithmetic expression both engines evaluate identically
+(DuckDB 1.0 has no hex->int cast); regex character classes are ASCII-only
+so Java regex (Spark) and RE2 (DuckDB) agree; DuckDB ``regexp_replace``
+needs the explicit ``'g'`` flag to match Spark's global-replace default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sampling, text
+from .registry import load_table, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _sql_hex4_to_int(key_sql: str) -> str:
+    """DuckDB expression: first 4 hex chars of md5(key) as an integer —
+    mirrors sampling.hash_bucket's F.conv(substring(md5(key),1,4),16,10)."""
+    digit = (
+        "(strpos('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), {i}, 1)) - 1)"
+    )
+    terms = [
+        f"{digit.format(k=key_sql, i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bernoulli sample — a pure filter (no shuffle, no RNG): the
+# sampling decision is a function of the row key, so retries, engine swaps,
+# and repartitions all produce the identical sample.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_sql_hex4_to_int('doc_id')} % 100 < 10
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.bernoulli_hash_sample(d, "doc_id", fraction_pct=10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified per-group quota: at most 20 docs per language, hash-ordered.
+# WindowGroupLimit stops ranking past the quota instead of sorting whole
+# strata — the shape that survives a 1000-executor scale-up.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_stratified_quota",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 20
+    ORDER BY lang, rn
+    """,
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    order = F.md5(F.col("doc_id").cast("string"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(order, "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-keyed train/test/holdout split: membership is a function of doc_id
+# alone, so re-ingestion never leaks a document across splits.
+# ---------------------------------------------------------------------------
+@register(
+    "train_test_split_stats",
+    oracle=f"""
+    SELECT CASE WHEN b < 10 THEN 'test' WHEN b < 15 THEN 'holdout'
+                ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 2)   AS avg_chars
+    FROM (SELECT n_chars, {_sql_hex4_to_int('doc_id')} % 100 AS b
+          FROM documents)
+    GROUP BY split ORDER BY split
+    """,
+)
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.train_test_split(d, "doc_id", test_pct=10, holdout_pct=5)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical text normalization — lowercase, strip punctuation, collapse
+# whitespace. Map-only stage, whole-stage codegen end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "text_normalize_clean",
+    oracle=r"""
+    SELECT doc_id,
+           substring(norm, 1, 40)     AS prefix40,
+           CAST(length(norm) AS BIGINT) AS n_clean_chars
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    norm = text.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.substring(norm, 1, 40).alias("prefix40"),
+        F.length(norm).cast("long").alias("n_clean_chars"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub. The corpus is synthetic word-soup with no PII, so the query
+# injects deterministic email/phone spans into every third document first —
+# both engines inject identically, then scrub identically, making the
+# replacement counts a real assertion rather than a vacuous zero.
+# ---------------------------------------------------------------------------
+_PII_INJECT_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-123-4567'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+@register(
+    "pii_scrub_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}'))
+              + len(regexp_extract_all(text, '\b\d{{3}}[-.]\d{{3,4}}[-.]?\d{{0,4}}\b'))
+              + len(regexp_extract_all(text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b')) AS BIGINT) AS n_pii,
+           CAST(length(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g'),
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+                   '\b\d{{3}}[-.]\d{{3,4}}[-.]?\d{{0,4}}\b', '<PHONE>', 'g')
+           ) AS BIGINT) AS len_scrubbed
+    FROM ({_PII_INJECT_SQL})
+    ORDER BY doc_id
+    """,
+)
+def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        text.scrub_pii(d, "text")
+        .select(
+            "doc_id",
+            "n_pii",
+            F.length("scrubbed").cast("long").alias("len_scrubbed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide top-k bigrams — the n-gram LM / contamination-check staple.
+# explode -> partial+final count -> TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_bigram_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+        FROM toks WHERE len(ts) >= 2)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text.bigram_counts(d, "text", k=50)
+
+
+# ---------------------------------------------------------------------------
+# Dataset composition summary over CUBE(lang, source) — every marginal in
+# one pass (Spark expands grouping sets before the single shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "cube_lang_source_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+           ROUND(AVG(n_chars), 2)        AS avg_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def cube_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
