@@ -1,0 +1,78 @@
+"""Stream-stream interval join: correctness of the attribution window and
+the bounded-state contract (watermarks on both sides)."""
+
+from __future__ import annotations
+
+import json
+
+from weather_data_ingestion_gcp_spark.streaming.joins import clicks_within
+
+IMP_SCHEMA = "ad_id BIGINT, imp_ts TIMESTAMP"
+CLK_SCHEMA = "ad_id BIGINT, click_ts TIMESTAMP"
+
+
+def _land(tmp_path, sub: str, name: str, rows: list[dict]) -> None:
+    p = tmp_path / sub / name
+    p.parent.mkdir(exist_ok=True, parents=True)
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def test_stream_stream_interval_join_attributes_clicks(spark, tmp_path):
+    _land(
+        tmp_path,
+        "imp",
+        "i1.json",
+        [
+            {"ad_id": 1, "imp_ts": "2024-01-01 10:00:00"},
+            {"ad_id": 2, "imp_ts": "2024-01-01 10:00:00"},
+            {"ad_id": 1, "imp_ts": "2024-01-01 11:00:00"},
+        ],
+    )
+    _land(
+        tmp_path,
+        "clk",
+        "c1.json",
+        [
+            {"ad_id": 1, "click_ts": "2024-01-01 10:04:00"},  # within 10m of 10:00 imp
+            {"ad_id": 1, "click_ts": "2024-01-01 10:30:00"},  # inside no window
+            {"ad_id": 2, "click_ts": "2024-01-01 10:09:59"},  # boundary: kept
+            {"ad_id": 2, "click_ts": "2024-01-01 10:10:01"},  # past window: dropped
+            {"ad_id": 1, "click_ts": "2024-01-01 11:05:00"},  # matches 11:00 imp only
+            {"ad_id": 3, "click_ts": "2024-01-01 10:01:00"},  # no impression
+        ],
+    )
+    imp = spark.readStream.schema(IMP_SCHEMA).json(str(tmp_path / "imp"))
+    clk = spark.readStream.schema(CLK_SCHEMA).json(str(tmp_path / "clk"))
+    q = (
+        clicks_within(imp, clk)
+        .writeStream.format("memory")
+        .queryName("attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.ad_id, str(r.imp_ts), str(r.click_ts), r.lag_us)
+        for r in spark.sql("SELECT * FROM attr").collect()
+    )
+    assert got == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:04:00", 240_000_000),
+        (1, "2024-01-01 11:00:00", "2024-01-01 11:05:00", 300_000_000),
+        (2, "2024-01-01 10:00:00", "2024-01-01 10:09:59", 599_000_000),
+    ]
+
+
+def test_interval_join_same_semantics_in_batch(spark):
+    """The operator is mode-agnostic: the identical call on batch frames
+    gives the identical result (streams only add state management)."""
+    imp = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "ad_id bigint, imp_ts string"
+    ).selectExpr("ad_id", "CAST(imp_ts AS TIMESTAMP) imp_ts")
+    clk = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00"), (1, "2024-01-01 10:20:00")],
+        "ad_id bigint, click_ts string",
+    ).selectExpr("ad_id", "CAST(click_ts AS TIMESTAMP) click_ts")
+    rows = clicks_within(imp, clk).collect()
+    assert len(rows) == 1 and rows[0].lag_us == 300_000_000

@@ -481,6 +481,44 @@ def asof_join_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_views_clicks",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS imp_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    ORDER BY user_id, imp_id, click_id
+    """,
+)
+def interval_join_views_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream attribution join (streaming/joins.clicks_within)
+    run in batch mode: every click within 5 minutes after a view by the
+    same user (6 h window). Same operator object as the streaming path — watermarks are
+    a no-op on batch frames — so the oracle checks the streaming join's
+    condition logic exactly."""
+    from ..streaming.joins import clicks_within
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("imp_id"), F.col("ts").alias("imp_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    out = clicks_within(
+        views, clicks, key="user_id", imp_ts="imp_ts", click_ts="click_ts",
+        within="6 hours",
+    )
+    return out.select("user_id", "imp_id", "click_id", "lag_us").orderBy(
+        "user_id", "imp_id", "click_id"
+    )
+
+
+@register(
     "range_join_price_bands",
     oracle="""
     SELECT p.p_partkey, c.c_custkey, p.p_retailprice, c.c_acctbal
