@@ -488,3 +488,143 @@ def window_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev") - F.coalesce(F.lag("rev").over(w), F.lit(0)), 2).alias("delta_rev"),
         F.round(F.avg("rev").over(ma), 2).alias("ma7_rev"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# q11 (shape): "important stock" — two-level aggregate with a scalar-average
+# threshold. partsupp is absent, so part value comes from lineitem revenue;
+# the plan shape is the point: one fact shuffle on l_partkey, the global
+# average as a broadcast 1-row join (never a driver collect), threshold
+# relative to AVG so it is scale-free across SFs.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS val
+        FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, ROUND(val, 2) AS part_value
+    FROM v WHERE val > 1.6 * (SELECT AVG(val) FROM v)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+    )
+    avg = vals.agg(F.avg("val").alias("_avg"))
+    return (
+        vals.join(F.broadcast(avg))
+        .filter(F.col("val") > 1.6 * F.col("_avg"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 (shape): "potential part promotion" — HAVING-qualified aggregate
+# feeding a left-semi join up to the dimension. partsupp's availqty is
+# absent, so the qualifier is shipped quantity per (supplier, part) of
+# 'small%' parts in 1996. part filter broadcasts into the fact scan; the
+# semi join carries only s_suppkey (bytes-minimal shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
+        GROUP BY 1, 2 HAVING SUM(l.l_quantity) > 50)
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped)
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 (shape): "suppliers who kept orders waiting" — the classic double
+# correlated EXISTS / NOT EXISTS over the fact table, decorrelated to
+# per-order window aggregates: a line is late if it shipped >60 days after
+# the order date; a late line counts iff its order has another supplier
+# (EXISTS) and no OTHER late supplier (NOT EXISTS) — i.e.
+# distinct-suppliers > 1 and distinct-late-suppliers == 1, computed as
+# collect_set sizes over ONE window partitioned by l_orderkey. The fact
+# table shuffles exactly once (the window exchange); a groupBy-based
+# decorrelation would re-shuffle the line-grain subtree two more times.
+# l_commitdate/l_receiptdate are absent so lateness is shipdate-vs-orderdate.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey  = l1.l_suppkey
+    WHERE CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    flags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (_date("l_shipdate") > F.date_add(_date("o_orderdate"), 60)).alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualifying = flags.select(
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    ).filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        qualifying.join(F.broadcast(s), qualifying.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
