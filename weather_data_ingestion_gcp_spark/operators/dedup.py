@@ -71,7 +71,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame
     if n == 1:
         sh = F.array_distinct(words)
     else:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+        # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), which would
+        # index past the array on docs shorter than n tokens
+        idx = F.when(
+            F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+        ).otherwise(F.expr("array()").cast("array<int>"))
         sh = F.array_distinct(
             F.transform(
                 idx,

@@ -28,6 +28,18 @@ _SQL_TOKENS = r"""
     WHERE w <> ''
 """
 
+# DuckDB fragment: distinct word-3-gram shingles, one row per (doc_id, shingle) —
+# mirrors operators.dedup.shingles(n=3).
+_SQL_SHINGLES3 = r"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+              FROM documents))
+"""
+
 
 # ---------------------------------------------------------------------------
 # Dedup family
@@ -47,7 +59,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=rf"""
-    WITH sh AS (SELECT DISTINCT doc_id, token AS shingle FROM ({_SQL_TOKENS})),
+    WITH sh AS ({_SQL_SHINGLES3}),
     sig AS (
         SELECT doc_id, s.seed,
                MIN(md5(shingle || '|' || CAST(s.seed AS VARCHAR))) AS minhash
@@ -82,13 +94,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram shingles (the standard near-dup granularity: unigram
+    shingles on a small vocabulary collide almost every document pair —
+    measured 9.5M LSH candidates at sf0.1 — while trigrams keep candidate
+    counts proportional to true overlap). Unigram + bucket-cap skew control
+    remains as dedup_minhash_lsh_capped."""
     d = load_table(spark, sf_dir, "documents")
     out = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=1, threshold=0.5
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
     )
-    # no ORDER BY: the output is millions of pairs on vocabulary-degenerate
-    # corpora and the driver compare is order-insensitive — a full sort here
-    # is a pure waste of a range-partition shuffle
+    # no ORDER BY: the driver compare is order-insensitive — a full sort
+    # here is a pure waste of a range-partition shuffle
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
