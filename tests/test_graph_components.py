@@ -1,0 +1,51 @@
+"""Connected components: cliques, chains, isolated nodes, convergence."""
+
+from __future__ import annotations
+
+from weather_data_ingestion_gcp_spark.operators.graph import (
+    connected_components,
+    dedup_cluster_stats,
+)
+
+
+def _cc(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id BIGINT")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs] or [(None, None)], "id_a BIGINT, id_b BIGINT"
+    )
+    if not edge_pairs:
+        edges = edges.filter("id_a IS NOT NULL")
+    out = connected_components(nodes, edges)
+    return {r.doc_id: r.component for r in out.collect()}
+
+
+def test_cliques_chain_and_isolated(spark):
+    # clique {1,2,3}, chain 10-11-12-13 (diameter > 1), isolated 99
+    got = _cc(
+        spark,
+        [1, 2, 3, 10, 11, 12, 13, 99],
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13)],
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+
+
+def test_no_edges_every_node_its_own_component(spark):
+    got = _cc(spark, [5, 6, 7], [])
+    assert got == {5: 5, 6: 6, 7: 7}
+
+
+def test_edge_direction_is_irrelevant(spark):
+    # min id on the "dst" side both ways
+    assert _cc(spark, [1, 2], [(2, 1)]) == {1: 1, 2: 1}
+    assert _cc(spark, [1, 2], [(1, 2)]) == {1: 1, 2: 1}
+
+
+def test_cluster_stats(spark):
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], "doc_id BIGINT")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a BIGINT, id_b BIGINT")
+    comp = connected_components(nodes, edges)
+    stats = {
+        r.component: (r.n_members, r.keep_id)
+        for r in dedup_cluster_stats(comp).collect()
+    }
+    assert stats == {1: (3, 1), 9: (1, 9)}

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, graph, multimodal, similarity, text
 from .registry import load_table, register
 
 # DuckDB fragment: distinct lowercase whitespace tokens, one row per (doc_id, token).
@@ -106,6 +106,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no ORDER BY: the driver compare is order-insensitive — a full sort
     # here is a pure waste of a range-partition shuffle
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES3}),
+    sig AS (
+        SELECT doc_id, s.seed,
+               MIN(md5(shingle || '|' || CAST(s.seed AS VARCHAR))) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(CAST(seed // 2 AS VARCHAR) || '|' ||
+                   string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+        FROM sig GROUP BY doc_id, band
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY p.id_a, p.id_b
+    ),
+    good AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM good
+              UNION SELECT id_b, id_a FROM good),
+    reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, MIN(b) AS component
+    FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: iterative min-label propagation over the verified
+    near-dup pairs (operators.graph.connected_components). The oracle is the
+    same fixpoint expressed as a recursive-CTE transitive closure — feasible
+    at oracle scale, while the Spark side's per-round shuffle join is the
+    form that survives 100 TB (state is (node, label) rows, never a
+    transitive closure materialization)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+    comp = graph.connected_components(
+        d.select("doc_id"), pairs.select("id_a", "id_b")
+    )
+    return comp.orderBy("doc_id")
 
 
 @register(
