@@ -150,3 +150,27 @@ def test_no_python_udfs_in_core_plans(spark, name):
     plan = _formatted(QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q21_single_fact_shuffle(spark):
+    """The window-based EXISTS/NOT-EXISTS decorrelation must keep the fact
+    table at ONE hash exchange (the l_orderkey window) plus the final
+    tiny s_name aggregate — the groupBy formulation re-shuffles the
+    line-grain subtree three times."""
+    plan = _plan(QUERIES["tpch_q21_waiting_suppliers"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_broadcast_not_collect(spark):
+    """The scalar AVG threshold joins as a broadcast 1-row relation —
+    never a driver-side collect feeding a literal."""
+    plan = _formatted(QUERIES["tpch_q11_important_parts"](spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_qualifier_is_semi_join(spark):
+    plan = _formatted(QUERIES["tpch_q20_potential_promotion"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
