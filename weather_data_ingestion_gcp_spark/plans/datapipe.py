@@ -251,3 +251,117 @@ def cube_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full curation pipeline as ONE composed query — quality
+# filter -> dedup-cluster representative keep -> deterministic hash sample
+# -> composition summary. Each stage is an operator already verified in
+# isolation; this entry verifies the COMPOSITION end-to-end against a
+# single oracle (the real guarantee a pipeline user needs). All filters are
+# integer-exact across engines (token counts, stopword hits, md5 buckets,
+# min-id cluster representatives) — no float-boundary membership anywhere.
+# Scale shape: quality features are map-side expressions; clustering is the
+# iterative pair graph (tiny relative to the corpus); the sample is a pure
+# filter; the summary is one map-side-combining aggregate.
+# ---------------------------------------------------------------------------
+def _curation_oracle() -> str:
+    from .llm_ops import _SQL_SHINGLES3, _SQL_TOKENS, _sql_stoplist
+
+    return rf"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES3}),
+    sig AS (
+        SELECT doc_id, s.seed,
+               MIN(md5(shingle || '|' || CAST(s.seed AS VARCHAR))) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(CAST(seed // 2 AS VARCHAR) || '|' ||
+                   string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+        FROM sig GROUP BY doc_id, band
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY p.id_a, p.id_b
+    ),
+    good AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM good
+              UNION SELECT id_b, id_a FROM good),
+    reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    toks AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               SUM(CASE WHEN token IN ({_sql_stoplist('en')}) THEN 1 ELSE 0 END) AS sw_hits
+        FROM ({_SQL_TOKENS}) GROUP BY doc_id
+    ),
+    keep AS (
+        SELECT d.doc_id, d.lang, d.source, t.n_words
+        FROM documents d
+        JOIN toks t ON t.doc_id = d.doc_id
+        JOIN comp c ON c.doc_id = d.doc_id
+        WHERE t.n_words >= 30 AND t.sw_hits >= 1
+          AND d.doc_id = c.component
+          AND {_sql_hex4_to_int('d.doc_id')} % 100 < 50
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           ROUND(AVG(n_words), 2)       AS avg_words
+    FROM keep GROUP BY lang, source ORDER BY lang, source
+    """
+
+
+@register("curation_pipeline_keep", oracle=_curation_oracle())
+def curation_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup, graph
+
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_features(d, "text").select(
+        "doc_id", "n_words", "stopword_ratio"
+    )
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+    comp = graph.connected_components(
+        d.select("doc_id"), pairs.select("id_a", "id_b")
+    )
+    keep = (
+        d.join(q, "doc_id")
+        .join(comp, "doc_id")
+        .filter(
+            (F.col("n_words") >= 30)
+            & (F.col("stopword_ratio") > 0)  # == sw_hits >= 1, integer-exact
+            & (F.col("doc_id") == F.col("component"))
+        )
+    )
+    sampled = sampling.bernoulli_hash_sample(keep, "doc_id", fraction_pct=50)
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.round(F.avg("n_words"), 2).alias("avg_words"),
+        )
+        .orderBy("lang", "source")
+    )
