@@ -104,3 +104,43 @@ def test_exact_dedup_group_sizes_sum_to_input(spark, texts):
     for g in groups:
         ids = [i for i, t in enumerate(texts) if t == texts[g.keep_id]]
         assert g.keep_id == min(ids)
+
+
+@given(
+    n_nodes=st.integers(1, 12),
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=0, max_size=16
+    ),
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, n_nodes, edges):
+    from weather_data_ingestion_gcp_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes and a != b]
+
+    # trivially correct reference: union-find with min-id representatives
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in range(n_nodes)}
+
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id BIGINT")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "id_a BIGINT, id_b BIGINT"
+    )
+    if not edges:
+        edges_df = edges_df.filter("id_a <> id_a")
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == expected
