@@ -66,25 +66,35 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame
 
     Row-per-shingle (vs array column) keeps downstream joins/aggregations
     JVM-native and lets Spark redistribute shingle skew across partitions.
+
+    The tokenization is materialized in its own projection BEFORE the
+    n-gram transform: the lambda references the split result ~3n times per
+    shingle, and CollapseProject declines to inline a non-cheap aliased
+    expression with multiple references — without the barrier the regex
+    split re-evaluates per element_at (measured 12.5s -> ~1s for 260k
+    shingles at sf0.1).
     """
-    words = _words(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
     if n == 1:
-        sh = F.array_distinct(words)
+        sh = F.array_distinct(ws)
     else:
         # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), which would
         # index past the array on docs shorter than n tokens
         idx = F.when(
-            F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+            F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
         ).otherwise(F.expr("array()").cast("array<int>"))
         sh = F.array_distinct(
             F.transform(
                 idx,
                 lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+                    " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(n)]
                 ),
             )
         )
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+    return base.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
