@@ -55,7 +55,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     score in [0,1] (monotone in "looks like prose")."""
     text = F.col(text_col)
     n_chars = F.length(text)
-    toks = words(text)
+    # materialized token projection: the features below reference the token
+    # array ~6 times, and an un-aliased words(text) would re-run the regex
+    # split per reference (see operators.dedup.shingles)
+    df = df.select("*", words(text).alias("_ws"))
+    toks = F.col("_ws")
     n_words = F.size(toks)
     avg_word_len = (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1))
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
@@ -75,7 +79,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_punct.alias("n_punct"),
         F.round(sw_ratio, 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality_score"),
-    )
+    ).drop("_ws")
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -168,11 +172,14 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bigrams(text: Column) -> Column:
+def bigrams(text: Column, tokenized: bool = False) -> Column:
     """Adjacent-token bigrams as an array column — built-in ``transform``
     over an index sequence; no explode until the caller asks for one, so
-    the array stays columnar through intermediate stages."""
-    toks = words(text)
+    the array stays columnar through intermediate stages.
+
+    Pass ``tokenized=True`` when ``text`` is already a token array (ideally
+    a materialized column — see bigram_counts for why that matters)."""
+    toks = text if tokenized else words(text)
     return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 2),
@@ -185,9 +192,15 @@ def bigram_counts(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFra
     """Corpus-wide top-k bigram frequencies. explode -> partial+final
     count: the map-side combine collapses each partition's duplicates
     before the single shuffle; top-k is TakeOrderedAndProject (no global
-    sort materialization)."""
+    sort materialization).
+
+    Tokenization is materialized in its own projection first — the bigram
+    lambda references the token array twice per element, and without the
+    barrier the regex split re-evaluates per element_at (the same
+    CollapseProject behavior documented in operators.dedup.shingles)."""
+    base = df.select(words(F.col(text_col)).alias("_ws"))
     return (
-        df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+        base.select(F.explode(bigrams(F.col("_ws"), tokenized=True)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bigram")
