@@ -2,8 +2,11 @@
 
 from __future__ import annotations
 
+import random
+
 from weather_data_ingestion_gcp_spark.operators.graph import (
     connected_components,
+    connected_components_star,
     dedup_cluster_stats,
 )
 
@@ -38,6 +41,54 @@ def test_edge_direction_is_irrelevant(spark):
     # min id on the "dst" side both ways
     assert _cc(spark, [1, 2], [(2, 1)]) == {1: 1, 2: 1}
     assert _cc(spark, [1, 2], [(1, 2)]) == {1: 1, 2: 1}
+
+
+def _cc_star(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id BIGINT")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs] or [(None, None)], "id_a BIGINT, id_b BIGINT"
+    )
+    if not edge_pairs:
+        edges = edges.filter("id_a IS NOT NULL")
+    out = connected_components_star(nodes, edges)
+    return {r.doc_id: r.component for r in out.collect()}
+
+
+def test_star_long_chain_and_isolated(spark):
+    # A 16-node path is the adversarial case for label propagation
+    # (O(diameter) rounds); star contraction must still resolve it, and in
+    # far fewer than diameter rounds (max_iter=8 would already suffice —
+    # the default 50 just guards the fixpoint check).
+    n = 16
+    got = _cc_star(
+        spark, list(range(n)) + [99], [(i, i + 1) for i in range(n - 1)]
+    )
+    assert got == {**{i: 0 for i in range(n)}, 99: 99}
+
+
+def test_star_matches_label_propagation_on_random_graph(spark):
+    rng = random.Random(7)
+    n = 30
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id BIGINT")
+    edges_df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    lp = {
+        r.doc_id: r.component
+        for r in connected_components(nodes, edges_df).collect()
+    }
+    star = {
+        r.doc_id: r.component
+        for r in connected_components_star(nodes, edges_df).collect()
+    }
+    assert star == lp
+
+
+def test_star_no_edges_and_direction_irrelevant(spark):
+    assert _cc_star(spark, [5, 6, 7], []) == {5: 5, 6: 6, 7: 7}
+    assert _cc_star(spark, [1, 2], [(2, 1)]) == {1: 1, 2: 1}
 
 
 def test_cluster_stats(spark):

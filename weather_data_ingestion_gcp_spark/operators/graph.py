@@ -86,6 +86,108 @@ def connected_components(
         sym.unpersist()
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node strictly larger than u is re-linked
+    to u's minimum neighborhood member (including u itself).
+
+    Emits (v, m) for each v in N(u) with v > u, where m = min(N(u) + {u}).
+    Since m <= u < v, every emitted edge points strictly downward — the edge
+    list stays canonical (u > v) with no self-loops by construction.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge (max, min); each node links
+    its not-larger neighbors (and itself) to the minimum of that set.
+
+    Emits (v, m) for v in N-(u) + {u} minus {m}, m = min(N-(u)); output
+    edges again satisfy u > v.
+    """
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    relink = (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    self_link = mins.select("u", F.col("mn").alias("v"))
+    return relink.union(self_link).distinct()
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Same contract as :func:`connected_components` — every node labeled with
+    its component's minimum id — but chains CONTRACT geometrically: each
+    large-star+small-star round roughly halves path lengths, so convergence
+    is O(log n) rounds regardless of graph diameter. This is the scale
+    fallback for adversarial graphs (long chains, high-diameter meshes)
+    where min-label propagation's O(diameter) rounds would dominate; for
+    dedup-shaped graphs (tiny cliques) label propagation's cheaper rounds
+    win. Both are shuffle-per-round on the edge list; no data touches the
+    driver except a two-scalar convergence fingerprint per round.
+    """
+    # Each round references the previous edge set ~16 times (two symmetric
+    # self-joins per star phase), so plans nest EXPONENTIALLY if lineage is
+    # kept — persist() alone does not truncate the logical plan and the
+    # driver OOMs planning round ~5. localCheckpoint (eager) cuts lineage to
+    # a materialized-RDD leaf each round; its blocks are MEMORY_AND_DISK and
+    # reclaimed by the ContextCleaner as old rounds go out of scope.
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        # Lazy checkpoint: the logical plan is truncated to an RDD leaf
+        # immediately, and the fingerprint action below is the single job
+        # that both materializes this round and tests convergence.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # Convergence = edge set is a fixpoint. (count, xor-of-hash) is an
+        # order-insensitive fingerprint over the distinct edge set: one
+        # aggregate action, two scalars; xor cannot overflow under ANSI.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        fp = (row["n"], row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # At the fixpoint every edge is (member, component-min): label nodes
+    # by their unique downward link; isolated nodes label themselves.
+    labels = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(labels.withColumnRenamed("u", id_col), id_col, "left")
+        .select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
+    )
+
+
 def dedup_cluster_stats(components: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Cluster summary: representative (the component min id), member count.
     Single map-side-combining aggregate on the component label."""

@@ -173,6 +173,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_star",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY lang, source) AS component
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. SoCC'14, operators.graph.connected_components_star) on an
+    ADVERSARIAL graph: each (lang, source) group is linked into one long
+    chain (consecutive doc_ids), so diameters are ~n/100 — the regime where
+    min-label propagation needs O(diameter) shuffle rounds but star
+    contraction halves chain lengths every round (O(log n) rounds; ~7 at
+    sf0.1). A chain over a group connects exactly that group, so the
+    expected labeling has the closed form `min(doc_id) per group` — the
+    oracle states that directly, independent of any iterative computation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    edges = (
+        d.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+    )
+    comp = graph.connected_components_star(
+        d.select("doc_id"), edges, src_col="doc_id", dst_col="prev"
+    )
+    return comp.orderBy("doc_id")
+
+
+@register(
     "dedup_minhash_lsh_capped",
     oracle=rf"""
     WITH sh AS (SELECT DISTINCT doc_id, token AS shingle FROM ({_SQL_TOKENS})),
