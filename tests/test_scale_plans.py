@@ -174,3 +174,45 @@ def test_q20_qualifier_is_semi_join(spark):
     plan = _formatted(QUERIES["tpch_q20_potential_promotion"](spark, SF))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Fact-fact joins (too big to broadcast) get runtime row-level
+    filtering: the selective build side injects a bloom filter that the
+    probe-side scan applies BEFORE the shuffle (`might_contain` on the
+    join key), so unmatched fact rows never pay exchange bytes. The size
+    thresholds are cluster-scale defaults (probe scan >= 10 GB), so this
+    test lowers them to fire at test SF; the plan shape is what's pinned.
+    """
+    from weather_data_ingestion_gcp_spark.plans.registry import load_table
+
+    overrides = {
+        # force the shuffle-join regime the filter exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000)
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = _formatted(j)
+        assert "might_contain" in plan, plan
+        # and the result is still correct under the injected filter
+        assert j.count() <= 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -32,6 +32,15 @@ SCALE_CONFS: dict[str, str] = {
     # (region/nation/customer/supplier/part at any SF that matters) stays a
     # broadcast-hash join; only fact-fact joins shuffle.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime row-level filtering for the joins that DO shuffle: a selective
+    # non-broadcast build side injects a bloom filter into the probe-side
+    # scan (`might_contain` pre-filter), cutting shuffled fact bytes before
+    # the exchange. Default-on in Spark 3.3+; pinned here because it is a
+    # load-bearing part of the 100 TB fact-fact join story. The size
+    # thresholds (creation side <= 10 MB compressed, probe scan >= 10 GB)
+    # are cluster-scale numbers and deliberately left at their defaults —
+    # tests that pin the injected plan shape lower them explicitly.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
