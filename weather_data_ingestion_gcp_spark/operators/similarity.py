@@ -34,6 +34,10 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(v: Column) -> Column:
+    return F.sqrt(_dot(v, v))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -44,15 +48,28 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
     Broadcast the query side: the corpus-side scan stays shuffle-free and
-    the only exchange is the final per-query top-k.
+    the only exchange is the final per-query top-k. Norms are computed ONCE
+    per vector before the pair blowup, so each of the |Q|x|C| pairs costs
+    one array fold (the dot product), not three. `dot/(norm_a*norm_b)` is
+    the same floating-point expression tree as inline cosine — results are
+    bitwise identical (and stay bitwise-comparable to the DuckDB oracle).
     """
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim"))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_nrm"),
+    )
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        (_dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("n_id"))
     return (
@@ -79,9 +96,55 @@ def kmeans_assign(
     small centroid tables — the corpus-side work is Catalyst-planned each
     round. Seeds: the k lowest-id vectors (deterministic, no RNG).
     """
-    vecs = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    # Lazy localCheckpoint: materialized once on the first action, reused by
+    # every iteration's assignment pass (ids + casts + norms are computed a
+    # single time); blocks are reclaimed by the ContextCleaner when the
+    # returned DataFrame is dropped. An explicit unpersist here would fire
+    # before the caller ever runs an action (everything below is lazy).
+    vecs = (
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .withColumn("_nrm", _norm(F.col("_v")))
+        .localCheckpoint(eager=False)
     )
+
+    def _assign(cent_row: DataFrame) -> DataFrame:
+        """Nearest centroid per vector with NO shuffle and NO xk row blowup:
+        the k centroids collapse to a single broadcast row holding an array
+        of (cluster, centroid, norm) structs; each vector picks argmax-sim
+        in-row via transform + array_max on (sim, -cluster) — struct
+        ordering gives highest sim, ties to the LOWEST cluster id (matching
+        the previous window orderBy(desc sim, cluster) semantics)."""
+        return vecs.crossJoin(F.broadcast(cent_row)).select(
+            "_id",
+            "_v",
+            "_nrm",
+            (
+                -F.array_max(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            (
+                                _dot(F.col("_v"), c.getField("centroid"))
+                                / (F.col("_nrm") * c.getField("cnrm"))
+                            ).alias("sim"),
+                            (-c.getField("cluster")).alias("neg_cluster"),
+                        ),
+                    )
+                ).getField("neg_cluster")
+            ).alias("cluster"),
+        )
+
+    def _to_row(centroids: DataFrame) -> DataFrame:
+        return centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("cluster", "centroid", _norm(F.col("centroid")).alias("cnrm"))
+                )
+            ).alias("cents")
+        )
+
     from pyspark.sql.window import Window
 
     centroids = (
@@ -90,14 +153,9 @@ def kmeans_assign(
         .withColumn("cluster", F.row_number().over(Window.orderBy(F.col("centroid")[0])) - 1)
     )
     for _ in range(max_iter):
-        w = Window.partitionBy("_id").orderBy(F.desc("sim"), F.col("cluster"))
-        assigned = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .select("_id", "_v", "cluster", cosine(F.col("_v"), F.col("centroid")).alias("sim"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("_id", "_v", "cluster")
-        )
+        assigned = _assign(_to_row(centroids))
+        # New centroids: element-wise mean via posexplode partial agg —
+        # scale-safe (never collects a cluster's vectors into one list).
         centroids = (
             assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -105,14 +163,10 @@ def kmeans_assign(
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+            .localCheckpoint(eager=False)  # truncate per-iteration lineage
         )
-    w = Window.partitionBy("_id").orderBy(F.desc("sim"), F.col("cluster"))
-    return (
-        vecs.crossJoin(F.broadcast(centroids))
-        .select("_id", cosine(F.col("_v"), F.col("centroid")).alias("sim"), "cluster")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(F.col("_id").alias(id_col), F.col("cluster").alias("kmeans_cluster"))
+    return _assign(_to_row(centroids)).select(
+        F.col("_id").alias(id_col), F.col("cluster").alias("kmeans_cluster")
     )
 
 
@@ -144,24 +198,41 @@ def ivf_topk(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
     )
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
+    )
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.col("cluster"))
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .select("q_id", "q_vec", "cluster", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"))
+        .select(
+            "q_id", "q_vec", "q_nrm", "cluster",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"),
+        )
         .withColumn("prk", F.row_number().over(probe_w))
         .filter(F.col("prk") <= nprobe)
-        .select("q_id", "q_vec", "cluster")
+        .select("q_id", "q_vec", "q_nrm", "cluster")
     )
+    # Per-vector norms computed BEFORE the candidate blowup: each candidate
+    # pair costs one dot-product fold. dot/(norm*norm) is the identical
+    # floating-point expression tree as inline cosine (oracle-bitwise-safe).
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_nrm"),
         F.col(cluster_col).alias("cluster"),
     )
     scored = (
         c.join(F.broadcast(probes), "cluster")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim"))
+        .select(
+            "q_id",
+            "n_id",
+            (
+                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("n_id"))
     return (
