@@ -272,3 +272,26 @@ def test_hash_sampling_deterministic_and_partition_invariant(spark):
     q = sampling.stratified_quota(strat, "g", "k", quota=5)
     per = {r.g: r.n for r in q.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert all(v == 5 for v in per.values()) and len(per) == 7
+
+
+def test_kmv_estimate_close_to_exact(spark):
+    """KMV with k=64 has rsd ~ 1/sqrt(k-2) ~ 13%; assert the estimate is
+    within 3 sigma of the exact per-group distinct count."""
+    from weather_data_ingestion_gcp_spark.plans import QUERIES
+    from weather_data_ingestion_gcp_spark.plans.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r.event_type: r.est_users
+        for r in QUERIES["approx_distinct_kmv"](spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, n in exact.items():
+        assert abs(est[et] - n) <= max(0.4 * n, 3), (et, est[et], n)

@@ -1094,6 +1094,87 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV (k-minimum-values) distinct sketch: unlike HLL, fully deterministic
+# and engine-portable — both engines take the k smallest md5 fingerprints,
+# so the k-th minimum (and therefore the estimate) hash-matches EXACTLY.
+_KMV_K = 64
+#: 2^48 — 12 hex nibbles normalize to (0,1) with exact double representation
+_KMV_SPACE = float(1 << 48)
+
+
+def _sql_hex12_to_bigint(col: str) -> str:
+    """DuckDB: first 12 hex chars -> BIGINT via alphabet positions (DuckDB
+    1.0 has no hex->int cast; strpos arithmetic is portable and exact)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * "
+        f"CAST({16 ** (11 - i)} AS BIGINT)"
+        for i in range(12)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "approx_distinct_kmv",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, hh,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, MAX(hh) AS kth, COUNT(*) AS m
+        FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(CASE WHEN m < {_KMV_K} THEN CAST(m AS DOUBLE)
+                      ELSE ({_KMV_K} - 1.0)
+                           / (CAST({_sql_hex12_to_bigint('kth')} AS DOUBLE)
+                              / {_KMV_SPACE!r})
+                 END, 2) AS est_users
+    FROM sk ORDER BY event_type
+    """,
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via a KMV sketch: keep the
+    k smallest md5 fingerprints; estimate = (k-1)/u_k where u_k is the k-th
+    minimum normalized to (0,1). Deterministic md5 makes this the
+    oracle-checkable complement to approx_distinct_users (whose HLL sketch
+    is engine-specific, hence rows-only).
+
+    Scale shape: the rank window runs over the per-group DISTINCT
+    fingerprint relation (partial aggregation collapses duplicates before
+    the shuffle), never over raw events. At truly extreme cardinalities the
+    same sketch merges hierarchically (k-min of per-partition k-mins) —
+    KMV is a mergeable sketch; this form keeps the oracle expressible.
+    """
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    h = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("event_type", F.md5(F.col("user_id").cast("string")).alias("hh"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hh")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("hh").alias("kth"), F.count(F.lit(1)).alias("m"))
+    )
+    kth_val = F.conv(F.substring("kth", 1, 12), 16, 10).cast("bigint")
+    est = F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
+        F.lit(_KMV_K - 1.0) / (kth_val.cast("double") / F.lit(_KMV_SPACE))
+    )
+    return sk.select(
+        "event_type", F.round(est, 2).alias("est_users")
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Fuzzy string matching — levenshtein pairs inside blocks: the edit-distance
 # complement to the token-level dedup family.
