@@ -295,3 +295,25 @@ def test_kmv_estimate_close_to_exact(spark):
     assert set(est) == set(exact)
     for et, n in exact.items():
         assert abs(est[et] - n) <= max(0.4 * n, 3), (et, est[et], n)
+
+
+def test_rp_lsh_collides_near_identical_and_separates_clusters(spark):
+    # two well-separated clusters: near-identical vectors agree on every
+    # hyperplane sign, so they collide in all bands; cross-cluster top-1
+    # would be a miss
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + i * 0.01, 0.0, 1.0] + [0.0] * 61))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 10.0 + i * 0.01, 1.0] + [0.0] * 61))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.rp_lsh_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    neighbors = [r.n_id for r in out.collect()]
+    assert len(neighbors) >= 1 and all(n < 10 for n in neighbors)
+
+
+def test_hyperplanes_deterministic_and_bounded(spark):
+    W1 = similarity.hyperplanes(n_bits=4, dim=8)
+    W2 = similarity.hyperplanes(n_bits=4, dim=8)
+    assert W1 == W2
+    assert all(-1.0 <= x <= 1.0 for w in W1 for x in w)

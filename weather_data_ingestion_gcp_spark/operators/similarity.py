@@ -170,6 +170,119 @@ def kmeans_assign(
     )
 
 
+def hyperplanes(n_bits: int = 16, dim: int = 64, seed: str = "hp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH: component
+    (j, d) = md5("seed|j|d") first 12 hex nibbles, normalized to (-1, 1).
+
+    Derived driver-side with hashlib so the SAME float literals can be
+    embedded in both the Spark plan and a SQL oracle — cross-engine
+    bitwise-identical bucketing without sharing any RNG.
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}|{j}|{d}".encode()).hexdigest()[:12], 16)
+            / float(1 << 48)
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def random_hyperplane_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: str = "hp",
+) -> DataFrame:
+    """(id, band, bsig) rows: sign-LSH signature split into bands.
+
+    bit_j = [dot(v, w_j) > 0]; bands of ``band_bits`` bits bucket together
+    (two vectors collide in a band with probability (1 - theta/pi)^band_bits
+    — the random-projection analog of MinHash banding). All 16 dot folds
+    happen in ONE projection per row; the x4 band explode multiplies rows
+    only after signatures are computed.
+    """
+    W = hyperplanes(n_bits=n_bits, dim=dim, seed=seed)
+    v = F.col(vec_col)
+    bits = [
+        F.when(_dot(v, F.array(*[F.lit(x) for x in w])) > 0, 1).otherwise(0)
+        for w in W
+    ]
+    n_bands = n_bits // band_bits
+    band_sigs = []
+    for b in range(n_bands):
+        sig = F.lit(0)
+        for i in range(band_bits):
+            sig = sig * 2 + bits[b * band_bits + i]
+        band_sigs.append(sig)
+    return df.select(
+        F.col(id_col).alias("vec_id_"),
+        F.posexplode(F.array(*band_sigs)).alias("band", "bsig"),
+    ).select(F.col("vec_id_").alias(id_col), "band", "bsig")
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "hp",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (sign) LSH: candidates are
+    pairs sharing ANY signature band; exact cosine ranks them. The
+    candidate step is an equi-join on (band, bsig) — at scale the corpus is
+    bucketed by band signature so a query touches only colliding buckets,
+    the same access pattern as the MinHash-LSH dedup path.
+    """
+    cb = random_hyperplane_bands(corpus, id_col, vec_col, n_bits, band_bits, dim, seed)
+    qb = random_hyperplane_bands(queries, id_col, vec_col, n_bits, band_bits, dim, seed)
+    pairs = (
+        qb.withColumnRenamed(id_col, "q_id")
+        .join(F.broadcast(cb.withColumnRenamed(id_col, "n_id")), ["band", "bsig"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_nrm"),
+    )
+    scored = (
+        pairs.join(F.broadcast(q), "q_id")
+        .join(c, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            (
+                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rk")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -445,6 +445,72 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_lsh_oracle(k: int = 5, n_bits: int = 16, band_bits: int = 4) -> str:
+    """Oracle for the random-hyperplane LSH: the hyperplane floats are
+    generated by the SAME python helper that feeds the Spark plan, so both
+    engines bucket on bitwise-identical dot products."""
+    from ..operators.similarity import hyperplanes
+
+    W = hyperplanes(n_bits=n_bits, dim=64)
+
+    def lit(w: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in w) + "]"
+
+    def bit(j: int) -> str:
+        return f"(CASE WHEN list_dot_product(v, {lit(W[j])}) > 0 THEN 1 ELSE 0 END)"
+
+    n_bands = n_bits // band_bits
+    band_rows = []
+    for b in range(n_bands):
+        sig = "0"
+        for i in range(band_bits):
+            sig = f"({sig} * 2 + {bit(b * band_bits + i)})"
+        band_rows.append(f"SELECT vec_id, {b} AS band, {sig} AS bsig FROM e")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS ({bands_sql}),
+    qb AS (SELECT * FROM cb WHERE vec_id < 8),
+    pairs AS (
+        SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+        FROM qb JOIN cb ON qb.band = cb.band AND qb.bsig = cb.bsig
+        WHERE cb.vec_id <> qb.vec_id
+    ),
+    scored AS (
+        SELECT p.q_id, p.n_id,
+               list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+        FROM pairs p
+        JOIN e q ON q.vec_id = p.q_id
+        JOIN e n ON n.vec_id = p.n_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM scored
+    )
+    SELECT q_id, n_id, ROUND(cos, 6) AS cos_sim, rk
+    FROM ranked WHERE rk <= {k} ORDER BY q_id, rk
+    """
+
+
+@register("similarity_ann_rp_lsh", oracle=_rp_lsh_oracle())
+def similarity_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane sign-LSH (the LSH-bucketed scale path
+    alongside IVF): 16 deterministic hyperplanes -> 4 bands of 4 sign bits;
+    candidates share any band; exact cosine ranks candidates. Unlike the
+    IVF entries this one IS oracle-checked — the hyperplanes are md5-derived
+    float literals embedded identically in both engines' queries."""
+    from ..operators.similarity import rp_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = rp_lsh_topk(emb, queries, k=5)
+    return out.select(
+        "q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
+    ).orderBy("q_id", "rk")
+
+
 @register("similarity_ann_ivf")  # iterative/centroid-based: rows-only driver check
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
