@@ -216,3 +216,39 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_date_partitioned_layout_prunes_partitions_and_pushes_filters(spark, tmp_path):
+    """The 100 TB layout contract: facts land partitioned by date with
+    rows sorted by the hot filter key inside each file. A day+key query
+    must then (a) prune to the one date partition at PLANNING time
+    (PartitionFilters on the scan, other days' files never open) and
+    (b) push the key predicate into the parquet reader (PushedFilters,
+    row-group stats skip because the sort clustered the key).
+    """
+    from weather_data_ingestion_gcp_spark.plans.registry import load_table
+
+    path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    (
+        ev.repartition("event_date")
+        .sortWithinPartitions("user_id")
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    one_day = ev.select("event_date").distinct().orderBy("event_date").first()[0]
+    q = back.filter(
+        (F.col("event_date") == F.lit(one_day)) & (F.col("user_id") == 7)
+    ).select("event_id", "user_id")
+    plan = _formatted(q)
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:200]
+    # and the pruned scan still returns exactly the right rows
+    expected = ev.filter(
+        (F.col("event_date") == F.lit(one_day)) & (F.col("user_id") == 7)
+    ).count()
+    assert q.count() == expected
