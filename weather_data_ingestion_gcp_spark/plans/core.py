@@ -758,6 +758,114 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK()         OVER w                     AS rnk,
+           DENSE_RANK()   OVER w                     AS drnk,
+           CAST(NTILE(4)  OVER w AS BIGINT)          AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6)           AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6)           AS cdist,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS range_sum
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function family in one pass: both windows share the
+    o_custkey partitioning, so Catalyst plans ONE exchange; the second
+    Window node differs only in ordering/frame. RANGE frame with a value
+    offset exercises range-based (not row-count) frame evaluation.
+    percent_rank/cume_dist round at 6 dp (denominators are partition sizes
+    << 99 — boundary-free)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("range_sum"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+#: One SQL text, both engines, verbatim — the reference's interface is SQL
+#: strings handed to an engine (stored procedures), so the passthrough path
+#: is part of API parity. Restricted to the ANSI subset both parsers share.
+_SQL_PASSTHROUGH = """
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("sql_api_passthrough", oracle=_SQL_PASSTHROUGH)
+def sql_api_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`run_sql` entry point: the ORACLE STRING ITSELF is executed by Spark
+    (registry.register_views + spark.sql) — zero translation, proving the
+    SQL surface accepts the same text the oracle runs."""
+    from .registry import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_PASSTHROUGH)
+
+
+@register(
+    "datetime_function_breadth",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders WHERE o_orderkey < 3000)
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM d)                         AS y,
+           EXTRACT(QUARTER FROM d)                      AS q,
+           CAST(EXTRACT(DOW FROM d) + 1 AS BIGINT)      AS dow_sun1,
+           CAST(EXTRACT(WEEK FROM d) AS BIGINT)         AS iso_week,
+           d + 30                                       AS plus_30d,
+           CAST(d + INTERVAL 2 MONTH AS DATE)           AS plus_2mo,
+           last_day(d)                                  AS month_end,
+           CAST(date_trunc('quarter', d) AS DATE)       AS q_start,
+           CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT) AS days_since
+    FROM o ORDER BY o_orderkey
+    """,
+)
+def datetime_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar breadth beyond the reference's F3/F5/F6: extraction,
+    day-of-week (aligned: Spark dayofweek is 1=Sunday, DuckDB DOW is
+    0=Sunday), ISO week, date arithmetic, calendar-clamped month addition
+    (both engines clamp Jan 31 + 1 month to end of Feb), month/quarter
+    boundaries, and day differences against a pinned epoch (never
+    current_date — nondeterministic across engines, SURVEY §5)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.add_months(d, 2).alias("plus_2mo"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("q_start"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("long").alias("days_since"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "order_limit_topn",
     oracle="""
     SELECT o_orderkey, o_totalprice

@@ -59,3 +59,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Expose every driver table as a temp view so callers can speak raw
+    Spark SQL — the reference's own query interface is SQL (stored
+    procedures handed to BigQuery, Load-gcs-to-bq/main.py:86-92), so the
+    engine keeps a SQL-first entry point alongside the DataFrame API."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t + suffix)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register views, then run one ANSI-SQL query against them."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
