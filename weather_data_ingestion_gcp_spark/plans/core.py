@@ -1348,3 +1348,172 @@ def error_capture_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("message_type")
     )
+
+
+@register(
+    "string_function_breadth",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                                   AS up,
+           LOWER(p_brand)                                  AS lo,
+           CAST(LENGTH(p_name) AS BIGINT)                  AS len,
+           SUBSTRING(p_name, 3, 8)                         AS sub,
+           REPLACE(p_name, ' ', '_')                       AS repl,
+           SPLIT_PART(p_name, ' ', 2)                      AS word2,
+           CAST(STRPOS(p_name, 'al') AS BIGINT)            AS pos_al,
+           LPAD(p_brand, 12, '*')                          AS padded,
+           REVERSE(p_brand)                                AS rev,
+           TRANSLATE(p_name, 'aeiou', 'AEIOU')             AS vowels_up,
+           REPEAT(p_brand, 2)                              AS twice,
+           CAST(LEVENSHTEIN(p_brand, p_type) AS BIGINT)    AS lev,
+           CONCAT_WS('|', p_brand, p_type)                 AS joined,
+           CASE WHEN p_name LIKE '%al%' THEN 1 ELSE 0 END  AS has_al
+    FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+    """,
+)
+def string_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface beyond the reference's F6/P6-P8 (concat, regex
+    cleanup, stems): case mapping, substring/replace/split_part, 1-based
+    substring search (Spark instr == DuckDB strpos, 0 when absent), padding,
+    translate, Levenshtein distance, and separator-joined concat — the
+    string toolkit a curation pipeline leans on. Pure codegen projection:
+    one scan, filter pushed down, no shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    name, brand = F.col("p_name"), F.col("p_brand")
+    return p.select(
+        "p_partkey",
+        F.upper(name).alias("up"),
+        F.lower(brand).alias("lo"),
+        F.length(name).cast("long").alias("len"),
+        F.substring(name, 3, 8).alias("sub"),
+        F.replace(name, F.lit(" "), F.lit("_")).alias("repl"),
+        F.split_part(name, F.lit(" "), F.lit(2)).alias("word2"),
+        F.instr(name, "al").cast("long").alias("pos_al"),
+        F.lpad(brand, 12, "*").alias("padded"),
+        F.reverse(brand).alias("rev"),
+        F.translate(name, "aeiou", "AEIOU").alias("vowels_up"),
+        F.repeat(brand, 2).alias("twice"),
+        F.levenshtein(brand, F.col("p_type")).cast("long").alias("lev"),
+        F.concat_ws("|", brand, F.col("p_type")).alias("joined"),
+        F.when(name.like("%al%"), F.lit(1)).otherwise(F.lit(0)).alias("has_al"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "array_higher_order_breadth",
+    oracle="""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+               FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT)                                   AS n_tokens,
+           CAST(LEN(LIST_FILTER(toks, t -> LENGTH(t) > 5)) AS BIGINT)  AS long_tokens,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))), 0)
+                AS BIGINT)                                             AS total_chars,
+           LIST_SLICE(LIST_SORT(LIST_TRANSFORM(toks, t -> LOWER(t))), 1, 5)
+                                                                       AS first5_sorted,
+           CAST(LIST_CONTAINS(toks, 'the') AS INT)                     AS has_the
+    FROM d ORDER BY doc_id
+    """,
+)
+def array_higher_order_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — the lambda surface Catalyst evaluates
+    JVM-side with zero Python round-trips: transform / filter / aggregate
+    (fold) / array_sort / slice / array_contains over a tokenized document.
+    Single-space split agrees byte-for-byte between engines (both keep empty
+    strings on runs of spaces). The fold seeds 0L so empty arrays yield 0,
+    matching the COALESCE on the DuckDB side."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("long").alias("long_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias(
+            "total_chars"
+        ),
+        F.slice(F.array_sort(F.transform(toks, F.lower)), 1, 5).alias("first5_sorted"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "stats_aggregate_breadth",
+    oracle="""
+    WITH mu AS (SELECT l_returnflag AS flag, AVG(l_quantity) AS m
+                FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           ROUND(STDDEV_SAMP(l.l_quantity), 6)                    AS sd_samp,
+           ROUND(VAR_POP(l.l_quantity), 6)                        AS var_pop,
+           ROUND(CORR(l.l_quantity, l.l_extendedprice), 6)        AS qty_price_corr,
+           ROUND(COVAR_SAMP(l.l_quantity, l.l_extendedprice), 2)  AS qty_price_cov,
+           ROUND(REGR_SLOPE(l.l_extendedprice, l.l_quantity), 4)  AS price_per_qty,
+           ROUND(REGR_INTERCEPT(l.l_extendedprice, l.l_quantity), 2) AS price_base,
+           ROUND(REGR_R2(l.l_extendedprice, l.l_quantity), 6)     AS r2,
+           ROUND(MEDIAN(l.l_quantity), 2)                         AS med_qty,
+           ROUND(AVG(POWER(l.l_quantity - mu.m, 3))
+                 / POWER(AVG(POWER(l.l_quantity - mu.m, 2)), 1.5), 6) AS skew,
+           ROUND(AVG(POWER(l.l_quantity - mu.m, 4))
+                 / POWER(AVG(POWER(l.l_quantity - mu.m, 2)), 2) - 3, 6) AS kurt
+    FROM lineitem l JOIN mu ON l.l_returnflag = mu.flag
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def stats_aggregate_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: spread (stddev/variance), dependence
+    (Pearson corr, covariance, OLS slope/intercept/R²), exact median, and
+    shape (skewness, excess kurtosis). Spark's skewness/kurtosis are the
+    POPULATION moments g1 = m3/m2^1.5 and g2 = m4/m2² − 3; DuckDB's
+    builtins apply sample corrections, so the oracle spells out the moment
+    arithmetic instead (two-pass mean CTE). One shuffle: all aggregates
+    share the l_returnflag grouping."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp(q), 6).alias("sd_samp"),
+            F.round(F.var_pop(q), 6).alias("var_pop"),
+            F.round(F.corr(q, p), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp(q, p), 2).alias("qty_price_cov"),
+            F.round(F.regr_slope(p, q), 4).alias("price_per_qty"),
+            F.round(F.regr_intercept(p, q), 2).alias("price_base"),
+            F.round(F.regr_r2(p, q), 6).alias("r2"),
+            F.round(F.median(q), 2).alias("med_qty"),
+            F.round(F.skewness(q), 6).alias("skew"),
+            F.round(F.kurtosis(q), 6).alias("kurt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "grouping_sets_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+)
+def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as one ROLLUP/CUBE: the
+    (o_orderpriority) set skips the hierarchy) via the DataFrame
+    groupingSets API, with GROUPING() flags distinguishing real NULLs from
+    subtotal rows. Spark expands the sets with a single Expand node feeding
+    one hash aggregate — one shuffle regardless of how many sets."""
+    o = _t(spark, sf_dir, "orders")
+    st, pr = F.col("o_orderstatus"), F.col("o_orderpriority")
+    return (
+        o.groupingSets([[st, pr], [pr], []], st, pr)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping(st).cast("long").alias("g_status"),
+            F.grouping(pr).cast("long").alias("g_prio"),
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
