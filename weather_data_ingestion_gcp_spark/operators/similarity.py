@@ -15,6 +15,8 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,6 +38,47 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _norm(v: Column) -> Column:
     return F.sqrt(_dot(v, v))
+
+
+def _make_dot_pandas():
+    """Arrow-vectorized pairwise dot product with the SAME accumulation
+    order as the `_dot` fold (and DuckDB's list_dot_product): acc starts at
+    0.0 and adds x_d * y_d in ascending d — one numpy vector op per dim per
+    batch instead of an interpreted lambda per element per row. Identical
+    IEEE operation sequence -> results are bitwise-equal to the fold, so
+    oracle-checked queries can use it freely. Built lazily (fresh UDF per
+    call site) so closures never share Spark-serialized state."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def dot_pd(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        X = np.stack(xs.to_numpy()).astype(np.float64)
+        Y = np.stack(ys.to_numpy()).astype(np.float64)
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for d in range(X.shape[1]):  # sequential fold order — parity-critical
+            acc += X[:, d] * Y[:, d]
+        return pd.Series(acc)
+
+    return dot_pd
+
+
+def dot_pandas(a: Column, b: Column) -> Column:
+    """Pairwise dot product, Arrow-vectorized, fold-order-identical to
+    :func:`_dot` (see `_make_dot_pandas`). Use in hot pair-scoring paths;
+    `_dot` remains for plan shapes where a scalar JVM expression matters
+    (e.g. inside otherwise pure-codegen projections of few rows)."""
+    return _make_dot_pandas()(
+        a.cast("array<double>"), b.cast("array<double>")
+    )
+
+
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Cosine via three Arrow dot products — bitwise-equal to
+    :func:`cosine` and to the DuckDB `list_dot_product` formulation."""
+    return dot_pandas(a, b) / (
+        F.sqrt(dot_pandas(a, a)) * F.sqrt(dot_pandas(b, b))
+    )
 
 
 def brute_force_topk(
@@ -86,86 +129,66 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic Lloyd's k-means over the embedding column, pure
-    DataFrame ops — produces the cluster assignment IVF needs when no
-    pre-clustering exists.
+    """Deterministic Lloyd's k-means over the embedding column — produces
+    the cluster assignment IVF needs when no pre-clustering exists.
 
-    Per iteration: one broadcast of k centroids to score assignments (no
-    corpus shuffle) + one aggregation for the new centroids (posexplode ->
-    (cluster, pos) partial means). Iterations are a driver-side loop over
-    small centroid tables — the corpus-side work is Catalyst-planned each
-    round. Seeds: the k lowest-id vectors (deterministic, no RNG).
+    Assignment is an Arrow-vectorized pandas UDF (one numpy matmul per
+    batch against the k x dim centroid matrix — a per-row interpreted
+    argmax over k centroids costs k x dim lambda evaluations, measured
+    ~10x slower); new centroids come from a posexplode partial-mean
+    aggregate whose k x dim result is collected to the driver each round.
+    Driver-side centroids are the standard Lloyd's structure (MLlib's
+    KMeans keeps them driver-side too): the state is k x dim floats by
+    definition, independent of corpus size, so this collect is scale-safe.
+    The corpus itself never shuffles during assignment. Seeds: the k
+    lowest-id vectors (deterministic, no RNG).
     """
-    # Lazy localCheckpoint: materialized once on the first action, reused by
-    # every iteration's assignment pass (ids + casts + norms are computed a
-    # single time); blocks are reclaimed by the ContextCleaner when the
-    # returned DataFrame is dropped. An explicit unpersist here would fire
-    # before the caller ever runs an action (everything below is lazy).
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
     vecs = (
         corpus.select(
             F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
         )
-        .withColumn("_nrm", _norm(F.col("_v")))
+        # materialized once on the first action, reused by every round
         .localCheckpoint(eager=False)
     )
 
-    def _assign(cent_row: DataFrame) -> DataFrame:
-        """Nearest centroid per vector with NO shuffle and NO xk row blowup:
-        the k centroids collapse to a single broadcast row holding an array
-        of (cluster, centroid, norm) structs; each vector picks argmax-sim
-        in-row via transform + array_max on (sim, -cluster) — struct
-        ordering gives highest sim, ties to the LOWEST cluster id (matching
-        the previous window orderBy(desc sim, cluster) semantics)."""
-        return vecs.crossJoin(F.broadcast(cent_row)).select(
-            "_id",
-            "_v",
-            "_nrm",
-            (
-                -F.array_max(
-                    F.transform(
-                        "cents",
-                        lambda c: F.struct(
-                            (
-                                _dot(F.col("_v"), c.getField("centroid"))
-                                / (F.col("_nrm") * c.getField("cnrm"))
-                            ).alias("sim"),
-                            (-c.getField("cluster")).alias("neg_cluster"),
-                        ),
-                    )
-                ).getField("neg_cluster")
-            ).alias("cluster"),
-        )
+    def _assigned(C: "np.ndarray") -> DataFrame:
+        cn = np.sqrt((C * C).sum(axis=1))
 
-    def _to_row(centroids: DataFrame) -> DataFrame:
-        return centroids.agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("cluster", "centroid", _norm(F.col("centroid")).alias("cnrm"))
-                )
-            ).alias("cents")
-        )
+        @pandas_udf(T.IntegerType())
+        def nearest(vs: pd.Series) -> pd.Series:
+            X = np.stack(vs.to_numpy()).astype(np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            sims = (X @ C.T) / (xn[:, None] * cn[None, :])
+            # argmax takes the FIRST max -> ties resolve to the lowest
+            # cluster id (same as the previous orderBy(desc sim, cluster))
+            return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
-    from pyspark.sql.window import Window
+        return vecs.withColumn("cluster", nearest(F.col("_v")))
 
-    centroids = (
-        vecs.orderBy("_id").limit(k)
-        .select(F.col("_v").alias("centroid"))
-        .withColumn("cluster", F.row_number().over(Window.orderBy(F.col("centroid")[0])) - 1)
+    seed_rows = vecs.orderBy("_id").limit(k).collect()
+    # cluster ids ordered by first vector component (stable, data-derived)
+    C = np.array(
+        [r["_v"] for r in sorted(seed_rows, key=lambda r: r["_v"][0])],
+        dtype=np.float64,
     )
     for _ in range(max_iter):
-        assigned = _assign(_to_row(centroids))
-        # New centroids: element-wise mean via posexplode partial agg —
-        # scale-safe (never collects a cluster's vectors into one list).
-        centroids = (
-            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+        # Element-wise mean via posexplode partial agg — scale-safe (never
+        # collects a cluster's vectors into one list; only k x dim means).
+        means = (
+            _assigned(C)
+            .select("cluster", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
-            .localCheckpoint(eager=False)  # truncate per-iteration lineage
+            .collect()
         )
-    return _assign(_to_row(centroids)).select(
+        nxt = C.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            nxt[r["cluster"], r["pos"]] = r["m"]
+        C = nxt
+    return _assigned(C).select(
         F.col("_id").alias(id_col), F.col("cluster").alias("kmeans_cluster")
     )
 
@@ -205,27 +228,51 @@ def random_hyperplane_bands(
 
     bit_j = [dot(v, w_j) > 0]; bands of ``band_bits`` bits bucket together
     (two vectors collide in a band with probability (1 - theta/pi)^band_bits
-    — the random-projection analog of MinHash banding). All 16 dot folds
-    happen in ONE projection per row; the x4 band explode multiplies rows
+    — the random-projection analog of MinHash banding).
+
+    The 16 projections are computed in an Arrow-vectorized pandas UDF: a
+    higher-order-function fold is interpreted per element (16 planes x 64
+    dims = 1024 interpreted ops per row — measured ~1 ms/row), while the
+    UDF does 16x64 numpy vector ops per BATCH. Accumulation is sequential
+    over dims (acc += x_d * w_d, ascending d), the exact IEEE operation
+    sequence of both the previous fold and the DuckDB oracle's
+    list_dot_product — sign bits, and therefore buckets, stay
+    bitwise-identical cross-engine. The x4 band explode multiplies rows
     only after signatures are computed.
     """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
     W = hyperplanes(n_bits=n_bits, dim=dim, seed=seed)
-    v = F.col(vec_col)
-    bits = [
-        F.when(_dot(v, F.array(*[F.lit(x) for x in w])) > 0, 1).otherwise(0)
-        for w in W
-    ]
     n_bands = n_bits // band_bits
-    band_sigs = []
-    for b in range(n_bands):
-        sig = F.lit(0)
-        for i in range(band_bits):
-            sig = sig * 2 + bits[b * band_bits + i]
-        band_sigs.append(sig)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        n = X.shape[0]
+        bits = np.empty((n_bits, n), dtype=np.int64)
+        for j in range(n_bits):
+            acc = np.zeros(n, dtype=np.float64)
+            wj = W[j]
+            for d in range(dim):  # sequential fold order — parity-critical
+                acc += X[:, d] * wj[d]
+            bits[j] = acc > 0
+        sigs = np.zeros((n_bands, n), dtype=np.int64)
+        for b in range(n_bands):
+            for i in range(band_bits):
+                sigs[b] = sigs[b] * 2 + bits[b * band_bits + i]
+        return pd.Series(list(sigs.T.astype(np.int32)))
+
     return df.select(
         F.col(id_col).alias("vec_id_"),
-        F.posexplode(F.array(*band_sigs)).alias("band", "bsig"),
-    ).select(F.col("vec_id_").alias(id_col), "band", "bsig")
+        F.posexplode(band_sigs(F.col(vec_col).cast("array<double>"))).alias(
+            "band", "bsig"
+        ),
+    ).select(
+        F.col("vec_id_").alias(id_col),
+        "band",
+        F.col("bsig").cast("int").alias("bsig"),
+    )
 
 
 def rp_lsh_topk(

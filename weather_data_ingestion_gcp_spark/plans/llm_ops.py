@@ -348,18 +348,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the embedding-space member of the dedup family. Quadratic only
     within a cluster, never across the corpus. (Threshold calibrated to
     the synthetic corpus, whose vectors are near-orthogonal — max
-    within-cluster cosine ~0.47; production near-dup uses 0.9+.)"""
-    from ..operators.similarity import cosine
+    within-cluster cosine ~0.47; production near-dup uses 0.9+.)
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "label")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "label")
-    sim = cosine(F.col("e_a"), F.col("e_b"))
+    The quadratic verify runs INSIDE each label block via applyInPandas:
+    vectors cross the Arrow boundary once per block (not once per pair —
+    a per-pair formulation ships |pairs| x dim x 2 doubles, ~256 MB at
+    sf0.1's ~250k pairs, and an interpreted per-pair lambda fold costs
+    3 x dim lambda evals per pair). numpy accumulates sum-of-outer-products
+    ascending by dimension, so every pair's dot — and each self-dot on the
+    diagonal — follows the exact IEEE sequence of DuckDB's
+    list_dot_product: buckets and values stay bitwise oracle-equal.
+    At 100 TB the blocking key bounds group size (a block is a cluster
+    assignment by construction), which is what makes grouped-map safe."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e"),
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        n, dim = X.shape
+        acc = np.zeros((n, n), dtype=np.float64)
+        for d in range(dim):  # sequential fold order — parity-critical
+            acc += np.outer(X[:, d], X[:, d])
+        nrm = np.sqrt(np.diag(acc))
+        sim = acc / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sim[ia, ib] >= 0.35
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "raw": sim[ia, ib][keep]}
+        )
+
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("raw"))
-        .filter(F.col("raw") >= 0.35)
+        emb.groupBy("label")
+        .applyInPandas(block_pairs, "id_a long, id_b long, raw double")
         .select("id_a", "id_b", F.round("raw", 6).alias("cos_sim"))
     )
 
