@@ -317,3 +317,44 @@ def test_hyperplanes_deterministic_and_bounded(spark):
     W2 = similarity.hyperplanes(n_bits=4, dim=8)
     assert W1 == W2
     assert all(-1.0 <= x <= 1.0 for w in W1 for x in w)
+
+
+def test_simhash_hamming_pairs_finds_exact_and_respects_threshold(docs):
+    out = dedup.simhash_hamming_pairs(
+        docs, "doc_id", "text", band_bits=8, max_hamming=3, max_bucket_size=None
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+    # exact duplicates share the signature -> hamming 0
+    assert pairs[(0, 2)] == 0
+    # token-permutation has identical term frequencies -> same simhash
+    assert pairs[(3, 4)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    rows = [(i, "alpha beta gamma") for i in range(15)] + [(99, "delta epsilon")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.term: r for r in text.inverted_index(df, max_postings=10).collect()}
+    assert out["alpha beta"].df_count == 15
+    assert out["alpha beta"].postings == list(range(10))  # sorted, capped
+    assert "delta epsilon" not in out  # below min_df
+
+
+def test_bm25_ranks_higher_tf_first(spark):
+    rows = [
+        (1, "spark spark spark filler filler filler"),
+        (2, "spark filler filler filler filler filler"),
+        (3, "filler filler filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = text.bm25_topk(df, ["spark"], k=5).collect()
+    ranked = [r.doc_id for r in out]
+    assert ranked == [1, 2]  # doc 3 has no query term -> no row
+    assert out[0].score > out[1].score > 0
+
+
+def test_char_pair_counts_known_counts(spark):
+    df = spark.createDataFrame([(1, "abab ab x")], "doc_id bigint, text string")
+    # 'abab' -> ab, ba, ab ; 'ab' -> ab ; 'x' dropped (len<2)
+    got = {r.pair: r.n for r in text.char_pair_counts(df).collect()}
+    assert got == {"ab": 3, "ba": 1}

@@ -275,6 +275,69 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 100,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: banded signature buckets -> candidate
+    equi-join -> exact Hamming verify (completes the SimHash path the way
+    lsh_candidate_pairs + verify_jaccard complete MinHash).
+
+    Banding is the pigeonhole guarantee: splitting 16 bits into
+    ``16/band_bits`` bands catches every pair with Hamming distance
+    < 16/band_bits exactly (some band must be untouched); wider bands =
+    fewer, more selective buckets. ``max_bucket_size`` is the same skew
+    control as capped MinHash-LSH — a degenerate-vocabulary corpus piles
+    near-identical signatures into one bucket whose O(n^2) pairs exact
+    dedup should have removed first. The verify is one JVM expression
+    (bit_count(xor)) per candidate — no arrays, no Python.
+    """
+    n_bands = 16 // band_bits
+    mask = (1 << band_bits) - 1
+    sig = simhash16(df, id_col, text_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", band_bits * b).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "nib"),
+    )
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "nib")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .select("band", "nib")
+        )
+        bands = bands.join(ok, ["band", "nib"], "left_semi")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "nib"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "nib"
+    )
+    return (
+        a.join(b, ["band", "nib"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # blocked exact n-gram Jaccard
 # ---------------------------------------------------------------------------

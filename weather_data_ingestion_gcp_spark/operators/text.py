@@ -188,6 +188,134 @@ def bigrams(text: Column, tokenized: bool = False) -> Column:
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 10,
+) -> DataFrame:
+    """Term -> (document frequency, capped posting list) over word bigrams.
+
+    The indexing primitive of retrieval pipelines: one explode + one
+    groupBy (map-side combine collapses per-partition duplicates before
+    the shuffle). Posting lists are CAPPED — sort_array + slice keeps the
+    ``max_postings`` lowest doc ids — because unbounded collect_list over
+    a hot term is the classic agg-state blowup at corpus scale; a full
+    index shards postings instead (term bucketing), this operator is the
+    per-shard build. Bigrams (not unigrams) keep the term space
+    meaningful on small vocabularies."""
+    base = df.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_ws"))
+    terms = base.select(
+        "doc_id", F.explode(bigrams(F.col("_ws"), tokenized=True)).alias("term")
+    ).distinct()
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_count"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df_count") >= min_df)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query — the lexical baseline next
+    to the ANN paths (hybrid search = this union embedding top-k).
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl)),
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Per-term partial scores are pivoted into COLUMNS (conditional
+    aggregation) and summed in fixed query order — a float-order
+    guarantee: SUM over rows is accumulation-order-nondeterministic,
+    which would make the total score differ in the last ulp across
+    engines/runs. Corpus stats (N, avgdl) ride a broadcast cross join;
+    the only shuffles are the two token aggregations."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtoks = toks.filter(F.col("term").isin(query_terms))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = (
+        qtoks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = df.agg(
+        F.countDistinct(id_col).alias("n_docs")
+    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("s"))).alias(f"_s{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    total = None
+    for i in range(len(query_terms)):
+        c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        total = c if total is None else total + c
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        per_term.select("doc_id", total.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", F.round("score", 6).alias("score"), "rk")
+    )
+
+
+def char_pair_counts(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the counting step
+    of one BPE merge iteration (the pair with the max count is the next
+    merge). Pairs come from substring windows inside each word (never
+    across whitespace, matching BPE's word-boundary rule); counting is the
+    same explode -> partial+final aggregate as bigram_counts, and top-k is
+    TakeOrderedAndProject. A full BPE trainer is this operator iterated
+    with a (tiny, broadcast) merge table."""
+    ws = df.select(F.explode(words(F.col(text_col))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = ws.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(k)
+    )
+
+
 def bigram_counts(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus-wide top-k bigram frequencies. explode -> partial+final
     count: the map-side combine collapses each partition's duplicates

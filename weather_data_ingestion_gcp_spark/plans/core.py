@@ -1437,6 +1437,79 @@ def array_higher_order_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regexp_function_breadth",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '[a-z]+a[a-z]*')                       AS first_a,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT)
+                                                                       AS n_a_words,
+           array_to_string(list_slice(regexp_extract_all(text, '[a-z]+a[a-z]*'),
+                                      1, 5), '|')                      AS first5_a,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2)                AS second_word,
+           regexp_replace(text, 'a[a-z]*', '_', 'g')                   AS masked,
+           CAST(regexp_matches(text, '^[a-z ]+$') AS INT)              AS pure_prose
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def regexp_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface beyond the reference's P7/P8 (one
+    regexp_replace + one extract): first-match substring, match counting,
+    all-matches extraction, group references, global replace, and
+    full-match predicates. Patterns are ASCII character classes so Java
+    regex (Spark) and RE2 (DuckDB) agree. Pure codegen projection — a
+    map-only stage at any scale. Spark's regexp_substr returns NULL on
+    no-match where DuckDB's regexp_extract returns '' — coalesced to ''
+    to pin the cross-engine contract."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    text = F.col("text")
+    pat = "[a-z]+a[a-z]*"
+    return d.select(
+        "doc_id",
+        F.coalesce(F.regexp_substr(text, F.lit(pat)), F.lit("")).alias("first_a"),
+        F.regexp_count(text, F.lit(pat)).cast("long").alias("n_a_words"),
+        F.array_join(
+            F.slice(F.regexp_extract_all(text, F.lit(pat), F.lit(0)), 1, 5), "|"
+        ).alias("first5_a"),
+        F.regexp_extract(text, "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace(text, "a[a-z]*", "_").alias("masked"),
+        text.rlike("^[a-z ]+$").cast("int").alias("pure_prose"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT)            AS n,
+           ROUND(MIN(value), 2)                AS lo,
+           ROUND(MAX(value), 2)                AS hi,
+           ROUND(AVG(value), 4)                AS mean_v
+    FROM events WHERE value IS NOT NULL
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram as a single hash aggregate on a derived bucket
+    key — the profiling primitive for numeric columns (the fixed-width
+    variant of what approx_percentile sketches adaptively). Bucketing is
+    floor(value/width): a pure projection, so the aggregate's partial
+    combine sees integer keys and the shuffle carries |buckets| rows per
+    partition regardless of input size. min/max are order-insensitive;
+    the mean rounds at 4 dp to absorb accumulation-order float drift."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        e.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(F.avg("value"), 4).alias("mean_v"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "stats_aggregate_breadth",
     oracle="""
     WITH mu AS (SELECT l_returnflag AS flag, AVG(l_quantity) AS m

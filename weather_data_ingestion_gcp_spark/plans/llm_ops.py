@@ -288,6 +288,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS cnt FROM ({_SQL_TOKENS}) GROUP BY doc_id, token
+    ),
+    hv AS (
+        SELECT doc_id, cnt,
+               (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1) AS hv
+        FROM tf
+    ),
+    bits AS (
+        SELECT doc_id, b.bit, SUM(cnt * (2 * ((hv >> b.bit) & 1) - 1)) AS s
+        FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS nib
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) b
+    ),
+    ok AS (SELECT band, nib FROM bands GROUP BY band, nib HAVING COUNT(*) <= 100),
+    capped AS (SELECT b.* FROM bands b JOIN ok USING (band, nib)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM capped a JOIN capped b ON a.band = b.band AND a.nib = b.nib
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM cand WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature -> banded buckets -> Hamming-verified near-dup
+    pairs (operators.dedup.simhash_hamming_pairs): two 8-bit bands catch
+    every pair within Hamming distance 1 exactly (pigeonhole) plus the
+    near-band collisions; bucket cap 100 is the LSH mega-bucket skew
+    control, mirrored in the oracle. Verify is bit_count(xor) — one
+    codegen'd expression per candidate."""
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_hamming_pairs(
+        d, "doc_id", "text", band_bits=8, max_hamming=3, max_bucket_size=100
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=r"""
     WITH words AS (
@@ -775,6 +830,108 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(d, "doc_id", "text", k=3).orderBy("doc_id", "rk")
+
+
+@register(
+    "inverted_index_bigrams",
+    oracle=r"""
+    WITH wordsx AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS term
+        FROM wordsx, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count,
+           list_slice(list(doc_id ORDER BY doc_id), 1, 10) AS postings
+    FROM bg GROUP BY term HAVING COUNT(*) >= 2 ORDER BY term
+    """,
+)
+def inverted_index_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-index build (operators.text.inverted_index): word-bigram
+    term -> document frequency + capped sorted posting list. One explode +
+    one groupBy; the posting cap (sort_array + slice) bounds agg state on
+    hot terms — the full-index form shards postings by term bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.inverted_index(
+        d, "doc_id", "text", min_df=2, max_postings=10
+    ).orderBy("term")
+
+
+#: BM25 query terms for the lexical-retrieval entry — fixed literals so
+#: the oracle is the same query (all present in the synthetic vocabulary).
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+@register(
+    "bm25_lexical_topk",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    q AS (SELECT doc_id, token AS term, COUNT(*) AS tf FROM toks
+          WHERE token IN ('spark', 'merge', 'window') GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, token AS term FROM toks
+                  WHERE token IN ('spark', 'merge', 'window')) GROUP BY term),
+    st AS (SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_docs,
+                  (SELECT AVG(dl) FROM dl) AS avgdl),
+    s AS (
+        SELECT q.doc_id, q.term,
+               ln(1 + (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+               * (q.tf * (1.2 + 1))
+               / (q.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+        FROM q JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    ),
+    p AS (
+        SELECT doc_id,
+               SUM(CASE WHEN term = 'spark'  THEN s END) AS s0,
+               SUM(CASE WHEN term = 'merge'  THEN s END) AS s1,
+               SUM(CASE WHEN term = 'window' THEN s END) AS s2
+        FROM s GROUP BY doc_id
+    ),
+    r AS (SELECT doc_id,
+                 COALESCE(s0, 0) + COALESCE(s1, 0) + COALESCE(s2, 0) AS score
+          FROM p),
+    rk AS (SELECT doc_id, score,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM r)
+    SELECT doc_id, ROUND(score, 6) AS score, rk FROM rk WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators.text.bm25_topk) — the lexical
+    baseline beside the ANN entries; hybrid search unions the two. The
+    per-term scores are pivoted to columns and summed in fixed query
+    order on BOTH sides, so the float total is accumulation-order-stable
+    cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(d, _BM25_TERMS, "doc_id", "text", k=20).orderBy("rk")
+
+
+@register(
+    "bpe_char_pair_counts",
+    oracle=r"""
+    WITH w AS (
+        SELECT w FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS w
+            FROM documents)
+        WHERE len(w) >= 2
+    ),
+    p AS (SELECT substr(w, i, 2) AS pair
+          FROM w, UNNEST(generate_series(1, len(w) - 1)) AS g(i))
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def bpe_char_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies inside words — the counting
+    step of one BPE merge iteration (operators.text.char_pair_counts);
+    the max-count pair is the next merge. Explode -> map-side-combined
+    count -> TakeOrderedAndProject top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.char_pair_counts(d, "text", k=50)
 
 
 # ---------------------------------------------------------------------------
