@@ -358,3 +358,18 @@ def test_char_pair_counts_known_counts(spark):
     # 'abab' -> ab, ba, ab ; 'ab' -> ab ; 'x' dropped (len<2)
     got = {r.pair: r.n for r in text.char_pair_counts(df).collect()}
     assert got == {"ab": 3, "ba": 1}
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from weather_data_ingestion_gcp_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 1000000 if i < 10 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    out = weighted_sample_topk(df, "doc_id", "w", k=10).collect()
+    got = {r.doc_id for r in out}
+    # u^(1/1e6) ~ 1 for the heavy rows; u^(1/1) = u ~ U(0,1) for the rest:
+    # all 10 heavy rows should dominate the top-10 with near-certainty
+    assert got == set(range(10))
+    # deterministic: same input -> same sample
+    again = {r.doc_id for r in weighted_sample_topk(df, "doc_id", "w", k=10).collect()}
+    assert again == got

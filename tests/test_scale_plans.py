@@ -252,3 +252,33 @@ def test_date_partitioned_layout_prunes_partitions_and_pushes_filters(spark, tmp
         (F.col("event_date") == F.lit(one_day)) & (F.col("user_id") == 7)
     ).count()
     assert q.count() == expected
+
+
+def test_simhash_hamming_no_cartesian(spark):
+    """SimHash candidate generation must stay an equi-join on (band, nib)
+    buckets — never an all-pairs product."""
+    plan = _formatted(QUERIES["dedup_simhash_hamming"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_corpus_stats_broadcast_no_cartesian(spark):
+    """BM25's tiny relations (per-term df, N/avgdl scalars) must ride
+    broadcasts; the token relation itself never cross-joins."""
+    plan = _formatted(QUERIES["bm25_lexical_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_partial_aggregation(spark):
+    """Posting-list build is one partial+final aggregate pair — map-side
+    combine collapses per-partition duplicate terms before the shuffle."""
+    plan = _formatted(QUERIES["inverted_index_bigrams"](spark, SF))
+    assert plan.count("Aggregate") >= 2
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark):
+    """A-ES weighted sampling plans as TakeOrderedAndProject: per-partition
+    top-k + driver heap merge, never a full sort of the corpus."""
+    plan = _formatted(QUERIES["sample_weighted_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan

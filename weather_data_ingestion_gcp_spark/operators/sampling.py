@@ -51,6 +51,30 @@ def stratified_quota(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the A-ES key trick
+    (Efraimidis & Spirakis, IPL 2006): score every row u^(1/w) with u a
+    hash-derived uniform in (0,1), keep the k largest scores. Inclusion
+    probability is proportional to weight; determinism comes from the
+    md5-uniform (no RNG, engine/partitioning/retry-stable — the same
+    property as hash_bucket). The plan is TakeOrderedAndProject: each
+    partition keeps its local top-k, the driver merges k-sized heaps —
+    no global sort, no shuffle of the data itself. ``weight_col`` must
+    be > 0."""
+    hex4 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("double")
+    u = (hex4 + 0.5) / 65536.0
+    skey = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.withColumn("sample_key", skey)
+        .orderBy(F.desc("sample_key"), key_col)
+        .limit(k)
+    )
+
+
 def train_test_split(
     df: DataFrame, key_col: str, test_pct: int = 10, holdout_pct: int = 0
 ) -> DataFrame:

@@ -107,12 +107,15 @@ def brute_force_topk(
         F.col(vec_col).alias("n_vec"),
         _norm(F.col(vec_col)).alias("n_nrm"),
     )
+    # pair scoring is the |Q| x |C| hot loop -> Arrow-vectorized dot
+    # (fold-order-identical to _dot, so oracle results are unchanged)
     scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
         "q_id",
         "n_id",
-        (_dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))).alias(
-            "cos_sim"
-        ),
+        (
+            dot_pandas(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_nrm") * F.col("n_nrm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("n_id"))
     return (
@@ -318,7 +321,8 @@ def rp_lsh_topk(
             "q_id",
             "n_id",
             (
-                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+                dot_pandas(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nrm") * F.col("n_nrm"))
             ).alias("cos_sim"),
         )
     )
@@ -390,7 +394,8 @@ def ivf_topk(
             "q_id",
             "n_id",
             (
-                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+                dot_pandas(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nrm") * F.col("n_nrm"))
             ).alias("cos_sim"),
         )
     )

@@ -1477,6 +1477,53 @@ def regexp_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_function_breadth",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_val,
+           CAST(json_extract_string(props, '$.missing') IS NOT NULL AS INT)
+                                                              AS has_missing,
+           to_json(struct_pack(event_id := event_id,
+                               et := event_type,
+                               k2 := CAST(json_extract_string(props, '$.k')
+                                          AS BIGINT) * 2))    AS j
+    FROM events
+    WHERE event_id < 2000 AND json_extract_string(props, '$.k') IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def json_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface (the reference's P11 JSON ser/de,
+    widened): path extraction with casts, missing-path predicates, and
+    struct -> JSON re-serialization. get_json_object prunes to the single
+    path JVM-side; to_json emits compact key-ordered output that matches
+    DuckDB's struct_pack serialization byte-for-byte for int/string
+    fields. Rows where the path is absent are filtered on both sides
+    (Spark's to_json drops null fields where DuckDB serializes them)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.filter(k.isNotNull())
+        .select(
+            "event_id",
+            k.alias("k_val"),
+            F.get_json_object("props", "$.missing")
+            .isNotNull()
+            .cast("int")
+            .alias("has_missing"),
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.col("event_type").alias("et"),
+                    (k * 2).alias("k2"),
+                )
+            ).alias("j"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "histogram_event_values",
     oracle="""
     SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
