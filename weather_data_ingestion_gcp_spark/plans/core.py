@@ -1038,6 +1038,77 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sliding_window_agg",
+    oracle="""
+    WITH shifted AS (
+        SELECT make_timestamp((epoch_us(ts) // 10800000000) * 10800000000
+                              - s.k * 10800000000) AS win_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) s
+    )
+    SELECT win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2)     AS total
+    FROM shifted
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) windows: 6-hour width, 3-hour slide — each
+    event lands in exactly width/slide = 2 windows. Spark's window()
+    expands rows BEFORE the aggregate (an Expand-like generator), so the
+    shuffle carries 2x rows but stays a single partial+final hash
+    aggregate — same plan family as tumbling, no self-join. The oracle
+    states the expansion directly: each event assigned to its slide-
+    aligned window start and the one before it."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)         AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2)    AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (operators.skew.salted_join): the fact side
+    gets a deterministic per-row salt, the dimension replicates once per
+    salt, and the join key becomes (key, salt) — spreading a hot key over
+    8 shuffle partitions. The oracle is the PLAIN join + aggregate:
+    salting must be a pure physical rewrite with zero semantic effect,
+    and this entry proves it cross-engine. (AQE's skew split handles most
+    cases at runtime; explicit salting is the planner-independent
+    fallback for single-key pathologies AQE cannot subdivide, e.g. one
+    group inside an aggregation.)"""
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "o_custkey", salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization — gap-based sessions per user (30-min inactivity): the
 # batch form of the streaming session-window operator. lag + conditional
