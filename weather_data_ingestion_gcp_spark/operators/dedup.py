@@ -105,20 +105,23 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame
 def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 8) -> DataFrame:
     """(doc_id, seed, minhash): per-seed min of md5(shingle || '|' || seed).
 
-    One explode (x num_hashes) + one groupBy — the groupBy's partial
-    aggregation means each partition emits at most docs x seeds rows into
-    the shuffle regardless of shingle count.
-    """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        shingle_df.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("|", "shingle", F.col("seed").cast("string"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    The ``num_hashes`` mins are computed as SIDE-BY-SIDE aggregate
+    expressions in ONE groupBy over the shingle rows, then unpivoted with
+    ``stack`` — NOT by exploding each shingle x num_hashes first. The
+    explode formulation pushes |shingles| x seeds rows through the
+    aggregate (2M at sf0.1); the wide form evaluates the same md5 calls
+    in-row inside codegen and partial aggregation collapses each
+    partition to one |docs| x seeds-column buffer before the shuffle —
+    the shuffle carries 8x fewer, wider rows. The unpivot is a zero-cost
+    projection after the aggregate."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", "shingle", F.lit(str(s))))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    wide = shingle_df.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"
     )
 
 

@@ -236,53 +236,57 @@ def bm25_topk(
     score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl)),
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
 
-    Per-term partial scores are pivoted into COLUMNS (conditional
-    aggregation) and summed in fixed query order — a float-order
+    ONE token explode + ONE groupBy: per-doc length and each query
+    term's tf are side-by-side aggregate expressions over the same pass
+    (the naive form re-scans tokens for lengths, tf, and df separately).
+    Corpus stats (N, avgdl, per-term df) reduce the wide table to a
+    single broadcast row; scoring is then a pure projection. Per-term
+    scores live in COLUMNS and sum in fixed query order — a float-order
     guarantee: SUM over rows is accumulation-order-nondeterministic,
-    which would make the total score differ in the last ulp across
-    engines/runs. Corpus stats (N, avgdl) ride a broadcast cross join;
-    the only shuffles are the two token aggregations."""
+    which would make the total differ in the last ulp across
+    engines/runs. dl/tf/df/N are integers and avgdl an exact
+    integer-sum mean, so every float input is engine-identical."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("term")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    qtoks = toks.filter(F.col("term").isin(query_terms))
-    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = (
-        qtoks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    )
-    stats = df.agg(
-        F.countDistinct(id_col).alias("n_docs")
-    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
-    scored = (
-        tf.join(F.broadcast(dfc), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "s",
-            F.log(
-                1
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-    )
-    per_term = scored.groupBy("doc_id").agg(
+    wide = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
         *[
-            F.sum(F.when(F.col("term") == t, F.col("s"))).alias(f"_s{i}")
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
             for i, t in enumerate(query_terms)
-        ]
+        ],
+    )
+    stats = (
+        wide.agg(
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(query_terms))
+            ],
+        )
+        .crossJoin(df.agg(F.countDistinct(id_col).alias("n_docs")))
     )
     total = None
     for i in range(len(query_terms)):
-        c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
-        total = c if total is None else total + c
+        tf_i, df_i = F.col(f"tf{i}"), F.col(f"df{i}")
+        s = F.when(
+            tf_i > 0,
+            F.log(1 + (F.col("n_docs") - df_i + 0.5) / (df_i + 0.5))
+            * (tf_i * (k1 + 1))
+            / (tf_i + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        total = s if total is None else total + s
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    any_hit = None
+    for i in range(len(query_terms)):
+        hit = F.col(f"tf{i}") > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
     return (
-        per_term.select("doc_id", total.alias("score"))
+        wide.crossJoin(F.broadcast(stats))
+        .filter(any_hit)  # docs with no query term never ranked (as before)
+        .select("doc_id", total.alias("score"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("doc_id", F.round("score", 6).alias("score"), "rk")
