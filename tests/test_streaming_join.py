@@ -76,3 +76,43 @@ def test_interval_join_same_semantics_in_batch(spark):
     ).selectExpr("ad_id", "CAST(click_ts AS TIMESTAMP) click_ts")
     rows = clicks_within(imp, clk).collect()
     assert len(rows) == 1 and rows[0].lag_us == 300_000_000
+
+
+def test_stream_static_enrichment_no_state(spark, tmp_path):
+    """Stream-static broadcast enrichment: every micro-batch row picks up
+    its dimension attributes; unmatched keys survive (left join) with
+    nulls — and the query needs no watermark or state store."""
+    from weather_data_ingestion_gcp_spark.streaming.joins import enrich_with_dim
+
+    _land(
+        tmp_path,
+        "ev",
+        "e1.json",
+        [
+            {"ad_id": 1, "imp_ts": "2024-01-01 10:00:00"},
+            {"ad_id": 2, "imp_ts": "2024-01-01 10:01:00"},
+            {"ad_id": 9, "imp_ts": "2024-01-01 10:02:00"},  # no dim row
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(1, "search"), (2, "display")], "ad_id bigint, channel string"
+    )
+    ev = spark.readStream.schema(IMP_SCHEMA).json(str(tmp_path / "ev"))
+    q = (
+        enrich_with_dim(ev, dim, "ad_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ad_id: r.channel for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {1: "search", 2: "display", 9: None}
+    # no stateful operator ran: the progress metrics report zero state rows
+    assert all(
+        op.get("numRowsTotal", 0) == 0
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )

@@ -1073,6 +1073,99 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(a.day - f.cohort_day AS BIGINT) AS days_since,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN firstday f USING (user_id)
+    GROUP BY f.cohort_day, days_since
+    ORDER BY f.cohort_day, days_since
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle: users grouped by first-seen day, counted
+    on each subsequent active day — the standard product-analytics rollup.
+    Two aggregations + one join, all keyed on user_id: the first-seen
+    aggregate, the distinct (user, day) activity set, and their join all
+    hash-partition on the SAME key, so Catalyst reuses one exchange
+    (no re-shuffle between the steps); only the final small
+    (cohort, offset) aggregate re-keys."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("days_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "days_since")
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click after view -> purchase
+    after click): each stage is an aggregate of the event stream
+    semi-joined to the previous stage's first-completion time — the
+    strictly-ordered sequence semantics (a click BEFORE the first view
+    does not count). Every join and aggregate keys on user_id, so the
+    stage chain reuses one hash partitioning of the fact table; stage
+    counts are tiny scalar aggregates cross-joined at the end."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
     "skew_salted_join_agg",
     oracle="""
     SELECT c.c_mktsegment,

@@ -17,6 +17,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich_with_dim(
+    stream_df: DataFrame, dim_df: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    (or slowly-refreshed) dimension — the streaming form of the
+    reference's routing-map lookup P9 (Load-gcs-to-bq/main.py:15-17,67).
+
+    Unlike a stream-stream join this keeps NO state store: the static
+    side is re-planned per micro-batch, and the broadcast hint keeps the
+    join map-side, so the stream never shuffles and no watermark is
+    needed. The dimension must fit the broadcast threshold — exactly the
+    contract of the reference's in-memory FILE_TABLE_MAP. Mode-agnostic:
+    the same call on batch frames returns the identical rows."""
+    return stream_df.join(F.broadcast(dim_df), key, how)
+
+
 def clicks_within(
     impressions: DataFrame,
     clicks: DataFrame,
