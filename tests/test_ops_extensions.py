@@ -373,3 +373,16 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     # deterministic: same input -> same sample
     again = {r.doc_id for r in weighted_sample_topk(df, "doc_id", "w", k=10).collect()}
     assert again == got
+
+
+def test_dataset_mix_nested_and_default_drop(spark):
+    from weather_data_ingestion_gcp_spark.operators.sampling import dataset_mix
+
+    rows = [(i, ["en", "zh", "xx"][i % 3]) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    lo = {r.doc_id for r in dataset_mix(df, "lang", "doc_id", {"en": 30, "zh": 10}).collect()}
+    hi = {r.doc_id for r in dataset_mix(df, "lang", "doc_id", {"en": 60, "zh": 40}).collect()}
+    assert lo and lo <= hi  # nested samples: raising rates only adds rows
+    assert not {i for i in lo | hi if i % 3 == 2}  # unlisted group dropped
+    langs = {r.lang for r in dataset_mix(df, "lang", "doc_id", {"en": 100}).collect()}
+    assert langs == {"en"}

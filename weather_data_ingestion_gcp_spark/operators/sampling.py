@@ -75,6 +75,37 @@ def weighted_sample_topk(
     )
 
 
+def dataset_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Weighted dataset mixing: keep each group at its configured rate
+    (the corpus-composition knob of a training-data pipeline — e.g.
+    up/down-weighting languages or sources to a target mixture).
+
+    The per-group rate rides a tiny broadcast dimension joined on the
+    group key — the same routing-map shape as the reference's
+    FILE_TABLE_MAP lookup (P9) — and membership is the deterministic
+    hash bucket of ``key_col``: re-running, re-partitioning, or
+    re-ingesting never changes which rows are kept, and a group's kept
+    set at 30% is a SUBSET of its kept set at 50% (nested samples, so
+    mixtures can be re-tuned without resampling churn)."""
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(g, int(p)) for g, p in sorted(rates_pct.items())],
+        f"{group_col} string, _keep_pct int",
+    )
+    return (
+        df.join(F.broadcast(rates), group_col, "left")
+        .withColumn("_keep_pct", F.coalesce("_keep_pct", F.lit(default_pct)))
+        .filter(hash_bucket(F.col(key_col)) < F.col("_keep_pct"))
+        .drop("_keep_pct")
+    )
+
+
 def train_test_split(
     df: DataFrame, key_col: str, test_pct: int = 10, holdout_pct: int = 0
 ) -> DataFrame:

@@ -58,6 +58,55 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Language mixture for the dataset_mix entry (pct kept per language).
+_MIX_RATES = {"en": 100, "de": 60, "es": 40, "fr": 30, "zh": 20}
+
+
+@register(
+    "dataset_mix_by_lang",
+    oracle=f"""
+    WITH rated AS (
+        SELECT lang, n_chars,
+               CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 60
+                         WHEN 'es' THEN 40 WHEN 'fr' THEN 30
+                         WHEN 'zh' THEN 20 ELSE 0 END AS keep_pct,
+               {_sql_hex4_to_int('doc_id')} % 100 AS b
+        FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                         AS n_total,
+           CAST(SUM(CASE WHEN b < keep_pct THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_kept,
+           CAST(SUM(CASE WHEN b < keep_pct THEN n_chars ELSE 0 END) AS BIGINT)
+                                                            AS kept_chars
+    FROM rated GROUP BY lang ORDER BY lang
+    """,
+)
+def dataset_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition mixing (sampling.dataset_mix): per-language keep
+    rates ride a broadcast rates dimension; membership is the
+    deterministic doc_id hash bucket, so kept sets are nested across rate
+    changes (re-tuning a mixture never churns previously-kept rows).
+    Summarized per language against a CASE-expression oracle."""
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.dataset_mix(d, "lang", "doc_id", _MIX_RATES).select(
+        "doc_id", F.col("lang").alias("k_lang"), F.col("n_chars").alias("k_chars")
+    )
+    return (
+        d.join(kept, d.doc_id == kept.doc_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept.k_lang.isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.coalesce(kept.k_chars, F.lit(0))).cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+
+
 @register(
     "sample_weighted_topk",
     oracle=f"""

@@ -205,6 +205,87 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.orderBy("doc_id")
 
 
+#: hex4(md5(doc_id)) as an integer — the split predicate shared with the
+#: sampling oracles (plans/datapipe._sql_hex4_to_int, inlined here).
+_SQL_DOCID_BUCKET = (
+    "((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100"
+)
+
+
+@register(
+    "decontaminate_test_split",
+    oracle=rf"""
+    WITH sh AS ({_SQL_SHINGLES3}),
+    sig AS (
+        SELECT doc_id, s.seed,
+               MIN(md5(shingle || '|' || CAST(s.seed AS VARCHAR))) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(CAST(seed // 2 AS VARCHAR) || '|' ||
+                   string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+        FROM sig GROUP BY doc_id, band
+    ),
+    split AS (SELECT doc_id, {_SQL_DOCID_BUCKET} AS b FROM documents),
+    tb AS (SELECT bands.doc_id AS test_id, band_key
+           FROM bands JOIN split USING (doc_id) WHERE split.b < 10),
+    rb AS (SELECT bands.doc_id AS train_id, band_key
+           FROM bands JOIN split USING (doc_id) WHERE split.b >= 15),
+    cand AS (SELECT DISTINCT tb.test_id, rb.train_id
+             FROM tb JOIN rb USING (band_key)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.test_id, c.train_id, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.test_id
+        JOIN sh sb ON sb.doc_id = c.train_id AND sb.shingle = sa.shingle
+        GROUP BY c.test_id, c.train_id
+    )
+    SELECT i.test_id, i.train_id,
+           ROUND(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.test_id
+    JOIN sizes nb ON nb.doc_id = i.train_id
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.5
+    """,
+)
+def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination — the eval-integrity pass of a training
+    pipeline: find every test-split document with a near-duplicate in the
+    train split (a test answer the model may have memorized verbatim).
+    Splits are the SAME deterministic hash buckets as train_test_split
+    (test: bucket < 10, train: bucket >= 15), and the LSH band join runs
+    test-bands x train-bands ONLY — candidate work scales with the small
+    test split times colliding train buckets, never train x train.
+    Jaccard-verified at 0.5 on word-3-gram shingles."""
+    from ..operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, "doc_id", "text", n=3)
+    bands = dedup.lsh_band_keys(dedup.minhash_signatures(sh, num_hashes=8), rows_per_band=2)
+    b = hash_bucket(F.col("doc_id"))
+    test_ids = d.select("doc_id").filter(b < 10)
+    train_ids = d.select("doc_id").filter(b >= 15)
+    tb = bands.join(test_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_a"), "band_key"
+    )
+    rb = bands.join(train_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_b"), "band_key"
+    )
+    cand = tb.join(rb, "band_key").select("id_a", "id_b").distinct()
+    out = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.5)
+    return out.select(
+        F.col("id_a").alias("test_id"),
+        F.col("id_b").alias("train_id"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 @register(
     "dedup_minhash_lsh_capped",
     oracle=rf"""
