@@ -991,6 +991,77 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_pair_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT DISTINCT doc_id, token FROM ({_SQL_TOKENS})),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    dfc AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+    co AS (
+        SELECT a.token AS w1, b.token AS w2, COUNT(*) AS n_co
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY w1, w2
+    )
+    SELECT w1, w2, CAST(n_co AS BIGINT) AS n_co,
+           ROUND(ln((n_co * 1.0 / n.n_docs) /
+                    ((fa.df * 1.0 / n.n_docs) * (fb.df * 1.0 / n.n_docs))), 6)
+             AS pmi
+    FROM co JOIN dfc fa ON fa.token = co.w1
+            JOIN dfc fb ON fb.token = co.w2
+            CROSS JOIN n
+    WHERE n_co >= 50
+    ORDER BY w1, w2
+    """,
+)
+def word_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level word co-occurrence
+    — the association statistic behind collocation mining and embedding
+    objectives (PMI-shifted SGNS). The co-occurrence self-join is an
+    equi-join on doc_id bounded by the per-doc DISTINCT vocabulary (never
+    a corpus cross join); term document-frequencies ride a broadcast; the
+    corpus size is a broadcast scalar. All PMI inputs are exact integers,
+    so the only float ops (two divides, one ln) see identical operands in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(text.words(F.col("text"))).alias("token")
+    ).distinct()
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    a = toks.select("doc_id", F.col("token").alias("w1"))
+    b = toks.select("doc_id", F.col("token").alias("w2"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 50)
+    )
+    fa = dfc.select(F.col("token").alias("w1"), F.col("df").alias("df_a"))
+    fb = dfc.select(F.col("token").alias("w2"), F.col("df").alias("df_b"))
+    return (
+        co.join(F.broadcast(fa), "w1")
+        .join(F.broadcast(fb), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.round(
+                F.log(
+                    (F.col("n_co") * 1.0 / F.col("n_docs"))
+                    / (
+                        (F.col("df_a") * 1.0 / F.col("n_docs"))
+                        * (F.col("df_b") * 1.0 / F.col("n_docs"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+@register(
     "bpe_char_pair_counts",
     oracle=r"""
     WITH w AS (
