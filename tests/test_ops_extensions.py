@@ -386,3 +386,22 @@ def test_dataset_mix_nested_and_default_drop(spark):
     assert not {i for i in lo | hi if i % 3 == 2}  # unlisted group dropped
     langs = {r.lang for r in dataset_mix(df, "lang", "doc_id", {"en": 100}).collect()}
     assert langs == {"en"}
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from weather_data_ingestion_gcp_spark.operators import sketch
+
+    train = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    # probes 0-9 duplicate train texts exactly; 1000-1009 are unseen
+    probe = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(10)]
+        + [(i, f"never seen before {i}") for i in range(1000, 1010)],
+        "doc_id bigint, text string",
+    )
+    bits = sketch.bloom_build(train, "text")
+    got = {r.doc_id: r.maybe_member for r in sketch.bloom_probe(probe, bits, "doc_id", "text").collect()}
+    assert all(got[i] == 1 for i in range(10))  # exact dups always flagged
+    # unseen probes are overwhelmingly rejected (fp rate ~ (1-e^-kn/m)^k ~ 1e-4)
+    assert sum(got[i] for i in range(1000, 1010)) <= 1

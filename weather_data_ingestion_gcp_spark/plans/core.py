@@ -1447,6 +1447,58 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@register(
+    "bloom_membership_check",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id,
+               {{bucket}} AS b,
+               u.j,
+               (strpos('0123456789abcdef', substr(md5(text), u.j * 4 + 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(text), u.j * 4 + 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(text), u.j * 4 + 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(text), u.j * 4 + 4, 1)) - 1) AS pos
+        FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) u
+    ),
+    bits AS (SELECT DISTINCT pos FROM pos WHERE b >= 15),
+    probe AS (SELECT doc_id, pos FROM pos WHERE b < 10)
+    SELECT p.doc_id,
+           CAST(SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) = 4 AS INT)
+             AS maybe_member
+    FROM probe p LEFT JOIN bits USING (pos)
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """.format(
+        bucket="((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+        " + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+        " + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100"
+    ),
+)
+def bloom_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter membership: the train split's content
+    fingerprints are summarized as a DISTINCT set of k=4 hash positions
+    in an m=65536-bit space (4 disjoint 16-bit slices of md5(text) — no
+    engine-native hash, so the sketch is reproducible anywhere); each
+    test-split document is flagged maybe-seen when all 4 of its positions
+    are set. No false negatives by construction — every exact cross-split
+    duplicate is caught — while the summary is at most m rows regardless
+    of corpus size: the 100 TB shape is a BROADCAST of the bit set
+    against a map-side probe, the data-level analog of the runtime
+    bloom-join pruning pinned in tests/test_scale_plans.py. This is the
+    mergeable-sketch completion of the family (KMV above, HLL below)."""
+    from ..operators import sketch
+    from ..operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    bits = sketch.bloom_build(d.filter(b >= 15), "text")
+    return sketch.bloom_probe(d.filter(b < 10), bits, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fuzzy string matching — levenshtein pairs inside blocks: the edit-distance
 # complement to the token-level dedup family.
