@@ -405,3 +405,20 @@ def test_bloom_membership_no_false_negatives(spark):
     assert all(got[i] == 1 for i in range(10))  # exact dups always flagged
     # unseen probes are overwhelmingly rejected (fp rate ~ (1-e^-kn/m)^k ~ 1e-4)
     assert sum(got[i] for i in range(1000, 1010)) <= 1
+
+
+def test_winnow_guarantees_shared_substring_fingerprint(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "other start " + shared + " different end"),
+        (3, "entirely unrelated content with zero overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = text.winnow_fingerprints(df, k=8, w=4, output="fps").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: shared substring >= k+w-1 chars -> common fp
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])

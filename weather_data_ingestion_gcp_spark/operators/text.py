@@ -138,6 +138,60 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", fp.alias("fp"), F.substring(fp, 1, 16).alias("fp64"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    output: str = "summary",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char k-gram, slide a
+    w-wide window over the hash sequence, keep each window's minimum.
+    Guarantees any shared substring of length >= k + w - 1 contributes at
+    least one common fingerprint — the position-robust complement of the
+    whole-document fingerprint (`fingerprint`) and set-based MinHash.
+
+    Everything stays columnar JVM arrays: k-grams and their md5 hashes
+    are materialized as array columns (own projections — CollapseProject
+    would otherwise re-run substr/md5 per window reference), windows are
+    a transform over an index sequence with array_min(slice(...)), and
+    only the distinct-fingerprint summary leaves the row. Guards handle
+    docs shorter than k or w (Spark's sequence(1,0) DESCENDS, it is not
+    empty). Output: (id, n_fp, min_fp, max_fp)."""
+    t = F.col("_t")
+    n_grams = F.length(t) - (k - 1)
+    grams_idx = F.when(
+        F.length(t) >= k, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("_t"),
+    )
+    hashed = base.select(
+        "doc_id",
+        F.transform(
+            grams_idx, lambda i: F.md5(t.substr(i, F.lit(k)))
+        ).alias("_hs"),
+    )
+    hs = F.col("_hs")
+    win_idx = F.when(
+        F.size(hs) >= w, F.sequence(F.lit(1), F.size(hs) - (w - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda j: F.array_min(F.slice(hs, j, w)))
+    )
+    if output == "fps":  # one row per fingerprint (for joins/overlap tests)
+        return hashed.select("doc_id", F.explode(fps).alias("fp"))
+    return hashed.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical cleaning pass: lowercase, strip non-alphanumerics to
     spaces, collapse runs of whitespace, trim. Character classes are kept

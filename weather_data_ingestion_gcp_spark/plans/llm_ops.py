@@ -991,6 +991,46 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow_fingerprints",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8
+                    THEN list_transform(generate_series(1, len(t) - 7),
+                                        i -> md5(substr(t, i, 8)))
+                    ELSE [] END AS hs
+        FROM norm
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(hs) >= 4
+                        THEN list_transform(generate_series(1, len(hs) - 3),
+                                            j -> list_min(list_slice(hs, j, j + 3)))
+                        ELSE [] END) AS fps
+        FROM g
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           list_min(fps) AS min_fp, list_max(fps) AS max_fp
+    FROM fp ORDER BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators.text.winnow_fingerprints): char
+    8-gram md5s, 4-wide window minima, distinct per doc — any shared
+    substring of length >= 11 chars yields a common fingerprint. The
+    whole computation is columnar array lambdas inside one projection;
+    no explode, no shuffle until the final orderBy."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(d, "doc_id", "text", k=8, w=4).orderBy("doc_id")
+
+
+@register(
     "word_pair_pmi",
     oracle=f"""
     WITH toks AS (SELECT DISTINCT doc_id, token FROM ({_SQL_TOKENS})),
@@ -1144,3 +1184,27 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.with_binary_payload(d, "text", "doc_id")
     return multimodal.decode_metadata(media, fake=True).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_offsets",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0,
+                greatest(octet_length(CAST(text AS BLOB)) - 1, 0), 1000))
+                AS BIGINT) AS frame_offset
+    FROM documents WHERE doc_id < 500 ORDER BY doc_id, frame_offset
+    """,
+)
+def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (multimodal.frame_sample_plan): one row per
+    sampled byte offset (every 1000 bytes) of each payload — the schedule
+    a video decoder would consume, generated with sequence + explode
+    entirely JVM-side. The payload column is projected away BEFORE the
+    explode, so the row blowup carries only (id, offset)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = multimodal.with_binary_payload(d, "text", "doc_id")
+    out = multimodal.frame_sample_plan(media, every_n_bytes=1000)
+    return out.select(
+        "doc_id", F.col("frame_offset").cast("long").alias("frame_offset")
+    ).orderBy("doc_id", "frame_offset")
