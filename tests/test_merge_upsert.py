@@ -65,3 +65,39 @@ def test_upsert_is_idempotent(spark, tmp_path):
     upsert_partitioned(spark, path, upd, ["k"], "d")  # replay (at-least-once)
     rows = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
     assert rows == [(1, "a"), (2, "b2")]
+
+
+def test_scd2_apply_versions_changes_and_skips_noops(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from weather_data_ingestion_gcp_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10.0, "2024-01-01", "2024-03-01"),  # closed history
+            (1, 20.0, "2024-03-01", None),          # open, will change
+            (2, 5.0, "2024-01-01", None),           # open, no-op update
+            (3, 7.0, "2024-01-01", None),           # open, no update row
+        ],
+        "k bigint, bal double, valid_from string, valid_to string",
+    ).select(
+        "k", "bal",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    updates = spark.createDataFrame(
+        [(1, 30.0), (2, 5.0)], "k bigint, bal double"
+    )
+    out = scd2_apply(dim, updates, "k", ["bal"], "2024-06-01")
+    rows = sorted(
+        ((r.k, r.bal, str(r.valid_from), str(r.valid_to)) for r in out.collect())
+    )
+    assert rows == [
+        (1, 10.0, "2024-01-01", "2024-03-01"),  # history untouched
+        (1, 20.0, "2024-03-01", "2024-06-01"),  # closed out
+        (1, 30.0, "2024-06-01", "None"),        # new open version
+        (2, 5.0, "2024-01-01", "None"),         # no-op: unchanged
+        (3, 7.0, "2024-01-01", "None"),         # no update: unchanged
+    ]

@@ -76,6 +76,58 @@ def upsert_partitioned(
     return sorted(str(p) for p in parts)
 
 
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    eff_date: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: apply ``updates`` (key + new
+    attribute values, effective ``eff_date``) to a versioned dimension,
+    KEEPING history — the audited alternative to the reference's
+    delete+insert overwrite (S12): instead of destroying the old row,
+    the open version is closed out (``valid_to`` = effective date) and a
+    new open version is appended.
+
+    Change detection is null-safe inequality on the tracked attributes —
+    a no-op update (same values) produces NO new version, so reruns and
+    full-snapshot feeds don't inflate history. All joins key on the
+    dimension key: one hash partitioning serves the change-detection
+    join and the anti-join; history rows (already closed) pass through
+    untouched with no join at all. Returns the full new history
+    (closed rows + unchanged open rows + closed-out rows + new
+    versions)."""
+    open_rows = dim.filter(F.col(to_col).isNull())
+    closed_rows = dim.filter(F.col(to_col).isNotNull())
+    upd = updates.select(key_col, *[F.col(c).alias(f"_u_{c}") for c in attr_cols])
+    joined = open_rows.join(upd, key_col)
+    diff = None
+    for c in attr_cols:
+        d = ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+        diff = d if diff is None else (diff | d)
+    changed = joined.filter(diff)
+    closed_out = changed.select(*dim.columns).withColumn(
+        to_col, F.lit(eff_date).cast("date")
+    )
+    new_rows = changed.select(
+        key_col,
+        *[F.col(f"_u_{c}").alias(c) for c in attr_cols],
+        F.lit(eff_date).cast("date").alias(from_col),
+        F.lit(None).cast("date").alias(to_col),
+    ).select(*dim.columns)
+    open_unchanged = open_rows.join(
+        changed.select(key_col), key_col, "left_anti"
+    )
+    return (
+        closed_rows.unionByName(open_unchanged)
+        .unionByName(closed_out)
+        .unionByName(new_rows)
+    )
+
+
 def _exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)

@@ -1693,6 +1693,69 @@ def regexp_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_customer_history",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_acctbal,
+               DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal
+        FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+    ),
+    changed AS (
+        SELECT d.c_custkey, d.c_acctbal AS old_bal, d.valid_from,
+               u.c_acctbal AS new_bal
+        FROM dim d JOIN upd u USING (c_custkey)
+        WHERE d.c_acctbal IS DISTINCT FROM u.c_acctbal
+    )
+    SELECT d.c_custkey, d.c_acctbal, d.valid_from, d.valid_to
+    FROM dim d LEFT JOIN changed c USING (c_custkey) WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, old_bal AS c_acctbal, valid_from,
+           DATE '2024-06-01' AS valid_to
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, new_bal AS c_acctbal, DATE '2024-06-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to
+    FROM changed
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 (operators.merge.scd2_apply): a
+    customer snapshot versioned at 2024-01-01 receives an update feed
+    (balances shifted for custkey % 7 == 0, plus NO-OP rows for
+    custkey % 11 == 0 proving null-safe change detection skips them);
+    changed keys get their open version closed out at the effective date
+    and a new open version appended — history preserved, the audited
+    form of the reference's delete+insert upsert (S12)."""
+    from ..operators.merge import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"))
+        .unionByName(
+            c.filter((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0))
+            .select("c_custkey", "c_acctbal")
+        )
+    )
+    out = scd2_apply(dim, updates, "c_custkey", ["c_acctbal"], "2024-06-01")
+    return out.orderBy("c_custkey", "valid_from")
+
+
+@register(
     "json_function_breadth",
     oracle="""
     SELECT event_id,
