@@ -153,42 +153,58 @@ def winnow_fingerprints(
     least one common fingerprint — the position-robust complement of the
     whole-document fingerprint (`fingerprint`) and set-based MinHash.
 
-    Everything stays columnar JVM arrays: k-grams and their md5 hashes
-    are materialized as array columns (own projections — CollapseProject
-    would otherwise re-run substr/md5 per window reference), windows are
-    a transform over an index sequence with array_min(slice(...)), and
-    only the distinct-fingerprint summary leaves the row. Guards handle
-    docs shorter than k or w (Spark's sequence(1,0) DESCENDS, it is not
-    empty). Output: (id, n_fp, min_fp, max_fp)."""
+    Formulation: explode gram start indices, hash with the CODEGEN'd md5
+    (a higher-order-function lambda evaluates md5 interpreted per
+    element — measured 2x slower end-to-end), take window minima with a
+    rows-frame window over (doc, position), then distinct. The one
+    shuffle (hash by doc, sort by position) replaces 5M interpreted
+    lambda calls at sf0.1; at scale it is the same per-key window shape
+    as sessionization. Guards handle docs shorter than k (Spark's
+    sequence(1,0) DESCENDS, it is not empty). Output: (id, n_fp,
+    min_fp, max_fp), or (id, fp) rows with ``output="fps"``."""
+    from pyspark.sql.window import Window
+
     t = F.col("_t")
-    n_grams = F.length(t) - (k - 1)
-    grams_idx = F.when(
-        F.length(t) >= k, F.sequence(F.lit(1), n_grams)
-    ).otherwise(F.expr("array()").cast("array<int>"))
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("_t"),
     )
-    hashed = base.select(
-        "doc_id",
-        F.transform(
-            grams_idx, lambda i: F.md5(t.substr(i, F.lit(k)))
-        ).alias("_hs"),
-    )
-    hs = F.col("_hs")
-    win_idx = F.when(
-        F.size(hs) >= w, F.sequence(F.lit(1), F.size(hs) - (w - 1))
+    idx = F.when(
+        F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - (k - 1))
     ).otherwise(F.expr("array()").cast("array<int>"))
-    fps = F.array_distinct(
-        F.transform(win_idx, lambda j: F.array_min(F.slice(hs, j, w)))
+    grams = base.select(
+        "doc_id", F.length(t).alias("_n"), F.explode(idx).alias("i"), t.alias("_tt")
+    ).select(
+        "doc_id",
+        "_n",
+        "i",
+        F.md5(F.col("_tt").substr(F.col("i"), F.lit(k))).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    fps = (
+        grams.withColumn("fp", F.min("h").over(win))
+        # only full w-wide windows select a fingerprint
+        .filter(F.col("i") <= F.col("_n") - (k - 1) - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
     )
     if output == "fps":  # one row per fingerprint (for joins/overlap tests)
-        return hashed.select("doc_id", F.explode(fps).alias("fp"))
-    return hashed.select(
-        "doc_id",
-        F.size(fps).cast("long").alias("n_fp"),
-        F.array_min(fps).alias("min_fp"),
-        F.array_max(fps).alias("max_fp"),
+        return fps.select("doc_id", "fp")
+    # left join back to all docs: short documents keep an empty summary
+    summary = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+    return (
+        base.select("doc_id")
+        .join(summary, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            "min_fp",
+            "max_fp",
+        )
     )
 
 
