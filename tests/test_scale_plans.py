@@ -282,3 +282,29 @@ def test_weighted_sample_is_topk_not_global_sort(spark):
     top-k + driver heap merge, never a full sort of the corpus."""
     plan = _formatted(QUERIES["sample_weighted_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "decontaminate_test_split",
+        "scd2_customer_history",
+        "cohort_retention",
+        "word_pair_pmi",
+        "bloom_membership_check",
+        "text_winnow_fingerprints",
+    ],
+)
+def test_new_entries_never_cartesian(spark, name):
+    """None of the late-round entries may degrade to an all-pairs product
+    — every candidate/join step must stay an equi-join or broadcast."""
+    plan = _formatted(QUERIES[name](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_decontamination_split_filter_reaches_scan(spark):
+    """The hash-bucket split predicate must push into the parquet scan:
+    band signatures are then computed only over each split's documents,
+    never over the full corpus."""
+    plan = _formatted(QUERIES["decontaminate_test_split"](spark, SF))
+    assert "conv(substring(md5" in plan  # the bucket expr inside DataFilters
