@@ -422,3 +422,21 @@ def test_winnow_guarantees_shared_substring_fingerprint(spark):
     # winnowing guarantee: shared substring >= k+w-1 chars -> common fp
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_resize_payloads_truncates_and_pads(spark):
+    rows = [(1, b"x" * 10), (2, b"y" * 5000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in multimodal.resize_payloads(df, 8, 8).collect()}
+    assert len(out[1].payload) == 64 and out[1].payload[:10] == b"x" * 10
+    assert len(out[2].payload) == 64 and bytes(out[2].payload) == b"y" * 64
+    assert (out[1].width, out[1].height) == (8, 8)
+
+
+def test_extract_features_known_values(spark):
+    # 16 bytes of value 10 -> every component mean is 10; empty -> zeros
+    rows = [(1, bytes([10] * 16)), (2, b"")]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r.feature for r in multimodal.extract_features(df, dim=8).collect()}
+    assert out[1] == [10.0] * 8
+    assert out[2] == [0.0] * 8

@@ -81,6 +81,69 @@ def decode_metadata(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(decode, DECODE_META_SCHEMA)
 
 
+#: Output schema of resize_payloads — payload out, dims pinned.
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, payload binary"
+
+#: Output schema of extract_features — fixed-dim embedding per payload.
+FEATURE_SCHEMA = "doc_id bigint, feature array<double>"
+
+
+def resize_payloads(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """mapInPandas resize: (doc_id, payload) -> payload re-encoded at the
+    target dimensions. STUB codec (no image library here): the fake
+    "resize" deterministically truncates/pads the byte stream to
+    width*height bytes, so batch shapes, Arrow binary round-tripping,
+    and output sizing are all real and testable; a Pillow-backed resize
+    replaces one inner function. Payload-carrying output, so batches are
+    bounded by arrow.maxRecordsPerBatch (the executor-memory contract
+    documented at module top)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out_payload = [
+                bytes(p[:target]).ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "payload": out_payload,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: (doc_id, payload) -> fixed-dim
+    float vector. STUB featurizer: component j is the mean of payload
+    byte values at positions congruent to j mod ``dim`` — deterministic
+    and vectorized with numpy per batch, so the Arrow batch path, the
+    array<double> output column, and downstream similarity-search
+    compatibility (same shape as the embeddings table) are all real;
+    a CLIP/CNN encoder replaces one inner function."""
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
+                if len(a) == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                pad = (-len(a)) % dim
+                a = np.pad(a, (0, pad))
+                feats.append(a.reshape(-1, dim).mean(axis=0).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "feature": feats}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(featurize, FEATURE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
     """Video-frame-sampling *plumbing*: emit one row per sampled offset
     (the decode of each frame is the same stub boundary). Pure JVM:

@@ -1187,6 +1187,43 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, (i - 1) % 8 AS j,
+               ascii(substr(text, CAST(i AS INT), 1)) AS b,
+               length(text) AS n
+        FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+        WHERE doc_id < 300
+    ),
+    agg AS (
+        SELECT doc_id, j,
+               ROUND(SUM(b) * 1.0 / CAST(ceil(n / 8.0) AS BIGINT), 6) AS m
+        FROM pos GROUP BY doc_id, j, n
+    )
+    SELECT doc_id, list(m ORDER BY j) AS feature
+    FROM agg GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads
+    (multimodal.extract_features): each payload becomes a fixed-dim
+    float vector (stub featurizer: per-component byte means, numpy per
+    Arrow batch) — the shape that feeds the similarity-search operators.
+    The oracle recomputes the same means positionally in SQL: byte sums
+    are exact integers, so the single division matches bitwise and the
+    whole Arrow round-trip (binary in, array<double> out) is
+    hash-verified."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.with_binary_payload(d, "text", "doc_id")
+    out = multimodal.extract_features(media, dim=8)
+    return out.select(
+        "doc_id",
+        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"),
+    ).orderBy("doc_id")
+
+
+@register(
     "multimodal_frame_offsets",
     oracle="""
     SELECT doc_id,
