@@ -440,3 +440,51 @@ def test_extract_features_known_values(spark):
     out = {r.doc_id: r.feature for r in multimodal.extract_features(df, dim=8).collect()}
     assert out[1] == [10.0] * 8
     assert out[2] == [0.0] * 8
+
+
+def test_ngram_exact_overlap_counts_and_df_cap(spark):
+    rows = [
+        (0, "a b c d e f"),       # probe
+        (1, "a b c d e g"),       # corpus: shares grams "a b c" "b c d" with 0? n=3
+        (2, "a b c x y z"),       # corpus: shares "a b c"
+        (3, "q r s t u v"),       # corpus: no overlap
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = dedup.shingles(d, "doc_id", "text", n=3)
+    probe = sh.filter(F.col("doc_id") == 0)
+    corpus = sh.filter(F.col("doc_id") > 0)
+    out = dedup.ngram_exact_overlap(probe, corpus, min_shared=2, max_gram_df=None)
+    got = {(r.probe_id, r.corpus_id): r.shared_grams for r in out.collect()}
+    # doc1 shares "a b c", "b c d", "c d e" -> 3; doc2 shares only "a b c" (<2)
+    assert got == {(0, 1): 3}
+    # df cap of 1 drops "a b c" (in 2 corpus docs) -> doc1 still has 2 left
+    capped = dedup.ngram_exact_overlap(probe, corpus, min_shared=2, max_gram_df=1)
+    got_capped = {(r.probe_id, r.corpus_id): r.shared_grams for r in capped.collect()}
+    assert got_capped == {(0, 1): 2}
+
+
+def test_pack_offsets_contiguous_and_chunk_spans(spark):
+    from weather_data_ingestion_gcp_spark.operators import packing
+
+    rows = [("s", i, 7) for i in range(10)]  # 10 docs x 7 tokens, ctx 16
+    d = spark.createDataFrame(rows, "shard string, doc_id bigint, nt int")
+    out = packing.pack_offsets(d, "doc_id", F.col("nt"), "shard", ctx_len=16).collect()
+    by_id = {r.doc_id: r for r in sorted(out, key=lambda r: r.doc_id)}
+    # offsets are contiguous: start of doc i == end of doc i-1
+    for i in range(1, 10):
+        assert by_id[i].start_offset == by_id[i - 1].end_offset
+    # doc 0: tokens [0,7) -> chunk 0 only; doc 2: [14,21) spans chunks 0-1
+    assert (by_id[0].first_chunk, by_id[0].last_chunk, by_id[0].n_chunks) == (0, 0, 1)
+    assert (by_id[2].first_chunk, by_id[2].last_chunk, by_id[2].n_chunks) == (0, 1, 2)
+    assert by_id[9].end_offset == 70
+
+
+def test_scalar_quantize_error_bound(spark):
+    rows = [(1, [0.0, 1.0, 0.5, 0.25]), (2, [3.0, 3.0, 3.0, 3.0])]
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.scalar_quantize_stats(d).collect()}
+    # error bounded by half a quantization step (+ 6dp report rounding)
+    assert out[1].max_abs_err <= (1.0 / 255) / 2 + 5e-7
+    assert (out[1].q_min, out[1].q_max) == (0.0, 1.0)
+    # degenerate constant vector: zero range, zero error (no div-by-zero)
+    assert out[2].max_abs_err == 0.0

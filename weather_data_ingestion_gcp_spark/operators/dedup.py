@@ -363,3 +363,44 @@ def blocked_jaccard_pairs(
     b = base.toDF("id_b", *block_cols)
     pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram contamination overlap
+# ---------------------------------------------------------------------------
+
+
+def ngram_exact_overlap(
+    probe_grams: DataFrame,
+    corpus_grams: DataFrame,
+    min_shared: int = 2,
+    max_gram_df: int | None = 50,
+) -> DataFrame:
+    """Exact n-gram overlap pairs (GPT-3-style decontamination): for every
+    probe document, find corpus documents sharing >= ``min_shared`` exact
+    word n-grams. Inputs are ``shingles()``-shaped (doc_id, shingle),
+    distinct per doc, so the equi-join emits one row per shared gram and a
+    plain count is the distinct intersection size.
+
+    ``max_gram_df`` drops grams appearing in more than that many corpus
+    docs before the join — the standard stop-gram guard: at 100 TB a
+    boilerplate gram (license headers, nav text) would otherwise fan out
+    |probe| x |corpus| rows; dropping high-DF grams bounds each gram's
+    join output. Skew-safe by construction.
+    """
+    tr = corpus_grams.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    if max_gram_df is not None:
+        kept = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("shingle")
+        )
+        tr = tr.join(kept, "shingle", "left_semi")
+    pr = probe_grams.select(F.col("doc_id").alias("probe_id"), "shingle")
+    return (
+        pr.join(tr, "shingle")
+        .groupBy("probe_id", "corpus_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )

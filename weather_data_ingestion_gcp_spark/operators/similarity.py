@@ -405,3 +405,40 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cos_sim", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar (int8) quantization
+# ---------------------------------------------------------------------------
+
+
+def scalar_quantize_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization audit: min/max range, the
+    (max-min)/255 scale, and the max absolute reconstruction error of
+    round-tripping every dimension through its 0..255 code. This is the
+    storage-shrink pass of an embedding pipeline (4x smaller vectors for
+    ANN serving) and the error column is the quality gate.
+
+    Everything is per-row array arithmetic — no shuffle, no UDF; the
+    element transform is order-free (min/max/abs, no accumulation), so the
+    result is engine- and partitioning-invariant bit-for-bit."""
+    mn = F.array_min(F.col(vec_col)).cast("double")
+    mx = F.array_max(F.col(vec_col)).cast("double")
+    scale = (mx - mn) / F.lit(255.0)
+    err = F.transform(
+        F.col(vec_col),
+        lambda x: F.abs(
+            x.cast("double")
+            - (F.round((x.cast("double") - mn) / scale, 0) * scale + mn)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(mn, 6).alias("q_min"),
+        F.round(mx, 6).alias("q_max"),
+        F.when(mx == mn, F.lit(0.0))
+        .otherwise(F.round(F.array_max(err), 6))
+        .alias("max_abs_err"),
+    )

@@ -1916,3 +1916,94 @@ def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
     )
+
+
+@register(
+    "bitwise_function_breadth",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id & 255) AS BIGINT) AS band_all,
+           CAST(bit_or(user_id & 255) AS BIGINT)  AS bor_all,
+           CAST(bit_xor(user_id & 255) AS BIGINT) AS bxor_all,
+           CAST(SUM(bit_count(event_id)) AS BIGINT) AS total_bits,
+           CAST(SUM(((event_id << 3) | (user_id & 7)) % 100000) AS BIGINT)
+               AS shifted_mix,
+           CAST(SUM((event_id >> 2) % 1000) AS BIGINT) AS rshift_mod,
+           CAST(SUM(xor(event_id, user_id) % 1000) AS BIGINT) AS xor_mod
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitwise_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family cross-pinned: &, |, ^, shifts, bit_count
+    scalars plus the bit_and/bit_or/bit_xor aggregates — the primitives
+    bitmap-index and feature-flag workloads lean on. All integer-exact, so
+    the oracle match is bitwise regardless of aggregation order; one hash
+    aggregate, map-side partials absorb the scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and(F.expr("user_id & 255")).alias("band_all"),
+            F.bit_or(F.expr("user_id & 255")).alias("bor_all"),
+            F.bit_xor(F.expr("user_id & 255")).alias("bxor_all"),
+            F.sum(F.expr("bit_count(event_id)")).cast("long").alias("total_bits"),
+            F.sum(F.expr("(shiftleft(event_id, 3) | (user_id & 7)) % 100000"))
+            .cast("long")
+            .alias("shifted_mix"),
+            F.sum(F.expr("shiftright(event_id, 2) % 1000"))
+            .cast("long")
+            .alias("rshift_mod"),
+            F.sum(F.expr("(event_id ^ user_id) % 1000")).cast("long").alias("xor_mod"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "conditional_null_breadth",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(NULLIF(user_id % 10, 0)) AS BIGINT) AS n_nonzero_mod,
+           CAST(SUM(ifnull(NULLIF(user_id % 10, 0), -1)) AS BIGINT) AS ifnull_sum,
+           CAST(SUM(CASE WHEN NULLIF(user_id % 3, 0) IS NOT NULL
+                         THEN 10 ELSE 1 END) AS BIGINT) AS nvl2_sum,
+           CAST(SUM(greatest(user_id % 7, user_id % 5, 3)) AS BIGINT) AS greatest_sum,
+           CAST(SUM(least(user_id % 7, user_id % 5)) AS BIGINT) AS least_sum,
+           CAST(SUM(coalesce(NULLIF(user_id % 4, 0), NULLIF(user_id % 2, 0), 99))
+                AS BIGINT) AS coalesce_sum,
+           ROUND(SUM(value / NULLIF(user_id % 4, 0)), 2) AS safe_div_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def conditional_null_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling / conditional family cross-pinned: NULLIF, IFNULL,
+    NVL2 (CASE-expanded in the oracle — DuckDB has no nvl2), COALESCE
+    chains, GREATEST/LEAST (both engines skip NULL operands), COUNT's
+    null-skipping, and NULL-safe division via NULLIF denominators (the
+    portable try_divide). Integer paths are exact; the one float sum is
+    rounded like every float aggregate in the suite."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.expr("nullif(user_id % 10, 0)")).alias("n_nonzero_mod"),
+            F.sum(F.expr("ifnull(nullif(user_id % 10, 0), -1)"))
+            .cast("long")
+            .alias("ifnull_sum"),
+            F.sum(F.expr("nvl2(nullif(user_id % 3, 0), 10, 1)"))
+            .cast("long")
+            .alias("nvl2_sum"),
+            F.sum(F.expr("greatest(user_id % 7, user_id % 5, 3)"))
+            .cast("long")
+            .alias("greatest_sum"),
+            F.sum(F.expr("least(user_id % 7, user_id % 5)"))
+            .cast("long")
+            .alias("least_sum"),
+            F.sum(F.expr("coalesce(nullif(user_id % 4, 0), nullif(user_id % 2, 0), 99)"))
+            .cast("long")
+            .alias("coalesce_sum"),
+            F.round(F.sum(F.expr("value / nullif(user_id % 4, 0)")), 2)
+            .alias("safe_div_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -438,3 +438,126 @@ def curation_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "quality_repetition_signals",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+        FROM documents),
+    uni AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY doc_id, w),
+    ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                  COUNT(*) AS n_uniq, MAX(c) AS top_n
+           FROM wc GROUP BY doc_id),
+    bgl AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                          i -> ws[i] || ' ' || ws[i+1])) AS g
+            FROM toks),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bgl GROUP BY doc_id, g),
+    bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, COUNT(*) AS n_uniq_bg
+           FROM bc GROUP BY doc_id)
+    SELECT ws.doc_id, n_words,
+           ROUND((n_words - n_uniq) * 1.0 / n_words, 6) AS dup_word_frac,
+           ROUND(top_n * 1.0 / n_words, 6)              AS top_word_frac,
+           ROUND((n_bg - n_uniq_bg) * 1.0 / n_bg, 6)    AS dup_bigram_frac,
+           ((n_words - n_uniq) * 10 > 3 * n_words
+            OR top_n * 5 > n_words
+            OR (n_bg - n_uniq_bg) * 10 > 3 * n_bg)      AS low_quality
+    FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+    ORDER BY ws.doc_id
+    """,
+)
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-word
+    fraction, most-frequent-word fraction, duplicate-bigram fraction, and
+    a low-quality flag (dup-word > 0.3 OR top-word > 0.2 OR dup-bigram >
+    0.3). The flag is computed in INTEGER arithmetic (count*10 > 3*total)
+    so the keep/drop decision is exact on both engines — only the reported
+    ratios are rounded. Explode + two-level hash aggregate: partial
+    (map-side) aggregation absorbs the token blowup before any shuffle,
+    and per-doc skew is bounded by max document length."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text.words(F.col("text")).alias("_ws"))
+    wc = (
+        toks.select("doc_id", F.explode("_ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_uniq"),
+        F.max("c").cast("long").alias("top_n"),
+    )
+    bc = (
+        toks.select(
+            "doc_id", F.explode(text.bigrams(F.col("_ws"), tokenized=True)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bg"),
+        F.count(F.lit(1)).cast("long").alias("n_uniq_bg"),
+    )
+    n_words, n_uniq, top_n = F.col("n_words"), F.col("n_uniq"), F.col("top_n")
+    n_bg, n_uniq_bg = F.col("n_bg"), F.col("n_uniq_bg")
+    return (
+        ws.join(bs, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round((n_words - n_uniq) / n_words, 6).alias("dup_word_frac"),
+            F.round(top_n / n_words, 6).alias("top_word_frac"),
+            F.round((n_bg - n_uniq_bg) / n_bg, 6).alias("dup_bigram_frac"),
+            (
+                ((n_words - n_uniq) * 10 > 3 * n_words)
+                | (top_n * 5 > n_words)
+                | ((n_bg - n_uniq_bg) * 10 > 3 * n_bg)
+            ).alias("low_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sequence_pack_offsets",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS end_offset
+        FROM t)
+    SELECT lang, doc_id, n_tokens,
+           end_offset - n_tokens AS start_offset, end_offset,
+           (end_offset - n_tokens) // 512 AS first_chunk,
+           (end_offset - 1) // 512 AS last_chunk,
+           (end_offset - 1) // 512 - (end_offset - n_tokens) // 512 + 1 AS n_chunks
+    FROM c ORDER BY lang, doc_id
+    """,
+)
+def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.pack_offsets):
+    concatenate each language shard's documents in doc_id order and cut
+    every 512 tokens; report each document's running token offsets and the
+    context-window span it lands in. One cumulative-sum window per shard —
+    packing a 100 TB corpus stays embarrassingly parallel across shards
+    instead of serializing through a global order."""
+    d = _t(spark, sf_dir, "documents")
+    from ..operators import packing
+
+    out = packing.pack_offsets(
+        d, "doc_id", F.size(text.words(F.col("text"))), "lang", ctx_len=512
+    )
+    return out.select(
+        "lang", "doc_id", "n_tokens", "start_offset", "end_offset",
+        "first_chunk", "last_chunk", "n_chunks",
+    ).orderBy("lang", "doc_id")

@@ -1245,3 +1245,92 @@ def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("frame_offset").cast("long").alias("frame_offset")
     ).orderBy("doc_id", "frame_offset")
+
+
+#: Distinct word-8-gram shingles per document (DuckDB side of
+#: dedup.shingles(n=8) — same lowercasing + whitespace split).
+_SQL_SHINGLES8 = r"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(ws) - 7, 0)),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                           ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                           ws[i+6] || ' ' || ws[i+7])) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+              FROM documents))
+"""
+
+
+@register(
+    "decontaminate_ngram_exact",
+    oracle=rf"""
+    WITH sh AS ({_SQL_SHINGLES8}),
+    split AS (SELECT doc_id, {_SQL_DOCID_BUCKET} AS b FROM documents),
+    te AS (SELECT sh.doc_id AS test_id, shingle
+           FROM sh JOIN split USING (doc_id) WHERE split.b < 10),
+    tr AS (SELECT sh.doc_id AS train_id, shingle
+           FROM sh JOIN split USING (doc_id) WHERE split.b >= 15),
+    kept AS (SELECT shingle FROM tr GROUP BY shingle HAVING COUNT(*) <= 50)
+    SELECT te.test_id, tr.train_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM te
+    JOIN kept USING (shingle)
+    JOIN tr USING (shingle)
+    GROUP BY te.test_id, tr.train_id
+    HAVING COUNT(*) >= 2
+    ORDER BY test_id, train_id
+    """,
+)
+def decontaminate_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-overlap decontamination (the GPT-3 appendix-C recipe, sized to
+    this corpus): flag every test-split document sharing >= 2 exact word
+    8-grams with a train-split document. Complements the LSH variant
+    (decontaminate_test_split) — exact n-grams catch verbatim spans that
+    near-dup Jaccard can dilute away on long documents. The high-DF
+    stop-gram guard (dedup.ngram_exact_overlap max_gram_df) bounds the
+    per-gram join fan-out, which is what makes the equi-join safe at
+    corpus scale."""
+    from ..operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, "doc_id", "text", n=8)
+    b = hash_bucket(F.col("doc_id"))
+    te = sh.join(d.filter(b < 10).select("doc_id"), "doc_id", "left_semi")
+    tr = sh.join(d.filter(b >= 15).select("doc_id"), "doc_id", "left_semi")
+    out = dedup.ngram_exact_overlap(te, tr, min_shared=2, max_gram_df=50)
+    return out.select(
+        F.col("probe_id").alias("test_id"),
+        F.col("corpus_id").alias("train_id"),
+        "shared_grams",
+    ).orderBy("test_id", "train_id")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           ROUND(mn, 6) AS q_min,
+           ROUND(mx, 6) AS q_max,
+           CASE WHEN mx = mn THEN 0.0 ELSE
+             ROUND(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)
+                          - (round((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0))
+                             * ((mx - mn) / 255.0) + mn)))), 6)
+           END AS max_abs_err
+    FROM (SELECT vec_id, embedding,
+                 CAST(list_min(embedding) AS DOUBLE) AS mn,
+                 CAST(list_max(embedding) AS DOUBLE) AS mx
+          FROM embeddings)
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit over the embedding column
+    (similarity.scalar_quantize_stats): per-vector range, and the max
+    absolute error of the 0..255 round-trip. Map-only row-local array
+    arithmetic — the plan is a single project over the parquet scan, so it
+    scales linearly with no shuffle at any corpus size. Error arithmetic
+    is order-free (no accumulation), keeping bitwise cross-engine parity
+    without fold-order pinning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.scalar_quantize_stats(e).orderBy("vec_id")
