@@ -60,3 +60,41 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert last[3].n_events == 1 and last[3].value_total == 7.0
     # user 1 appeared in two different micro-batches -> state carried over
     assert last[1].emit_seq == 2
+
+
+def test_transform_with_state_typed_state_vars(spark, tmp_path):
+    """v2 API (transformWithStateInPandas): value + map state accumulate
+    across micro-batches. Requires protobuf (the v2 state protocol);
+    skipped where the package is absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    _land(tmp_path, "c1.json", [(1, "2024-01-01 10:00:00", 1.5), (2, "2024-01-01 10:06:00", 4.0)])
+    _land(tmp_path, "c2.json", [(1, "2024-01-01 11:00:00", 3.0), (1, "2024-01-01 11:02:00", 2.0)])
+
+    from weather_data_ingestion_gcp_spark.streaming.stateful import user_activity_profile
+
+    schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    # derive a type column deterministically so batches carry 2 types
+    ev = raw.withColumn("event_type", F.expr("CASE WHEN value < 3 THEN 'a' ELSE 'b' END"))
+    q = (
+        user_activity_profile(ev)
+        .writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM profiles WHERE user_id = 1 ORDER BY n_events DESC LIMIT 1"
+    ).collect()
+    assert rows and rows[0].n_events == 3
+    assert rows[0].value_total == 6.5
+    assert rows[0].n_event_types == 2  # 1.5,2.0 -> 'a'; 3.0 -> 'b'

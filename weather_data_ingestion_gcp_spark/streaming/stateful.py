@@ -61,3 +61,80 @@ def user_running_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state v2 API)
+# ---------------------------------------------------------------------------
+
+try:  # the v2 stateful API needs pyspark >= 4.0 AND the protobuf package
+    # (its state-store protocol speaks protobuf to a driver-side server;
+    # absent protobuf the streaming runner crashes at init, so gate here)
+    import google.protobuf  # noqa: F401
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserActivityProcessor(StatefulProcessor):
+        """Per-user activity profile with TYPED state variables — the
+        capability step beyond applyInPandasWithState's single state
+        tuple: independent state slots (running counter + per-type map)
+        that the state store tracks, checkpoints, and restores
+        individually.
+
+        State:
+          - ``totals``  ValueState (n BIGINT, total DOUBLE)
+          - ``by_type`` MapState  event_type -> count
+        Emits one profile row per updated user per micro-batch."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+            self.by_type = handle.getMapState(
+                "by_type", "event_type STRING", "c BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self.totals.get() if self.totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for et, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self.by_type.getValue((et,))[0]
+                        if self.by_type.containsKey((et,))
+                        else 0
+                    )
+                    self.by_type.updateValue((et,), (prev + int(c),))
+            self.totals.update((n, total))
+            n_types = sum(1 for _ in self.by_type.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_total": [round(total, 6)],
+                    "n_event_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def user_activity_profile(events: DataFrame) -> DataFrame:
+        """events stream (user_id, event_type, value) -> per-user profile
+        via the v2 arbitrary-state API (transformWithStateInPandas)."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            UserActivityProcessor(),
+            outputStructType=(
+                "user_id BIGINT, n_events BIGINT, value_total DOUBLE, "
+                "n_event_types BIGINT"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - pyspark < 4.0 or no protobuf
+    StatefulProcessor = None  # type: ignore[assignment]
+
+    def user_activity_profile(events: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0 and protobuf"
+        )
