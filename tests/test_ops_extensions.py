@@ -488,3 +488,44 @@ def test_scalar_quantize_error_bound(spark):
     assert (out[1].q_min, out[1].q_max) == (0.0, 1.0)
     # degenerate constant vector: zero range, zero error (no div-by-zero)
     assert out[2].max_abs_err == 0.0
+
+
+def test_mmr_prefers_diversity_over_redundant_topk(spark):
+    # cluster A near the query (ids 1,2,3 nearly identical), cluster B
+    # orthogonal-ish (id 4). Pure top-2 would pick two A's; MMR picks A then B.
+    rows = [
+        (1, [1.0, 0.0, 0.01]),
+        (2, [1.0, 0.0, 0.02]),
+        (3, [0.99, 0.0, 0.0]),
+        (4, [0.3, 1.0, 0.0]),
+    ]
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # query between the clusters: A's are most relevant but mutually
+    # near-identical (sim ~1 > rel ~0.96), so the redundancy penalty beats
+    # the relevance edge on the second pick
+    q = [1.0, 0.3, 0.0]
+    out = similarity.mmr_select(d, q, k=2, lam=0.5)
+    picks = [r.vec_id for r in out.orderBy("mmr_rank").collect()]
+    assert picks[0] in (1, 2, 3)  # most relevant first
+    assert picks[1] == 4          # second pick is the diverse one
+    # deterministic across runs
+    again = [r.vec_id for r in similarity.mmr_select(
+        d, q, k=2, lam=0.5).orderBy("mmr_rank").collect()]
+    assert picks == again
+
+
+def test_countmin_never_underestimates(spark):
+    from weather_data_ingestion_gcp_spark.operators import sketch
+
+    rows = [(i % 7,) for i in range(1000)] + [(99,)] * 500
+    d = spark.createDataFrame(rows, "k bigint")
+    cells = sketch.countmin_build(d, "k")
+    assert cells.count() <= sketch.CMS_D * sketch.CMS_W
+    est = {
+        r.k: r.est_count
+        for r in sketch.countmin_estimate(cells, d.distinct(), "k").collect()
+    }
+    true = {r.k: r["count"] for r in d.groupBy("k").count().collect()}
+    for k, t in true.items():
+        assert est[k] >= t  # CMS upper bound property
+    assert est[99] >= 500

@@ -442,3 +442,82 @@ def scalar_quantize_stats(
         .otherwise(F.round(F.array_max(err), 6))
         .alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity selection
+# ---------------------------------------------------------------------------
+
+
+def mmr_select(
+    df: DataFrame,
+    query_vec: "list[float]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    lam: float = 0.7,
+    shortlist_m: int = 64,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance selection: pick k vectors maximizing
+    ``lam * rel(q, x) - (1 - lam) * max_sim(x, selected)`` — the
+    diversity-aware sampling step of dataset curation (pure top-k returns
+    near-duplicates; MMR spends the budget on coverage).
+
+    Two stages, the standard retrieve-then-rerank split:
+      1. DISTRIBUTED shortlist: one Arrow-vectorized relevance pass over
+         the corpus, TakeOrdered top-``shortlist_m`` — the only part that
+         scales with data size, and it is a single job with no shuffle
+         beyond the top-k merge.
+      2. DRIVER rerank: greedy MMR over the bounded m x dim matrix
+         (m <= 64 here) — O(k * m * dim) numpy, microseconds. Greedy MMR
+         is sequential in k by definition; confining the sequential part
+         to a constant-size shortlist is what keeps the operator scale-
+         free (the alternative — k full-corpus passes — pays k job
+         round-trips for picks that provably lie in the relevance head
+         when lam >= 0.5).
+
+    Deterministic: ties break on ascending id. Returns (id, mmr_rank,
+    relevance) for the k picks."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= np.sqrt((q * q).sum())
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def unit_pd(xs: pd.Series) -> pd.Series:
+        X = np.stack(xs.to_numpy()).astype(np.float64)
+        X /= np.sqrt((X * X).sum(axis=1, keepdims=True))
+        return pd.Series(list(X))
+
+    base = df.select(F.col(id_col).alias("_id"), unit_pd(F.col(vec_col)).alias("_u"))
+    qb = F.array(*[F.lit(float(v)) for v in q])
+    short = (
+        base.select("_id", "_u", dot_pandas(F.col("_u"), qb).alias("_rel"))
+        .orderBy(F.desc("_rel"), F.asc("_id"))
+        .limit(shortlist_m)
+        .collect()
+    )
+    ids = [r["_id"] for r in short]
+    U = np.stack([np.asarray(r["_u"], dtype=np.float64) for r in short])
+    rel = np.asarray([r["_rel"] for r in short], dtype=np.float64)
+
+    picked: list[int] = []
+    for _ in range(min(k, len(ids))):
+        if picked:
+            max_sim = (U @ U[picked].T).max(axis=1)
+        else:
+            max_sim = np.zeros(len(ids))
+        score = lam * rel - (1.0 - lam) * max_sim
+        score[picked] = -np.inf
+        # argmax with ascending-id tiebreak (ids sorted by rel desc, id asc)
+        best = int(np.lexsort((ids, -score))[0])
+        picked.append(best)
+
+    rows = [(ids[i], rank + 1, float(rel[i])) for rank, i in enumerate(picked)]
+    out = df.sparkSession.createDataFrame(
+        rows, f"{id_col} long, mmr_rank int, relevance double"
+    )
+    return out.select(id_col, "mmr_rank", F.round("relevance", 6).alias("relevance"))

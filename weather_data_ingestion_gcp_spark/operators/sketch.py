@@ -64,3 +64,63 @@ def bloom_probe(df: DataFrame, bits: DataFrame, id_col: str, key_col: str) -> Da
             (F.col("n_hits") == BLOOM_K).cast("int").alias("maybe_member"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy hitters / frequency estimation)
+# ---------------------------------------------------------------------------
+
+#: d independent hash rows x w buckets -> d*w cells total.
+CMS_D = 4
+CMS_W = 256
+
+
+def cms_bucket(key: Column, seed: int) -> Column:
+    """Bucket in [0, w) for one hash row: 16-bit md5 slice of the seeded
+    key, mod w — portable (md5 + base conversion only) like the Bloom and
+    KMV sketches, so estimates reproduce bit-for-bit anywhere."""
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % CMS_W).alias("bucket")
+
+
+def countmin_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the sketch: (seed, bucket, c) cell counts. At most d*w rows
+    (1024 here) regardless of input cardinality — a bounded, broadcastable,
+    MERGEABLE summary (cells of two sketches add), which is what makes it
+    the streaming/distributed frequency sketch."""
+    sb = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"), cms_bucket(F.col(key_col), s).alias("bucket")
+            )
+            for s in range(CMS_D)
+        ]
+    )
+    return (
+        df.select(F.explode(sb).alias("sb"))
+        .select("sb.seed", "sb.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def countmin_estimate(cells: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
+    """Estimate each probe key's frequency: MIN over the d rows of its
+    cell counts (classic CMS upper-bound estimate; never underestimates).
+    The sketch side broadcasts; the probe side never shuffles."""
+    sb = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"), cms_bucket(F.col(key_col), s).alias("bucket")
+            )
+            for s in range(CMS_D)
+        ]
+    )
+    probe = probes.select(F.col(key_col), F.explode(sb).alias("sb")).select(
+        key_col, "sb.seed", "sb.bucket"
+    )
+    return (
+        probe.join(F.broadcast(cells), ["seed", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_count"))
+    )

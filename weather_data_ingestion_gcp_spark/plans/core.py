@@ -2007,3 +2007,118 @@ def conditional_null_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _sql_hex4_expr(md5_arg: str) -> str:
+    """First 16 bits of md5(md5_arg) as an integer (DuckDB; mirrors
+    F.conv(substring(md5(..),1,4),16,10))."""
+    d = f"md5({md5_arg})"
+    return (
+        f"((strpos('0123456789abcdef', substring({d}, 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substring({d}, 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substring({d}, 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substring({d}, 4, 1)) - 1))"
+    )
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS s),
+    sb AS (
+        SELECT user_id, s,
+               {_sql_hex4_expr("CAST(s AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)")} % 256
+                   AS bucket
+        FROM events CROSS JOIN seeds WHERE user_id IS NOT NULL),
+    cells AS (SELECT s, bucket, COUNT(*) AS c FROM sb GROUP BY s, bucket),
+    probes AS (SELECT DISTINCT user_id, s, bucket FROM sb),
+    est AS (SELECT user_id, MIN(c) AS est_count
+            FROM probes JOIN cells USING (s, bucket) GROUP BY user_id),
+    truth AS (SELECT user_id, COUNT(*) AS true_count
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+    SELECT e.user_id,
+           CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(t.true_count AS BIGINT) AS true_count,
+           CAST(e.est_count - t.true_count AS BIGINT) AS overcount
+    FROM est e JOIN truth t ON e.user_id = t.user_id
+    ORDER BY est_count DESC, e.user_id LIMIT 50
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketch.countmin_*): d=4
+    md5-seeded hash rows x w=256 buckets summarize per-user event counts in
+    at most 1024 cells — bounded, BROADCASTABLE, and mergeable (cells add),
+    the canonical streaming frequency sketch. Estimates are min-over-rows
+    upper bounds (never under), checked here against true counts with the
+    overcount surfaced. Deterministic md5 hashing makes the sketch
+    oracle-exact cross-engine, completing the sketch family: Bloom
+    (membership), KMV (distinct), HLL (distinct, engine-native), CMS
+    (frequency)."""
+    from ..operators import sketch
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cells = sketch.countmin_build(e, "user_id")
+    probes = e.select("user_id").distinct()
+    est = sketch.countmin_estimate(cells, probes, "user_id")
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    return (
+        est.join(truth, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(50)
+    )
+
+
+@register(
+    "table_checksum_by_flag",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor({_sql_hex4_expr(
+               "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+               " || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)"
+           )} * 65536 + {_sql_hex4_expr(
+               "'x|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+           )}) AS BIGINT) AS checksum
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def table_checksum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free data-integrity fingerprint: per-group XOR of a 32-bit
+    per-row key hash (two independent 16-bit md5 slices). XOR is
+    commutative/associative, so the checksum is invariant to partitioning,
+    ordering, and engine — exactly the cross-system migration-validation
+    primitive this repo's own oracle gate embodies. One hash aggregate
+    with map-side partials; at 100 TB the per-partition XOR reduces to one
+    long per group before the (tiny) shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    key1 = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+    )
+    key2 = F.concat_ws(
+        "|",
+        F.lit("x"),
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(key1), 1, 4), 16, 10).cast("long") * 65536
+        + F.conv(F.substring(F.md5(key2), 1, 4), 16, 10).cast("long")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(h).cast("long").alias("checksum"),
+        )
+        .orderBy("l_returnflag")
+    )

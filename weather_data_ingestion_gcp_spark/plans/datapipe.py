@@ -561,3 +561,60 @@ def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", "n_tokens", "start_offset", "end_offset",
         "first_chunk", "last_chunk", "n_chunks",
     ).orderBy("lang", "doc_id")
+
+
+@register(
+    "incremental_ingest_dedup",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, lang, text, {_sql_hex4_to_int('doc_id')} % 100 AS b
+        FROM documents),
+    inc AS (SELECT doc_id, lang, text FROM split WHERE b < 30),
+    corp AS (SELECT DISTINCT text FROM split WHERE b >= 30)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN c.text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM inc LEFT JOIN corp c ON inc.text = c.text
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup, Bloom-pruned: incoming documents
+    (hash bucket < 30) are kept only if their exact text is absent from
+    the already-ingested corpus (bucket >= 30). The Bloom bit-set of the
+    corpus (bounded, broadcast — operators/sketch) first classifies each
+    incoming doc: definite-new rows SKIP the verify join entirely (no
+    false negatives), and only maybe-members anti-join against the corpus
+    — at 100 TB that turns a full fact-fact anti-join into a broadcast
+    probe plus a join over the (tiny) maybe set. The oracle is the plain
+    anti-join, proving the pruned composition is semantics-neutral."""
+    from ..operators import sketch
+
+    d = _t(spark, sf_dir, "documents")
+    b = sampling.hash_bucket(F.col("doc_id"))
+    inc = d.filter(b < 30).select("doc_id", "lang", "text")
+    corp = d.filter(b >= 30).select("text").distinct()
+    bits = sketch.bloom_build(corp, "text")
+    probed = sketch.bloom_probe(inc, bits, "doc_id", "text")
+    definite_new = inc.join(
+        probed.filter(F.col("maybe_member") == 0).select("doc_id"), "doc_id", "left_semi"
+    )
+    maybes = inc.join(
+        probed.filter(F.col("maybe_member") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+    verified_new = maybes.join(corp, "text", "left_anti")
+    kept = definite_new.unionByName(verified_new).select(
+        F.col("doc_id").alias("k_id"), F.col("lang").alias("k_lang")
+    )
+    return (
+        inc.join(kept, inc.doc_id == kept.k_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incoming"),
+            F.sum(F.when(F.col("k_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -1334,3 +1334,19 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     without fold-order pinning."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.scalar_quantize_stats(e).orderBy("vec_id")
+
+
+@register("similarity_mmr_diverse")  # iterative greedy -> rows-only check
+def similarity_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval (similarity.mmr_select): greedy MMR picks
+    8 vectors balancing relevance to the query (vec_id 0) against
+    redundancy with already-picked ones. Sequential in k by definition
+    (each pick reshapes the next argmax), hence no SQL oracle — the
+    greedy invariant and determinism are pytest-pinned instead. Per round
+    the corpus is scored in one Arrow pass against a broadcast <= k x dim
+    matrix and exactly one row is collected."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.mmr_select(
+        e.filter(F.col("vec_id") != 0), [float(v) for v in qvec], k=8, lam=0.7
+    ).orderBy("mmr_rank")
