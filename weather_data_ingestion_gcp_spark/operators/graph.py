@@ -42,13 +42,25 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Label every node with the minimum node id of its component.
 
     ``nodes``: one row per node (isolated nodes keep their own id as label).
     ``edges``: undirected pairs; direction/duplication is normalized here.
     Returns (id_col, component) — component = min reachable id.
-    """
+
+    Adaptive execution: when the distinct edge list is at most
+    ``small_graph_edges`` rows it is collected ONCE and solved with
+    union-find on the driver (milliseconds), then broadcast-joined back —
+    the same size-based plan switch Spark itself applies to joins. Near-dup
+    edge lists are tiny relative to the corpus (pairs above a high Jaccard
+    bar), so this is the common case even at large corpus sizes; each
+    distributed round otherwise costs multiple scheduled stages just to
+    move a few thousand labels. Graphs above the bound run the iterative
+    propagation below (and the star variant handles adversarial
+    diameters). The corpus-size ``nodes`` relation never leaves the
+    cluster on either path."""
     # Evaluate the edge subtree exactly ONCE. The callers' edge lists are
     # often expensive pipelines (the minhash near-dup query feeding this is
     # a 5-stage shingle/signature/bucket/verify tree); the symmetrization
@@ -62,6 +74,32 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if sym.count() <= 2 * small_graph_edges:  # sym holds both directions
+        pairs = base.distinct().collect()
+        sym.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for p in pairs:
+            ra, rb = find(p["src"]), find(p["dst"])
+            if ra != rb:  # union by MIN id -> root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labeled = [(x, find(x)) for x in parent]
+        spark = nodes.sparkSession
+        active = spark.createDataFrame(
+            labeled or [(None, None)], f"{id_col} long, component long"
+        ).filter(F.col(id_col).isNotNull())
+        return nodes.select(id_col).join(F.broadcast(active), id_col, "left").select(
+            id_col, F.coalesce("component", F.col(id_col)).alias("component")
+        )
     # Dedup graphs are sparse: most documents touch no edge at all. Only
     # nodes WITH edges participate in the iteration (the label of an
     # isolated node never changes); everyone else gets its self-label in
