@@ -45,7 +45,8 @@ def main() -> int:
         # multi-million-row queries leave the old gen full of dead shuffle
         # and Arrow buffers; without an explicit collection the NEXT queries
         # pay 5-15x in GC stalls (measured), which would misattribute time
-        spark._jvm.System.gc()
+        if os.environ.get("SPARK_GRAFT_BENCH_NO_GC") != "1":
+            spark._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

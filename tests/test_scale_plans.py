@@ -308,3 +308,48 @@ def test_decontamination_split_filter_reaches_scan(spark):
     never over the full corpus."""
     plan = _formatted(QUERIES["decontaminate_test_split"](spark, SF))
     assert "conv(substring(md5" in plan  # the bucket expr inside DataFilters
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "decontaminate_ngram_exact",
+        "countmin_heavy_hitters",
+        "incremental_ingest_dedup",
+        "quality_repetition_signals",
+    ],
+)
+def test_newest_entries_never_cartesian(spark, name):
+    plan = _formatted(QUERIES[name](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_countmin_sketch_broadcasts_to_probe(spark):
+    """The d x w cell relation is bounded (1024 rows) — it must reach the
+    probe side as a broadcast, never a shuffled join."""
+    plan = _formatted(QUERIES["countmin_heavy_hitters"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sequence_packing_single_window_per_shard(spark):
+    """Packing is exactly one cumulative-sum window partitioned by shard —
+    a global-order window (empty partition spec) would serialize the
+    corpus through one task at scale."""
+    df = QUERIES["sequence_pack_offsets"](spark, SF)
+    plan = _formatted(df)
+    assert plan.count("Window") >= 1
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("lang" in s for s in specs)
+
+
+def test_quantization_plan_is_shuffle_free_projection(spark):
+    """Int8 quantization audit must stay a map-only project over the scan:
+    any Exchange in the plan means a pointless shuffle of the vectors."""
+    df = QUERIES["embedding_quantize_int8"](spark, SF)
+    # drop the presentation orderBy (driver-side concern) to inspect the
+    # compute shape
+    core = df._jdf.queryExecution().executedPlan().toString()
+    assert core.count("Exchange") <= 1  # only the final sort's exchange

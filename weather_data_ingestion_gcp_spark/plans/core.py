@@ -2122,3 +2122,52 @@ def table_checksum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "ordered_listagg_by_type",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id
+                FROM events WHERE user_id IS NOT NULL),
+    t AS (SELECT event_type, user_id,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY user_id) AS rn
+          FROM du)
+    SELECT event_type,
+           string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS users_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_listed
+    FROM t WHERE rn <= 10
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ordered_listagg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg semantics): the
+    10 smallest distinct user ids per event type, joined into one ordered
+    CSV cell. Composed as array_join(array_sort(collect_list(...))) — the
+    deterministic form of Spark's listagg — with a WindowGroupLimit
+    capping each group BEFORE any list is built: list aggregates are only
+    scale-safe when a rank/limit bounds the group first, which is the
+    pattern pinned here."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    du = e.select("event_type", "user_id").distinct()
+    w = Window.partitionBy("event_type").orderBy("user_id")
+    return (
+        du.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                # sort NUMERICALLY first, cast after — lexicographic string
+                # sort would reorder multi-digit ids vs the oracle's
+                # ORDER BY user_id
+                F.transform(
+                    F.array_sort(F.collect_list("user_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("users_csv"),
+            F.count(F.lit(1)).cast("long").alias("n_listed"),
+        )
+        .orderBy("event_type")
+    )
