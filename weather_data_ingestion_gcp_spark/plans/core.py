@@ -2171,3 +2171,182 @@ def ordered_listagg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "gapfill_daily_interpolation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, AVG(value) AS v
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    obs AS (SELECT * FROM daily WHERE day(d) % 3 <> 0),
+    span AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily
+             GROUP BY event_type),
+    spine AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        FROM span),
+    s AS (SELECT sp.event_type, sp.d, o.v
+          FROM spine sp LEFT JOIN obs o
+          ON sp.event_type = o.event_type AND sp.d = o.d),
+    f AS (SELECT event_type, d, v,
+            last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM s)
+    SELECT event_type, d, (v IS NOT NULL) AS observed,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + ((nv - pv) * date_diff('day', pd, d))
+                               / date_diff('day', pd, nd)
+                      ELSE COALESCE(pv, nv) END, 4) AS filled
+    FROM f ORDER BY event_type, d
+    """,
+)
+def gapfill_daily_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with linear interpolation — the hypertable
+    resampling primitive (and the natural extension of the reference's
+    daily weather rollup to missing days): build the full date spine per
+    series, LOCF/NOCB at the edges, linearly interpolate interior gaps
+    (here: every 3rd calendar day withheld to create deterministic gaps).
+    Two windows per series (forward last-non-null, backward
+    first-non-null) — one partition pass each, no self-join; the spine is
+    sequence+explode, never a driver loop. At scale each series fills
+    independently (partitionBy event_type)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.avg("value").alias("v"))
+    obs = daily.filter(F.dayofmonth("d") % 3 != 0)
+    span = daily.groupBy("event_type").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = span.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    s = spine.join(obs, ["event_type", "d"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v, d = F.col("v"), F.col("d")
+    f = s.select(
+        "event_type",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(v.isNotNull(), d), ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(F.when(v.isNotNull(), d), ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.col("pv") + (
+        (F.col("nv") - F.col("pv")) * F.datediff(d, F.col("pd"))
+    ) / F.datediff(F.col("nd"), F.col("pd"))
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return f.select(
+        "event_type",
+        "d",
+        v.isNotNull().alias("observed"),
+        F.round(filled, 4).alias("filled"),
+    ).orderBy("event_type", "d")
+
+
+@register(
+    "dau_wau_engagement",
+    oracle="""
+    WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events WHERE user_id IS NOT NULL),
+    dau AS (SELECT d, COUNT(*) AS dau FROM active GROUP BY d),
+    contrib AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                    CAST(d + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        FROM active),
+    wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY d)
+    SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY dau.d
+    """,
+)
+def dau_wau_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU (stickiness): sliding-window COUNT
+    DISTINCT, which no window frame computes directly — each active
+    (user, day) is exploded into the 7 future days it keeps the user
+    "weekly active" for, then one hash aggregate per day counts distinct
+    users. The explode multiplies the (already day-deduped) activity
+    relation by 7, NOT raw events — the standard scale trick for sliding
+    distinct counts; the aggregate's map-side partials absorb it."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    active = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = active.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("d"),
+    )
+    wau = contrib.groupBy("d").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "histogram_equidepth_deciles",
+    oracle="""
+    WITH t AS (SELECT value, event_id,
+                      NTILE(10) OVER (ORDER BY value, event_id) AS decile
+               FROM events WHERE value IS NOT NULL)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+)
+def histogram_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the optimizer-statistics / drift-monitoring
+    complement of the equi-width `histogram_event_values`): NTILE deciles
+    with a deterministic (value, event_id) tiebreak, then per-decile
+    bounds and counts. The global NTILE is a single total-order sort —
+    acceptable for stats collection; at 100 TB the same result comes from
+    approx quantile boundaries + a bucket-key aggregate, traded here for
+    the exactness the oracle gate checks."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.orderBy("value", "event_id")
+    return (
+        e.select("value", F.ntile(10).over(w).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("decile")
+    )
