@@ -116,3 +116,52 @@ def test_stream_static_enrichment_no_state(spark, tmp_path):
         for p in q.recentProgress
         for op in p.get("stateOperators", [])
     )
+
+
+def test_stream_stream_outer_join_emits_unclicked_after_watermark(spark, tmp_path):
+    """left_outer: impressions with no click emit null-padded ONCE their
+    join window is provably closed (watermark passed imp_ts + within +
+    click lateness). A far-future heartbeat row on each stream advances
+    the watermarks so availableNow drains the outer state."""
+    _land(
+        tmp_path, "imp", "i1.json",
+        [
+            {"ad_id": 1, "imp_ts": "2024-01-01 10:00:00"},  # clicked
+            {"ad_id": 9, "imp_ts": "2024-01-01 10:00:00"},  # never clicked
+        ],
+    )
+    _land(
+        tmp_path, "clk", "c1.json",
+        [{"ad_id": 1, "click_ts": "2024-01-01 10:04:00"}],
+    )
+    # heartbeats far past every window: watermark moves, outer state drains
+    _land(tmp_path, "imp", "i2.json", [{"ad_id": 99, "imp_ts": "2024-01-01 23:00:00"}])
+    _land(tmp_path, "clk", "c2.json", [{"ad_id": 99, "click_ts": "2024-01-01 23:00:00"}])
+
+    imp = (
+        spark.readStream.schema(IMP_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "imp"))
+    )
+    clk = (
+        spark.readStream.schema(CLK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "clk"))
+    )
+    q = (
+        clicks_within(imp, clk, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("attr_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.ad_id, str(r.imp_ts)): (str(r.click_ts), r.lag_us)
+        for r in spark.sql("SELECT * FROM attr_outer").collect()
+    }
+    assert rows[(1, "2024-01-01 10:00:00")] == ("2024-01-01 10:04:00", 240_000_000)
+    # the unclicked impression came through null-padded
+    assert rows[(9, "2024-01-01 10:00:00")] == ("None", None)

@@ -42,6 +42,7 @@ def clicks_within(
     within: str = "10 minutes",
     imp_late: str = "20 minutes",
     click_late: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Attribute each click to the impression it followed: equi-join on
     ``key`` with ``imp_ts <= click_ts <= imp_ts + within``.
@@ -51,6 +52,14 @@ def clicks_within(
     BOTH watermarks plus the interval, so neither side's state grows
     unboundedly. Works identically on batch DataFrames (the interval join
     becomes a range-refined sort-merge join).
+
+    ``how="left_outer"`` yields UNCLICKED impressions too (null click
+    columns) — the conversion-funnel denominator. Outer rows can only emit
+    once the watermark proves no matching click can still arrive (the
+    impression's join window has fully expired), so they trail the inner
+    results by up to ``within + click_late`` of event time; the same
+    interval condition is what makes the outer join legal on two streams
+    at all (an unbounded outer would wait forever).
     """
     imp = impressions.withWatermark(imp_ts, imp_late)
     clk = clicks.withWatermark(click_ts, click_late)
@@ -61,7 +70,7 @@ def clicks_within(
     )
     # keep every column of both sides (the key once), payloads included
     keep_clk = [c for c in clk.columns if c != key]
-    return imp.join(clk, cond).select(
+    return imp.join(clk, cond, how).select(
         *[imp[c] for c in imp.columns],
         *[clk[c] for c in keep_clk],
         (F.unix_micros(clk[click_ts]) - F.unix_micros(imp[imp_ts])).alias("lag_us"),
