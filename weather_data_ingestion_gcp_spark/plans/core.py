@@ -2350,3 +2350,114 @@ def histogram_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "map_function_breadth",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               user_id % 10 AS va, user_id % 7 AS vb, user_id % 5 AS vc
+        FROM events WHERE user_id IS NOT NULL)
+    SELECT event_type,
+           CAST(SUM(vb) AS BIGINT) AS sum_elem_b,
+           CAST(SUM(CASE WHEN va >= 3 THEN 1 ELSE 0 END
+                  + CASE WHEN vb >= 3 THEN 1 ELSE 0 END
+                  + CASE WHEN vc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(SUM(2 * (va + vb + vc)) AS BIGINT) AS sum_doubled,
+           CAST(SUM(4) AS BIGINT) AS total_concat_size
+    FROM m GROUP BY event_type ORDER BY event_type
+    """,
+)
+def map_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function family: map_from_arrays construction, element_at
+    lookup, map_filter, transform_values, map_values, map_concat — the
+    per-row key/value surface (feature bags, tag sets). The oracle states
+    the same semantics in plain arithmetic over the construction inputs:
+    map CELLS are never compared cross-engine (map serialization orders
+    differ by engine); every map is reduced to scalars/sorted arrays
+    before leaving the query. All JVM-side; one hash aggregate."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+        F.array(
+            F.col("user_id") % 10, F.col("user_id") % 7, F.col("user_id") % 5
+        ),
+    )
+    row = e.select(
+        "event_type",
+        F.element_at(m, F.lit("b")).alias("elem_b"),
+        F.size(F.map_filter(m, lambda k, v: v >= 3)).alias("n_big"),
+        F.aggregate(
+            F.map_values(F.transform_values(m, lambda k, v: v * 2)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("doubled_sum"),
+        F.size(F.map_concat(m, F.create_map(F.lit("d"), F.lit(1)))).alias("concat_sz"),
+    )
+    return (
+        row.groupBy("event_type")
+        .agg(
+            F.sum("elem_b").cast("long").alias("sum_elem_b"),
+            F.sum("n_big").cast("long").alias("n_big"),
+            F.sum("doubled_sum").cast("long").alias("sum_doubled"),
+            F.sum("concat_sz").cast("long").alias("total_concat_size"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "try_cast_breadth",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, user_id, value,
+               CASE WHEN user_id % 3 = 0 THEN 'oops'
+                    ELSE CAST(user_id AS VARCHAR) END AS maybe_num,
+               CASE WHEN user_id % 4 = 0 THEN '2024-13-99 00:00:00'
+                    ELSE '2024-01-05 10:00:0' || CAST(user_id % 10 AS VARCHAR)
+               END AS maybe_ts
+        FROM events WHERE user_id IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(TRY_CAST(maybe_num AS BIGINT)) AS BIGINT) AS n_num_ok,
+           CAST(SUM(COALESCE(TRY_CAST(maybe_num AS BIGINT), -1)) AS BIGINT)
+               AS num_sum,
+           CAST(COUNT(TRY_CAST(maybe_ts AS TIMESTAMP)) AS BIGINT) AS n_ts_ok,
+           ROUND(SUM(value / NULLIF(user_id % 5, 0)), 2) AS div_sum
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def try_cast_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant cast/arithmetic family (the ANSI-mode escape
+    hatches): try_cast on corrupt numerics and calendar-invalid
+    timestamps, try_divide's null-on-zero (oracled as NULLIF division) —
+    the ingestion-time hardening a permissive loader needs under Spark
+    4's ANSI default, where a single bad cell would otherwise fail the
+    job. Null-skipping COUNT pins how many survived."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t = e.select(
+        "event_type",
+        "user_id",
+        "value",
+        F.when(F.col("user_id") % 3 == 0, F.lit("oops"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("maybe_num"),
+        F.when(F.col("user_id") % 4 == 0, F.lit("2024-13-99 00:00:00"))
+        .otherwise(
+            F.concat(F.lit("2024-01-05 10:00:0"), (F.col("user_id") % 10).cast("string"))
+        )
+        .alias("maybe_ts"),
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.expr("try_cast(maybe_num AS BIGINT)")).alias("n_num_ok"),
+            F.sum(F.coalesce(F.expr("try_cast(maybe_num AS BIGINT)"), F.lit(-1)))
+            .cast("long")
+            .alias("num_sum"),
+            F.count(F.expr("try_cast(maybe_ts AS TIMESTAMP)")).alias("n_ts_ok"),
+            F.round(F.sum(F.try_divide(F.col("value"), F.col("user_id") % 5)), 2)
+            .alias("div_sum"),
+        )
+        .orderBy("event_type")
+    )
