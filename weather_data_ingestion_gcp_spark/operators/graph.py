@@ -69,14 +69,17 @@ def connected_components(
     base = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)
-    sym = (
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    if sym.count() <= 2 * small_graph_edges:  # sym holds both directions
-        pairs = base.distinct().collect()
-        sym.unpersist()
+    deduped = base.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # Strategy probe: a bounded limit+count, NOT an exact count of the
+    # symmetrized relation — the exact count was a full execution of the
+    # (often expensive) upstream candidate pipeline just to pick a plan.
+    # CollectLimit short-circuits row production once the cap is hit, and
+    # the distinct it probes is persisted, so the small path below reuses
+    # the same materialization instead of recomputing it.
+    probe = deduped.limit(small_graph_edges + 1).count()
+    if probe <= small_graph_edges:
+        pairs = deduped.collect()
+        deduped.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -100,6 +103,13 @@ def connected_components(
         return nodes.select(id_col).join(F.broadcast(active), id_col, "left").select(
             id_col, F.coalesce("component", F.col(id_col)).alias("component")
         )
+    sym = (
+        deduped.union(
+            deduped.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Dedup graphs are sparse: most documents touch no edge at all. Only
     # nodes WITH edges participate in the iteration (the label of an
     # isolated node never changes); everyone else gets its self-label in
@@ -137,6 +147,7 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+        deduped.unpersist()
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -1349,21 +1349,40 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct — HLL implementations differ across engines, so this
-# is deliberately rows-only at the driver; the pytest suite asserts the
-# estimate is within rsd of the exact count.
+# Approximate distinct — HLL sketch *values* differ across engines, so the
+# registered output is the accuracy CONTRACT, not the estimate: exact count
+# (hash-checked) + a within-tolerance verdict the oracle pins to TRUE. A
+# Spark-side HLL drift beyond 5*rsd would flip the flag and fail the hash
+# compare — the driver row is a real check, not `no_oracle`. The raw
+# estimate remains available via the KMV twin (`approx_distinct_kmv`,
+# exact-hash green: deterministic md5 k-minimum-values on both engines)
+# and the tolerance pytest (tests/test_ops_extensions.py::
+# test_approx_distinct_within_tolerance).
 # ---------------------------------------------------------------------------
-@register("approx_distinct_users")
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tolerance
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-        )
-        .orderBy("event_type")
+    rsd = 0.02
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 5 * rsd * F.col("exact_users")
+        ).alias("within_tolerance"),
+    ).orderBy("event_type")
 
 
 # KMV (k-minimum-values) distinct sketch: unlike HLL, fully deterministic
@@ -1625,8 +1644,9 @@ def string_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEN(LIST_FILTER(toks, t -> LENGTH(t) > 5)) AS BIGINT)  AS long_tokens,
            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))), 0)
                 AS BIGINT)                                             AS total_chars,
-           LIST_SLICE(LIST_SORT(LIST_TRANSFORM(toks, t -> LOWER(t))), 1, 5)
-                                                                       AS first5_sorted,
+           ARRAY_TO_STRING(
+               LIST_SLICE(LIST_SORT(LIST_TRANSFORM(toks, t -> LOWER(t))), 1, 5),
+               '|')                                                    AS first5_sorted,
            CAST(LIST_CONTAINS(toks, 'the') AS INT)                     AS has_the
     FROM d ORDER BY doc_id
     """,
@@ -1647,7 +1667,13 @@ def array_higher_order_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias(
             "total_chars"
         ),
-        F.slice(F.array_sort(F.transform(toks, F.lower)), 1, 5).alias("first5_sorted"),
+        # array_join (not a raw array column): the driver canonicalizer
+        # hashes pandas frames, and array cells are unhashable there — every
+        # registered query must emit scalar columns only (pinned by
+        # tests/test_registry_contract.py).
+        F.array_join(F.slice(F.array_sort(F.transform(toks, F.lower)), 1, 5), "|").alias(
+            "first5_sorted"
+        ),
         F.array_contains(toks, "the").cast("int").alias("has_the"),
     ).orderBy("doc_id")
 

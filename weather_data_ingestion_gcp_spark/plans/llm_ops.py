@@ -926,7 +926,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wordsx, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
     )
     SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count,
-           list_slice(list(doc_id ORDER BY doc_id), 1, 10) AS postings
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), '|')
+               AS postings
     FROM bg GROUP BY term HAVING COUNT(*) >= 2 ORDER BY term
     """,
 )
@@ -934,10 +935,17 @@ def inverted_index_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-index build (operators.text.inverted_index): word-bigram
     term -> document frequency + capped sorted posting list. One explode +
     one groupBy; the posting cap (sort_array + slice) bounds agg state on
-    hot terms — the full-index form shards postings by term bucket."""
+    hot terms — the full-index form shards postings by term bucket.
+    Postings are emitted '|'-joined (scalar column) for the driver
+    canonicalizer; the library operator keeps the true array type."""
     d = load_table(spark, sf_dir, "documents")
-    return text.inverted_index(
-        d, "doc_id", "text", min_df=2, max_postings=10
+    idx = text.inverted_index(d, "doc_id", "text", min_df=2, max_postings=10)
+    return idx.select(
+        "term",
+        "df_count",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), "|").alias(
+            "postings"
+        ),
     ).orderBy("term")
 
 
@@ -1201,8 +1209,8 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(SUM(b) * 1.0 / CAST(ceil(n / 8.0) AS BIGINT), 6) AS m
         FROM pos GROUP BY doc_id, j, n
     )
-    SELECT doc_id, list(m ORDER BY j) AS feature
-    FROM agg GROUP BY doc_id ORDER BY doc_id
+    SELECT doc_id, CAST(j AS INTEGER) AS component, m AS feature_val
+    FROM agg ORDER BY doc_id, component
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,14 +1221,19 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the same means positionally in SQL: byte sums
     are exact integers, so the single division matches bitwise and the
     whole Arrow round-trip (binary in, array<double> out) is
-    hash-verified."""
+    hash-verified. The vector is posexploded to (component, feature_val)
+    rows so the registered output is scalar-only (driver canonicalizer
+    cannot hash array cells); the library operator keeps the array type."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = multimodal.with_binary_payload(d, "text", "doc_id")
     out = multimodal.extract_features(media, dim=8)
     return out.select(
+        "doc_id", F.posexplode(F.transform("feature", lambda x: F.round(x, 6)))
+    ).select(
         "doc_id",
-        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"),
-    ).orderBy("doc_id")
+        F.col("pos").cast("int").alias("component"),
+        F.col("col").alias("feature_val"),
+    ).orderBy("doc_id", "component")
 
 
 @register(

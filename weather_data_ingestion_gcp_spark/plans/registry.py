@@ -53,10 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet timestamp[us] without timezone reads as TIMESTAMP_NTZ
+            # in Spark 4; functions like unix_micros require TIMESTAMP, so
+            # normalize once here (session tz is pinned to UTC, so the cast
+            # is a pure type relabel — wall-clock values are unchanged and
+            # DuckDB oracles see identical epochs).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

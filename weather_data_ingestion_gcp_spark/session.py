@@ -21,6 +21,11 @@ from pyspark.sql import SparkSession
 #:   per-day refresh without a DELETE-capable table format.
 #: - Arrow makes any toPandas/pandas_udf boundary columnar, not row-by-row.
 SCALE_CONFS: dict[str, str] = {
+    # Pin the session timezone so TIMESTAMP_NTZ -> TIMESTAMP casts (see
+    # plans/registry.py load_table) are pure type relabels and every
+    # date/epoch rendering matches the (naive-timestamp) DuckDB oracles
+    # regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
