@@ -152,6 +152,19 @@ def test_no_python_udfs_in_core_plans(spark, name):
     assert "ArrowEvalPython" not in plan
 
 
+def test_funnel_single_fact_shuffle(spark):
+    """The ordered funnel keeps the events table at ONE hash exchange:
+    the window's user_id partitioning is reused by the per-user flag
+    aggregate (no second exchange), plus the final single-partition
+    scalar aggregate. The stage-join formulation scanned events six
+    times through three shuffles."""
+    plan = _plan(QUERIES["funnel_view_click_purchase"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    # one parquet scan of the fact, not six
+    assert plan.count("Relation") <= 1 or plan.count("parquet") <= 2
+
+
 def test_q21_single_fact_shuffle(spark):
     """The window-based EXISTS/NOT-EXISTS decorrelation must keep the fact
     table at ONE hash exchange (the l_orderkey window) plus the final

@@ -171,9 +171,15 @@ def lsh_candidate_pairs(band_df: DataFrame, max_bucket_size: int | None = None) 
     )
 
 
-def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
+def verify_jaccard(
+    pairs: DataFrame, shingle_df: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard for candidate pairs via two shingle equi-joins (set
     sizes from one aggregate; intersection counts from a join on shingle).
+
+    ``sizes``: optional pre-computed (doc_id, n) shingle counts — pass it
+    when the caller already aggregated per-doc (e.g. alongside the minhash
+    signatures) to save one full scan of the shingle relation.
 
     Measured note (sf0.1, 9.5M pairs): this explode-join shape beats the
     "attach collect_set arrays to each pair + array_intersect" formulation
@@ -182,7 +188,8 @@ def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
     intermediate rows are cheap primitive tuples with partial aggregation
     collapsing them before the shuffle.
     """
-    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = shingle_df.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = shingle_df.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
@@ -213,16 +220,48 @@ def minhash_near_duplicates(
     shingle_n: int = 1,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    cache_shingles: bool = True,
 ) -> DataFrame:
-    """Full pipeline: shingle -> minhash -> LSH bucket -> verify >= threshold."""
-    # note: NOT persisted — re-tokenizing per subtree is cheaper than a
-    # cache materialization barrier here (measured at sf0.1), and at 100 TB
-    # a cached shingle relation wouldn't fit memory anyway
+    """Full pipeline: shingle -> minhash -> LSH bucket -> verify >= threshold.
+
+    The shingle relation is referenced by both the signature aggregate and
+    the verification joins, so two scan-reduction measures apply:
+
+    - per-doc shingle counts are folded into the SAME groupBy that computes
+      the signature mins (one wide aggregate, ``stack``-unpivoted after),
+      eliminating the separate sizes scan verify_jaccard would run;
+    - with ``cache_shingles`` (default), the shingle rows persist
+      MEMORY_AND_DISK via the CacheManager, which substitutes one shared
+      InMemoryRelation into every reference — tokenization runs once, not
+      once per subtree (measured 8.1s -> 3.5s cold at sf0.1; a lazy
+      localCheckpoint does NOT get this because concurrent branch stages
+      race before its blocks land). Cached entries are deduped by
+      canonicalized plan, so every dedup query over the same table shares
+      one entry, and blocks are LRU-evictable — but at the 100 TB design
+      point the shingle relation is ~corpus-sized, so flip
+      ``cache_shingles=False`` there and eat the extra scans (or dedup in
+      date-partition slices so each slice's cache fits).
+    """
     sh = shingles(df, id_col, text_col, n=shingle_n)
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    if cache_shingles:
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", "shingle", F.lit(str(s))))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("_n_sh"))
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    sig = wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"
+    )
+    sizes = wide.select("doc_id", F.col("_n_sh").alias("n"))
     bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
     pairs = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
-    return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+    return verify_jaccard(pairs, sh, sizes=sizes).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1132,36 +1132,45 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered three-stage funnel (view -> click after view -> purchase
-    after click): each stage is an aggregate of the event stream
-    semi-joined to the previous stage's first-completion time — the
-    strictly-ordered sequence semantics (a click BEFORE the first view
-    does not count). Every join and aggregate keys on user_id, so the
-    stage chain reuses one hash partitioning of the fact table; stage
-    counts are tiny scalar aggregates cross-joined at the end."""
-    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    after click) in ONE shuffle of the fact table. The join-chain
+    formulation (stage N semi-joined to stage N-1's first-completion
+    times) scans events six times through three shuffles; instead, one
+    window pass per user computes the running first-view time and the
+    running first-qualifying-click time, a purchase qualifies when it
+    strictly follows the running click min, and the per-user flag
+    aggregate reuses the window's hash partitioning (no second
+    exchange). Equivalence to the stage-join semantics: a qualifying
+    event exists strictly before row R iff the running min at R is
+    strictly below R's timestamp — ties are excluded by `>` on both
+    formulations. Strictly-ordered sequence semantics preserved: a
+    click before the first view never counts."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    t = F.col("event_type")
+    rv = e.withColumn("rv", F.min(F.when(t == "view", F.col("ts"))).over(w))
+    rc = rv.withColumn(
+        "rc",
+        F.min(
+            F.when((t == "click") & (F.col("ts") > F.col("rv")), F.col("ts"))
+        ).over(w),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    per_user = rc.groupBy("user_id").agg(
+        F.max((t == "view").cast("int")).alias("has_view"),
+        F.max(
+            ((t == "click") & (F.col("ts") > F.col("rv"))).cast("int")
+        ).alias("has_click"),
+        F.max(
+            ((t == "purchase") & (F.col("ts") > F.col("rc"))).cast("int")
+        ).alias("has_purchase"),
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    return per_user.agg(
+        F.sum("has_view").cast("long").alias("n_view"),
+        F.sum("has_click").cast("long").alias("n_click_after_view"),
+        F.sum("has_purchase").cast("long").alias("n_purchase_after_click"),
     )
 
 
