@@ -624,3 +624,51 @@ def test_countmin_never_underestimates(spark):
     for k, t in true.items():
         assert est[k] >= t  # CMS upper bound property
     assert est[99] >= 500
+
+
+def test_chunk_spans_cover_and_overlap(spark):
+    from weather_data_ingestion_gcp_spark.operators.packing import chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 32), (3, 33), (4, 100), (5, 0)], "doc_id bigint, n bigint"
+    )
+    out = chunk_spans(df, "doc_id", F.col("n"), chunk_len=32, overlap=8)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.tok_start, r.tok_end) for r in out.collect())
+    )
+    by_doc = {}
+    for doc, idx, s, e in rows:
+        by_doc.setdefault(doc, []).append((idx, s, e))
+    # short and exact-length docs: one chunk covering everything
+    assert by_doc[1] == [(0, 0, 10)]
+    assert by_doc[2] == [(0, 0, 32)]
+    # one token past the boundary starts a second chunk at the stride
+    assert by_doc[3] == [(0, 0, 32), (1, 24, 33)]
+    # full coverage with 8-token overlap, last chunk clipped to n
+    assert by_doc[4][0] == (0, 0, 32) and by_doc[4][-1][2] == 100
+    for (i1, s1, e1), (i2, s2, e2) in zip(by_doc[4], by_doc[4][1:]):
+        assert i2 == i1 + 1 and s2 == s1 + 24 and s2 < e1  # overlapping
+    # empty doc still yields its single empty chunk
+    assert by_doc[5] == [(0, 0, 0)]
+    with pytest.raises(ValueError):
+        chunk_spans(df, "doc_id", F.col("n"), chunk_len=8, overlap=8)
+
+
+def test_word_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # zero entropy: one distinct word
+            (2, "a b c d"),          # uniform: ln(4)
+            (3, "a a b"),            # 2/3,1/3 mixture
+            (4, ""),                 # no words -> no row
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.word_entropy(df, "doc_id", "text").collect()}
+    assert out[1].entropy == pytest.approx(0.0)
+    assert out[2].entropy == pytest.approx(math.log(4))
+    assert out[3].entropy == pytest.approx(math.log(3) - (2 * math.log(2)) / 3)
+    assert 4 not in out
+    assert out[2].n_words == 4

@@ -86,6 +86,29 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_ws")
 
 
+def word_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (nats) —
+    the CCNet-style diversity signal: repetitive/templated text scores
+    low, natural prose high.
+
+    Computed as ``ln(n) - sum(c_i * ln(c_i)) / n`` over per-word counts
+    c_i — algebraically equal to ``-sum(p ln p)`` but keeps every log
+    argument an exact integer, which is what lets a DuckDB oracle match
+    to fixed rounding. One explode + two hash aggregates (both partial-
+    aggregated map-side); documents with no words emit no row."""
+    uni = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
+    )
+    wc = uni.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return wc.groupBy(id_col).agg(
+        n.cast("long").alias("n_words"),
+        (F.log(n) - F.sum(F.col("c") * F.log("c")) / n).alias("entropy"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
     text = F.col(text_col)

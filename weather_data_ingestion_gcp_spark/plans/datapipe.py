@@ -618,3 +618,137 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — the per-document half of training-batch
+# construction: fixed-size token spans with overlap, shuffle-free
+# (sequence + posexplode per row; row growth bounded by n/stride).
+# Complements sequence_pack_offsets (the cross-document packing half).
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_documents_overlap",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                        w -> w <> '')) AS BIGINT) AS n
+        FROM documents WHERE doc_id < 2000
+    ),
+    c AS (
+        SELECT doc_id, n,
+               CASE WHEN n <= 32 THEN 1
+                    ELSE CAST(ceil((n - 32) * 1.0 / 24) AS BIGINT) + 1
+               END AS n_chunks
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER)                 AS chunk_idx,
+           CAST(i * 24 AS BIGINT)             AS tok_start,
+           LEAST(i * 24 + 32, n)              AS tok_end
+    FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 32-token chunks with 8-token overlap (stride 24) per
+    document (operators.packing.chunk_spans): one output row per training
+    chunk with its [tok_start, tok_end) span. Whitespace word count
+    stands in for the tokenizer count — the span arithmetic is the
+    operator; swapping in a real tokenizer changes only the n_tokens
+    expression."""
+    from ..operators.packing import chunk_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    n_tokens = F.size(text.words(F.col("text")))
+    return chunk_spans(d, "doc_id", n_tokens, chunk_len=32, overlap=8).select(
+        "doc_id", "chunk_idx", "tok_start", "tok_end"
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality gate — percentile thresholding WITHIN each source
+# (a global cutoff lets one high-quality source crowd out the rest): keep
+# the top 80% by n_chars inside every source, report kept/total.
+# percent_rank is (rank-1)/(n-1) on integers, bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_percentile_gate",
+    oracle="""
+    WITH r AS (
+        SELECT source, n_chars,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS pr
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                         AS n_total,
+           CAST(SUM(CASE WHEN pr <= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_kept,
+           CAST(MIN(CASE WHEN pr <= 0.8 THEN n_chars END) AS BIGINT)
+                                                            AS min_kept_chars
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile gate: rank documents by quality
+    (n_chars here; any score column slots in) within their source, keep
+    the top 80%, summarize. One window + one aggregate on the SAME
+    source partitioning — a single shuffle. The deterministic doc_id
+    tiebreak makes the boundary row engine-invariant."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    r = d.select("source", "n_chars", F.percent_rank().over(w).alias("pr"))
+    kept = F.col("pr") <= 0.8
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.min(F.when(kept, F.col("n_chars"))).cast("long").alias(
+                "min_kept_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-entropy quality signal — low-entropy = repetitive/templated text
+# (the CCNet-style diversity bucket). Log arguments are exact integers
+# (ln(n) - sum(c*ln c)/n), so fixed rounding matches across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "text_entropy_quality",
+    oracle=r"""
+    WITH uni AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      w -> w <> '')) AS w
+        FROM documents WHERE doc_id < 2000
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy,
+           CAST(FLOOR(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) AS BIGINT)
+               AS entropy_bucket
+    FROM wc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon word-entropy per document (operators.text.word_entropy):
+    one explode + two partial-aggregated hash aggregates; the integer-
+    argument formulation keeps both engines' float paths identical to 4
+    decimals. The floor bucket is the filter key a curation pipeline
+    thresholds on."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    e = text.word_entropy(d, "doc_id", "text")
+    return e.select(
+        "doc_id",
+        "n_words",
+        F.round("entropy", 4).alias("entropy"),
+        F.floor("entropy").cast("long").alias("entropy_bucket"),
+    ).orderBy("doc_id")
