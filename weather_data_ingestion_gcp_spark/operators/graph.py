@@ -70,15 +70,15 @@ def connected_components(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)
     deduped = base.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    # Strategy probe: a bounded limit+count, NOT an exact count of the
-    # symmetrized relation — the exact count was a full execution of the
-    # (often expensive) upstream candidate pipeline just to pick a plan.
-    # CollectLimit short-circuits row production once the cap is hit, and
-    # the distinct it probes is persisted, so the small path below reuses
-    # the same materialization instead of recomputing it.
-    probe = deduped.limit(small_graph_edges + 1).count()
-    if probe <= small_graph_edges:
-        pairs = deduped.collect()
+    # Strategy probe + small-path fetch in ONE bounded action: collect at
+    # most cap+1 distinct edges. Getting <= cap rows back proves the limit
+    # was not the binding constraint — the list IS the complete edge set,
+    # so the small path pays no second job (the previous exact-count probe
+    # was a full execution of the often-expensive upstream candidate
+    # pipeline just to pick a plan). CollectLimit stops producing rows at
+    # the cap, bounding driver memory on huge graphs.
+    pairs = deduped.limit(small_graph_edges + 1).collect()
+    if len(pairs) <= small_graph_edges:
         deduped.unpersist()
         parent: dict = {}
 
