@@ -152,6 +152,17 @@ def test_no_python_udfs_in_core_plans(spark, name):
     assert "ArrowEvalPython" not in plan
 
 
+def test_chunking_is_shuffle_free(spark):
+    """Context-window chunking is embarrassingly parallel: sequence +
+    posexplode per row, no Exchange of any kind before the (presentation
+    -only) final sort."""
+    df = QUERIES["chunk_documents_overlap"](spark, SF)
+    plan = _plan(df)
+    body = plan.split("Sort")[-1]  # ignore the output-stability orderBy
+    assert "Exchange hashpartitioning" not in body
+    assert "CartesianProduct" not in plan
+
+
 def test_funnel_single_fact_shuffle(spark):
     """The ordered funnel keeps the events table at ONE hash exchange:
     the window's user_id partitioning is reused by the per-user flag

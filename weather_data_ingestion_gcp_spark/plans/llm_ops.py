@@ -1363,3 +1363,215 @@ def similarity_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_select(
         e.filter(F.col("vec_id") != 0), [float(v) for v in qvec], k=8, lam=0.7
     ).orderBy("mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative by QUALITY (not min id): after near-dup cluster
+# resolution, keep the highest-quality member of each duplicate group —
+# the keep-policy real curation uses (min-id keep is the deterministic
+# baseline in curation_pipeline_keep). One window over the component
+# labeling; deterministic doc_id tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_keep_best_quality",
+    oracle=rf"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES3}),
+    sig AS (
+        SELECT doc_id, s.seed,
+               MIN(md5(shingle || '|' || CAST(s.seed AS VARCHAR))) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(CAST(seed // 2 AS VARCHAR) || '|' ||
+                   string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+        FROM sig GROUP BY doc_id, band
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY p.id_a, p.id_b
+    ),
+    good AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM good
+              UNION SELECT id_b, id_a FROM good),
+    reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    ranked AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT)                    AS n_members,
+           CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+           CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars
+    FROM ranked GROUP BY component ORDER BY component
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with a keep-BEST policy: the representative is
+    the member with the highest quality score (n_chars here; any score
+    column slots in), doc_id tiebreak. Window over the component labels +
+    one aggregate on the same partitioning — the keep decision adds one
+    shuffle of (doc_id, component, score) rows, never of document
+    bodies."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
+        threshold=0.5,
+    )
+    comp = graph.connected_components(
+        d.select("doc_id"), pairs.select("id_a", "id_b")
+    )
+    labeled = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("keep_id"),
+            F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("keep_chars"),
+        )
+        .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate — the tokenizer-analysis pass run before
+# committing to a vocab: build the top-K corpus vocabulary, then score
+# every document's out-of-vocabulary fraction against it. The vocab is a
+# tiny aggregate relation (K rows) and broadcasts into the scoring join.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_oov_rate",
+    oracle=r"""
+    WITH uni AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      w -> w <> '')) AS w
+        FROM documents
+    ),
+    cnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    vocab AS (
+        SELECT w FROM
+        (SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM cnt)
+        WHERE rk <= 500
+    )
+    SELECT u.doc_id,
+           CAST(COUNT(*) AS BIGINT)                           AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_oov,
+           ROUND(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6)                               AS oov_rate
+    FROM uni u LEFT JOIN vocab v USING (w)
+    GROUP BY u.doc_id ORDER BY u.doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-500 corpus vocabulary (frequency desc, word tiebreak) and each
+    document's OOV token fraction against it. Two aggregates + one
+    broadcast left join; the global top-K ranking sorts only the
+    distinct-word relation (vocab-sized, tiny), never token instances."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    uni = d.select("doc_id", F.explode(text.words(F.col("text"))).alias("w"))
+    cnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "w")),
+        )
+        .filter(F.col("rk") <= 500)
+        .select("w", F.lit(1).alias("_inv"))
+    )
+    return (
+        uni.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate prefix detection — repeated document openings within a
+# source (headers, templates, scraper artifacts): group on the first-5-
+# word prefix, surface groups big enough to be boilerplate. One hash
+# aggregate on (source, prefix); prefixes are bounded strings, so agg
+# state stays small no matter the corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "boilerplate_prefix_groups",
+    oracle=r"""
+    WITH p AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   list_slice(
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   w -> w <> ''), 1, 2), ' ') AS prefix
+        FROM documents
+    )
+    SELECT source, prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM p GROUP BY source, prefix HAVING COUNT(*) >= 2
+    ORDER BY source, prefix
+    """,
+)
+def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing their first-2-word prefix within a source —
+    the boilerplate/template detection pass that precedes prefix
+    stripping. Map-side partial aggregation collapses each partition to
+    its distinct prefixes before the one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(text.words(F.col("text")), 1, 2), " ")
+    return (
+        d.select("doc_id", "source", prefix.alias("prefix"))
+        .groupBy("source", "prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("source", "prefix")
+    )
