@@ -672,3 +672,35 @@ def test_word_entropy_known_values(spark):
     assert out[3].entropy == pytest.approx(math.log(3) - (2 * math.log(2)) / 3)
     assert 4 not in out
     assert out[2].n_words == 4
+
+
+def test_strip_markup_tags_and_entities(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '<p>Hello <b>world</b></p> &amp; more'),
+            (2, 'no markup here'),
+            (3, 'a &lt;tag&gt; literal &nbsp; end'),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.strip_markup(df).collect()}
+    assert out[1].clean == "Hello world & more"
+    assert out[1].n_tags == 4
+    assert out[2].clean == "no markup here" and out[2].n_tags == 0
+    assert out[3].clean == 'a <tag> literal end'
+
+
+def test_extract_urls_normalizes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see HTTPS://Example.COM/Path?q=1#f and http://a.org/x."),
+            (2, "no links"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = text.extract_urls(df).collect()
+    norm = sorted(r.url_norm for r in rows)
+    assert norm == ["https://a.org/x", "https://example.com/Path"]
+    hosts = sorted(r.host for r in rows)
+    assert hosts == ["a.org", "example.com"]
+    assert all(r.doc_id == 1 for r in rows)

@@ -276,6 +276,64 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: HTML entity -> replacement text, applied after tag stripping. Ordered:
+#: &amp; goes LAST so it cannot manufacture new entities out of fragments.
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Remove HTML/XML tags and decode the common entities — the
+    boilerplate-stripping pass scraped corpora need before any text
+    analysis. Pure regexp_replace/replace chain: map-only, stays in
+    whole-stage codegen, zero shuffle at any corpus size. Adds
+    ``clean`` (stripped text, whitespace collapsed) and ``n_tags``
+    (tags removed — the markup-density quality signal)."""
+    raw = F.col(text_col)
+    out = F.regexp_replace(raw, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.withColumn("clean", out).withColumn(
+        "n_tags",
+        F.size(F.regexp_extract_all(raw, F.lit(r"<[^>]+>"), F.lit(0))).cast(
+            "long"
+        ),
+    )
+
+
+def extract_urls(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per URL found in the text, with the canonical form used
+    for URL-level dedup: scheme dropped to https, host lowercased, query
+    string / fragment / trailing punctuation removed. Extraction and
+    normalization are regex-only (ASCII classes, no backreferences — the
+    subset Java regex and RE2 evaluate identically)."""
+    urls = F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"(?i)https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+"),
+        F.lit(0),
+    )
+    e = df.select(F.col(id_col), F.explode(urls).alias("url"))
+    host = F.lower(F.regexp_extract("url", r"(?i)^https?://([^/?#]+)", 1))
+    path = F.regexp_extract("url", r"(?i)^https?://[^/?#]+([^?#]*)", 1)
+    # trailing sentence punctuation is text, not URL
+    path = F.regexp_replace(path, r"[.,;:!?)]+$", "")
+    return e.select(
+        id_col,
+        "url",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url_norm"),
+    )
+
+
 def bigrams(text: Column, tokenized: bool = False) -> Column:
     """Adjacent-token bigrams as an array column — built-in ``transform``
     over an index sequence; no explode until the caller asks for one, so

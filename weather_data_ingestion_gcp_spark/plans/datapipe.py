@@ -752,3 +752,117 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("entropy", 4).alias("entropy"),
         F.floor("entropy").cast("long").alias("entropy_bucket"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping — deterministic tag injection (same pattern as the PII
+# entry: the synthetic corpus has no HTML, so the query manufactures a
+# verifiable fixture from doc_id) -> strip -> measure. Map-only chain.
+# ---------------------------------------------------------------------------
+@register(
+    "html_strip_markup",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   '<div class="d' || CAST(doc_id AS VARCHAR) || '">' || text
+                   || '</div> <br/> &amp; <a href="http://x.org">link</a>'
+               ELSE text END AS text
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS clean,
+               len(regexp_extract_all(text, '<[^>]+>')) AS n_tags
+        FROM injected
+    )
+    SELECT doc_id, CAST(n_tags AS BIGINT) AS n_tags,
+           CAST(length(clean) AS BIGINT) AS len_clean
+    FROM stripped ORDER BY doc_id
+    """,
+)
+def html_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (operators.text.strip_markup): tags
+    removed, entities decoded, whitespace collapsed; n_tags doubles as
+    the markup-density quality signal. Injection makes the fixture
+    deterministic so the oracle verifies the whole chain by hash."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<div class="d'),
+                F.col("doc_id").cast("string"),
+                F.lit('">'),
+                F.col("text"),
+                F.lit('</div> <br/> &amp; <a href="http://x.org">link</a>'),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        text.strip_markup(d, "text")
+        .select(
+            "doc_id",
+            "n_tags",
+            F.length("clean").cast("long").alias("len_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL extraction + canonicalization — the URL-level dedup prep pass.
+# Deterministic injection again; the normalized form (https, lowercased
+# host, no query/fragment/trailing punctuation) is the dedup key.
+# ---------------------------------------------------------------------------
+@register(
+    "url_extract_normalize",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' see HTTPS://Host' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.Example.COM/p/' || CAST(doc_id % 5 AS VARCHAR)
+                    || '?utm=x#frag, plus http://plain.org/a.'
+                    AS text
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    urls AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text,
+                   '(?i)https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+')) AS url
+        FROM injected
+    )
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+           'https://' || lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1))
+               || regexp_replace(
+                      regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
+                      '[.,;:!?)]+$', '') AS url_norm
+    FROM urls ORDER BY doc_id, url
+    """,
+)
+def url_extract_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + canonical dedup key (operators.text.extract_urls):
+    per-URL rows with lowercased host and a normalized https form, query
+    strings/fragments/trailing punctuation dropped. Pure regex (shared
+    Java/RE2 subset); explode rides only the injected subset."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see HTTPS://Host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM/p/"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("?utm=x#frag, plus http://plain.org/a."),
+        ).alias("text"),
+    )
+    return text.extract_urls(injected, "doc_id", "text").orderBy("doc_id", "url")
