@@ -446,6 +446,100 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_full_outer_activity",
+    oracle="""
+    WITH cl AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+                WHERE event_type = 'click' GROUP BY user_id),
+    pu AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(cl.user_id, pu.user_id)      AS user_id,
+           CAST(COALESCE(n_clicks, 0) AS BIGINT)    AS n_clicks,
+           CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+           (cl.user_id IS NOT NULL AND pu.user_id IS NOT NULL) AS did_both
+    FROM cl FULL OUTER JOIN pu ON cl.user_id = pu.user_id
+    ORDER BY user_id
+    """,
+)
+def join_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one outer-join shape the suite lacked:
+    clickers x purchasers with unmatched users preserved on BOTH sides.
+    Both inputs are pre-aggregated to one row per user before the join
+    (shuffle carries per-user counts, not raw events), and the full-outer
+    requires a shuffle join by definition — broadcast can't preserve the
+    build side's unmatched rows."""
+    e = _t(spark, sf_dir, "events")
+    cl = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    j = cl.withColumnRenamed("user_id", "cu").join(
+        pu.withColumnRenamed("user_id", "pu"),
+        F.col("cu") == F.col("pu"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("cu", "pu").alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        (F.col("cu").isNotNull() & F.col("pu").isNotNull()).alias("did_both"),
+    ).orderBy("user_id")
+
+
+@register(
+    "join_null_safe_buckets",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id % 5 END AS k,
+               COUNT(*) AS n_click
+        FROM events WHERE event_type = 'click' GROUP BY k
+    ),
+    b AS (
+        SELECT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id % 5 END AS k,
+               COUNT(*) AS n_view
+        FROM events WHERE event_type = 'view' GROUP BY k
+    )
+    SELECT a.k, CAST(n_click AS BIGINT) AS n_click,
+           CAST(n_view AS BIGINT) AS n_view
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.k NULLS FIRST
+    """,
+)
+def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics a data-quality
+    reconciliation needs when the join key is itself nullable. Both sides
+    pre-aggregate to their distinct keys, so the null-safe comparison
+    runs over bucket-count rows only."""
+    e = _t(spark, sf_dir, "events")
+    k = F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 5
+    )
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "view")
+        .select(k.alias("ka"))
+        .groupBy("ka")
+        .agg(F.count(F.lit(1)).alias("n_view"))
+    )
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("ka")))
+        .select("k", "n_click", "n_view")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped analytics — the multi-aggregate single-pass pattern (A6) and
 # the multiway broadcast-then-shuffle join plan the engine must produce.
