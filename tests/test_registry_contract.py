@@ -66,3 +66,33 @@ def test_no_complex_output_columns(schemas, name):
 def test_every_oracle_has_a_query():
     missing = sorted(set(ORACLE) - set(QUERIES))
     assert not missing, f"oracle entries without a registered query: {missing}"
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """Schema-identical parquet tables with zero rows — the degenerate
+    input every operator must survive (empty partitions/day-slices are
+    routine at 100 TB)."""
+    import pyarrow.parquet as pq
+
+    dst = tmp_path_factory.mktemp("sf_empty")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def test_every_query_survives_empty_tables(spark, empty_sf_dir):
+    """No registered query may crash on empty inputs — eager driver-side
+    seeds (k-means, MMR query vectors, CC probes) must degrade to empty
+    results, not exceptions."""
+    failures = []
+    for name in _NAMES:
+        try:
+            QUERIES[name](spark, empty_sf_dir).limit(5).collect()
+        except Exception as exc:
+            failures.append(f"{name}: {type(exc).__name__}")
+    assert not failures, f"queries crashing on empty input: {failures}"

@@ -172,6 +172,12 @@ def kmeans_assign(
         return vecs.withColumn("cluster", nearest(F.col("_v")))
 
     seed_rows = vecs.orderBy("_id").limit(k).collect()
+    if not seed_rows:
+        # empty corpus: the fixpoint is the empty assignment — return it
+        # with the contract schema instead of crashing on a 0-row seed
+        return corpus.select(
+            F.col(id_col), F.lit(0).cast("int").alias("kmeans_cluster")
+        ).limit(0)
     # cluster ids ordered by first vector component (stable, data-derived)
     C = np.array(
         [r["_v"] for r in sorted(seed_rows, key=lambda r: r["_v"][0])],

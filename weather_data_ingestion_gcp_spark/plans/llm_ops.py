@@ -1359,9 +1359,14 @@ def similarity_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scored in one Arrow pass against a broadcast <= k x dim
     matrix and exactly one row is collected."""
     e = load_table(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:
+        # no query vector (empty table): empty result, contract schema
+        return spark.createDataFrame(
+            [], "vec_id bigint, mmr_rank int, relevance double"
+        )
     return similarity.mmr_select(
-        e.filter(F.col("vec_id") != 0), [float(v) for v in qvec], k=8, lam=0.7
+        e.filter(F.col("vec_id") != 0), [float(v) for v in qrow[0]], k=8, lam=0.7
     ).orderBy("mmr_rank")
 
 
