@@ -152,6 +152,36 @@ def test_no_python_udfs_in_core_plans(spark, name):
     assert "ArrowEvalPython" not in plan
 
 
+#: The only queries allowed a CartesianProduct / BroadcastNestedLoopJoin —
+#: each is a BOUNDED broadcast by design: 1-row corpus scalars (tfidf/bm25/
+#: pmi/q11/q22) or the deliberately-broadcast query side of brute-force ANN
+#: (corpus never shuffles; build side is |queries| or k rows).
+_BOUNDED_NESTED_LOOP_ALLOWLIST = {
+    "similarity_cosine_topk",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_kmeans",
+    "text_tfidf_top_terms",
+    "bm25_lexical_topk",
+    "word_pair_pmi",
+    "tpch_q11_important_parts",
+    "tpch_q22_sales_opportunity",
+}
+
+
+def test_no_unbounded_cartesian_anywhere(spark):
+    """Registry-wide scale audit: no query outside the bounded-broadcast
+    allow-list may plan a CartesianProduct or BroadcastNestedLoopJoin —
+    the anti-pattern that turns 100 TB into 100 TB squared."""
+    offenders = []
+    for name in sorted(QUERIES):
+        if name in _BOUNDED_NESTED_LOOP_ALLOWLIST:
+            continue
+        plan = _plan(QUERIES[name](spark, SF))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian/nested-loop joins: {offenders}"
+
+
 def test_chunking_is_shuffle_free(spark):
     """Context-window chunking is embarrassingly parallel: sequence +
     posexplode per row, no Exchange of any kind before the (presentation
