@@ -92,4 +92,14 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    # Right-size shuffle parallelism for a LOCAL session the engine didn't
+    # build (a plain getOrCreate ships Spark's 200 default — 6x the cores
+    # on this box, pure task-scheduling overhead on test-SF data). Only
+    # touches local masters; on a cluster the deployer's setting stands.
+    try:
+        if spark.sparkContext.master.startswith("local"):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    except Exception:
+        pass
     return spark
