@@ -32,7 +32,19 @@ def main() -> int:
     QUERIES["daily_rollup_events"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    # GC cadence: PERIODIC, not per-query and not never. Measured at
+    # sf0.1 over the 139-query suite (totals vary +-20% with host load):
+    # per-query System.gc() runs 158-194s — each full GC walks the whole
+    # live set including the persistent cached relations, and the walks
+    # lengthen as the session accumulates state; zero GC ranged 154-239s
+    # — usually fastest, but when the heap debt lands it lands on some
+    # victim query as a 10-20s stall (unusable worst case). Every-Nth
+    # bounds both failure modes: ~1/N of the GC tax, debt never grows
+    # unbounded. Override with SPARK_GRAFT_BENCH_GC_EVERY; 0 (or
+    # SPARK_GRAFT_BENCH_NO_GC=1) disables.
+    gc_every_raw = os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8")
+    gc_every = 0 if os.environ.get("SPARK_GRAFT_BENCH_NO_GC") == "1" else int(gc_every_raw)
+    for i, (name, fn) in enumerate(QUERIES.items()):
         if only and name not in only:
             continue
         t0 = time.time()
@@ -42,10 +54,7 @@ def main() -> int:
         n = fn(spark, sf_dir).toArrow().num_rows
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
-        # multi-million-row queries leave the old gen full of dead shuffle
-        # and Arrow buffers; without an explicit collection the NEXT queries
-        # pay 5-15x in GC stalls (measured), which would misattribute time
-        if os.environ.get("SPARK_GRAFT_BENCH_NO_GC") != "1":
+        if gc_every and (i + 1) % gc_every == 0:
             spark._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
