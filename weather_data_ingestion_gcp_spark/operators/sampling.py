@@ -52,7 +52,7 @@ def stratified_quota(
 
 
 def weighted_sample_topk(
-    df: DataFrame, key_col: str, weight_col: str, k: int
+    df: DataFrame, key_col: str, weight_col: str, k: int, key_decimals: int = 6
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement via the A-ES key trick
     (Efraimidis & Spirakis, IPL 2006): score every row u^(1/w) with u a
@@ -62,12 +62,23 @@ def weighted_sample_topk(
     property as hash_bucket). The plan is TakeOrderedAndProject: each
     partition keeps its local top-k, the driver merges k-sized heaps —
     no global sort, no shuffle of the data itself. ``weight_col`` must
-    be > 0."""
+    be > 0.
+
+    The selection key is QUANTIZED (``key_decimals``, then ``key_col``
+    tiebreak): pow() is libm-dependent, and two engines' last-ulp
+    disagreements flip the k-th-place ordering once enough keys bunch
+    near 1.0 (observed at sf0.1 between Spark/JVM and DuckDB). Rounding
+    the comparator makes the SELECTED SET a platform-invariant function
+    of the data — for a sampling operator, cross-engine reproducibility
+    is worth the (sub-1e-6) weighting granularity it costs. Pass
+    ``key_decimals=None`` for full-precision keys."""
     hex4 = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
     ).cast("double")
     u = (hex4 + 0.5) / 65536.0
     skey = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    if key_decimals is not None:
+        skey = F.round(skey, key_decimals)
     return (
         df.withColumn("sample_key", skey)
         .orderBy(F.desc("sample_key"), key_col)

@@ -110,10 +110,10 @@ def dataset_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_weighted_topk",
     oracle=f"""
-    SELECT doc_id, n_chars, ROUND(sample_key, 6) AS sample_key FROM (
+    SELECT doc_id, n_chars, sample_key FROM (
         SELECT doc_id, n_chars,
-               pow(({_sql_hex4_to_int('doc_id')} + 0.5) / 65536.0,
-                   1.0 / n_chars) AS sample_key
+               ROUND(pow(({_sql_hex4_to_int('doc_id')} + 0.5) / 65536.0,
+                   1.0 / n_chars), 6) AS sample_key
         FROM documents)
     ORDER BY sample_key DESC, doc_id LIMIT 100
     """,
@@ -121,14 +121,15 @@ def dataset_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted without-replacement sample (sampling.weighted_sample_topk):
     A-ES keys u^(1/weight) with a deterministic md5-uniform, top-100 by
-    key. Longer documents (n_chars as weight) are proportionally likelier
-    — the length-balanced selection a curation pipeline uses. Plan is
+    QUANTIZED key (6 decimals, doc_id tiebreak — pow() is libm-dependent
+    and last-ulp disagreements flip the top-k boundary at sf0.1; the
+    rounded comparator makes the sample engine-invariant). Longer
+    documents (n_chars as weight) are proportionally likelier — the
+    length-balanced selection a curation pipeline uses. Plan is
     TakeOrderedAndProject (local top-k + driver heap merge, no sort)."""
     d = _t(spark, sf_dir, "documents")
     out = sampling.weighted_sample_topk(d, "doc_id", "n_chars", k=100)
-    return out.select(
-        "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
-    )
+    return out.select("doc_id", "n_chars", "sample_key")
 
 
 # ---------------------------------------------------------------------------
