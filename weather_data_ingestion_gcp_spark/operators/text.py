@@ -143,8 +143,14 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.col("tf")
-            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+            # quantized comparator: log() is libm-dependent, and a
+            # full-precision rank can flip across engines when two terms'
+            # scores land within an ulp (see bm25_topk / weighted_sample_topk)
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
         )
     )
     from pyspark.sql.window import Window
@@ -153,7 +159,7 @@ def tfidf_top_terms(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rk")
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
 
 
@@ -440,6 +446,11 @@ def bm25_topk(
         total = s if total is None else total + s
     from pyspark.sql.window import Window
 
+    # rank by the QUANTIZED score (6 decimals, doc_id tiebreak): ln() is
+    # libm-dependent, so full-precision comparators can disagree across
+    # engines in the last ulp and flip a rank boundary (same failure mode
+    # fixed in sampling.weighted_sample_topk) — the rounded comparator
+    # makes the ranking platform-invariant
     w = Window.orderBy(F.desc("score"), F.col("doc_id"))
     any_hit = None
     for i in range(len(query_terms)):
@@ -448,10 +459,10 @@ def bm25_topk(
     return (
         wide.crossJoin(F.broadcast(stats))
         .filter(any_hit)  # docs with no query term never ranked (as before)
-        .select("doc_id", total.alias("score"))
+        .select("doc_id", F.round(total, 6).alias("score"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("doc_id", F.round("score", 6).alias("score"), "rk")
+        .select("doc_id", "score", "rk")
     )
 
 

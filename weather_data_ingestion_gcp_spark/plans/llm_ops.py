@@ -897,10 +897,11 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
-               tf.tf * (ln((n.n_docs + 1) * 1.0 / (dfc.df + 1)) + 1) AS tfidf
+               ROUND(tf.tf * (ln((n.n_docs + 1) * 1.0 / (dfc.df + 1)) + 1), 6)
+                   AS tfidf
         FROM tf JOIN dfc USING (term) CROSS JOIN n
     )
-    SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf, rk
+    SELECT doc_id, term, tf, df, tfidf, rk
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY tfidf DESC, term) AS rk
           FROM scored)
@@ -983,9 +984,10 @@ _BM25_TERMS = ["spark", "merge", "window"]
     r AS (SELECT doc_id,
                  COALESCE(s0, 0) + COALESCE(s1, 0) + COALESCE(s2, 0) AS score
           FROM p),
-    rk AS (SELECT doc_id, score,
-                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM r)
-    SELECT doc_id, ROUND(score, 6) AS score, rk FROM rk WHERE rk <= 20 ORDER BY rk
+    rk AS (SELECT doc_id, ROUND(score, 6) AS score,
+                  ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rk
+           FROM r)
+    SELECT doc_id, score, rk FROM rk WHERE rk <= 20 ORDER BY rk
     """,
 )
 def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
