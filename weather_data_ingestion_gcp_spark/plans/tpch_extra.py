@@ -456,37 +456,60 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
-               ROUND(SUM(o_totalprice), 2) AS rev
+               CAST(ROUND(ROUND(SUM(o_totalprice), 2) * 100, 0) AS BIGINT)
+                   AS rev_c
         FROM orders
         WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
           AND CAST(o_orderdate AS DATE) <  DATE '1999-04-01'
         GROUP BY d)
-    SELECT d, rev,
-           ROUND(SUM(rev) OVER (ORDER BY d
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
-           ROUND(rev - COALESCE(lag(rev) OVER (ORDER BY d), 0), 2)     AS delta_rev,
-           ROUND(AVG(rev) OVER (ORDER BY d
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)         AS ma7_rev
+    SELECT d,
+           rev_c / 100.0 AS rev,
+           SUM(rev_c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+               AS running_rev,
+           (rev_c - COALESCE(lag(rev_c) OVER (ORDER BY d), 0)) / 100.0
+               AS delta_rev,
+           CAST(SUM(rev_c) OVER (ORDER BY d
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / (100.0 * COUNT(*) OVER (ORDER BY d
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS ma7_rev
     FROM daily ORDER BY d
     """,
 )
 def window_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running frames over the daily revenue series. The windowed math
+    runs on integer CENTS, not doubles: sliding-frame aggregation
+    accumulates in engine-specific order (DuckDB slides by
+    subtract/segment-tree, Spark recomputes/accumulates forward), so
+    double sums differ in the last ulp and ROUND turns that into visible
+    0.01 flips (caught by the sf0.001 parity sweep on ma7). Integer
+    window sums are exact and order-free; the single final division is
+    identical IEEE arithmetic on both engines — no rounding needed at
+    all, which also removes the HALF_UP-vs-banker's tie hazard."""
     o = _t(spark, sf_dir, "orders").filter(
         (_date("o_orderdate") >= F.lit("1999-01-01").cast("date"))
         & (_date("o_orderdate") < F.lit("1999-04-01").cast("date"))
     )
     daily = o.groupBy(_date("o_orderdate").alias("d")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100, 0)
+        .cast("long")
+        .alias("rev_c")
     )
     w = Window.orderBy("d")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ma = w.rowsBetween(-6, Window.currentRow)
     return daily.select(
         "d",
-        "rev",
-        F.round(F.sum("rev").over(run), 2).alias("running_rev"),
-        F.round(F.col("rev") - F.coalesce(F.lag("rev").over(w), F.lit(0)), 2).alias("delta_rev"),
-        F.round(F.avg("rev").over(ma), 2).alias("ma7_rev"),
+        (F.col("rev_c") / 100.0).alias("rev"),
+        (F.sum("rev_c").over(run) / 100.0).alias("running_rev"),
+        (
+            (F.col("rev_c") - F.coalesce(F.lag("rev_c").over(w), F.lit(0)))
+            / 100.0
+        ).alias("delta_rev"),
+        (
+            F.sum("rev_c").over(ma).cast("double")
+            / (100.0 * F.count(F.lit(1)).over(ma))
+        ).alias("ma7_rev"),
     ).orderBy("d")
 
 
