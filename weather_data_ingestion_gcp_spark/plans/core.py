@@ -1452,6 +1452,45 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate percentile — same contract pattern as approx_distinct_users:
+# the sketch estimate (KLL/GK-style, engine-specific) is checked against
+# exact rank bounds, and the ORACLE pins the verdict TRUE. percentile_approx
+# with accuracy=1000 has rank error <= 0.1%; the contract grants +-5% rank
+# slack (exact p45..p55 / p90..p99 value bounds), so a real regression in
+# the sketch flips the flag and fails the hash compare.
+# ---------------------------------------------------------------------------
+@register(
+    "approx_percentile_contract",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4)  AS exact_p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS exact_p95,
+           TRUE AS p50_within, TRUE AS p95_within
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("a50"),
+        F.expr("percentile_approx(value, 0.95, 1000)").alias("a95"),
+        F.expr("percentile(value, 0.5)").alias("x50"),
+        F.expr("percentile(value, 0.95)").alias("x95"),
+        F.expr("percentile(value, 0.45)").alias("lo50"),
+        F.expr("percentile(value, 0.55)").alias("hi50"),
+        F.expr("percentile(value, 0.90)").alias("lo95"),
+        F.expr("percentile(value, 0.99)").alias("hi95"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("x50", 4).alias("exact_p50"),
+        F.round("x95", 4).alias("exact_p95"),
+        F.col("a50").between(F.col("lo50"), F.col("hi50")).alias("p50_within"),
+        F.col("a95").between(F.col("lo95"), F.col("hi95")).alias("p95_within"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # Approximate distinct — HLL sketch *values* differ across engines, so the
 # registered output is the accuracy CONTRACT, not the estimate: exact count
 # (hash-checked) + a within-tolerance verdict the oracle pins to TRUE. A
