@@ -63,6 +63,19 @@ def test_no_complex_output_columns(schemas, name):
     )
 
 
+@pytest.mark.parametrize("name", _NAMES)
+def test_no_duplicate_output_columns(schemas, name):
+    """Duplicate column names break pandas-side canonicalization (column
+    selection by label becomes ambiguous) — same crash class as complex
+    types, pinned the same way."""
+    res = schemas[name]
+    if isinstance(res, Exception):
+        pytest.skip("analysis failed; covered by test_query_analyzes")
+    names = [f.name for f in res.fields]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not dupes, f"{name} emits duplicate column names: {dupes}"
+
+
 def test_every_oracle_has_a_query():
     missing = sorted(set(ORACLE) - set(QUERIES))
     assert not missing, f"oracle entries without a registered query: {missing}"
