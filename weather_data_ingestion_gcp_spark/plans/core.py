@@ -21,6 +21,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _cents(col: str = "value"):
+    """Per-row exact integer cents for a 2-decimal money double.
+
+    SUM over doubles accumulates in engine- and partitioning-specific
+    order, so rounding the raw double sum can flip a half-cent boundary
+    between Spark and the DuckDB oracle (or between two Spark
+    partitionings — the driver's sessionize_events red row in round 2).
+    The generator emits exact 2-decimal values, so quantizing each row
+    to BIGINT cents first makes the sum exact and order-free; the single
+    final division by 100.0 is identical IEEE arithmetic everywhere.
+    Oracle mirror: ``SUM(CAST(ROUND(col * 100, 0) AS BIGINT)) / 100.0``.
+    """
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the daily rollup (sp_raw_to_transformed_create_weather_data_query
 # .sql:26-55) transplanted onto the `events` stream table: GROUP BY day (A1),
@@ -99,7 +114,8 @@ def clean_restructure_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "filter_dispatch",
     oracle="""
-    SELECT user_id, COUNT(*) AS n_clicks, ROUND(SUM(value), 2) AS click_value
+    SELECT user_id, COUNT(*) AS n_clicks,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS click_value
     FROM events WHERE event_type = 'click'
     GROUP BY user_id ORDER BY user_id
     """,
@@ -111,7 +127,7 @@ def filter_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
-            F.round(F.sum("value"), 2).alias("click_value"),
+            (F.sum(_cents()) / 100.0).alias("click_value"),
         )
         .orderBy("user_id")
     )
@@ -223,7 +239,8 @@ _ROUTES = [("click", "t_click"), ("view", "t_view"), ("purchase", "t_purchase")]
 @register(
     "broadcast_route_lookup",
     oracle="""
-    SELECT r.target AS target, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS total
+    SELECT r.target AS target, COUNT(*) AS n,
+           SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) / 100.0 AS total
     FROM events e
     JOIN (VALUES ('click', 't_click'), ('view', 't_view'), ('purchase', 't_purchase'))
          AS r(event_type, target)
@@ -237,7 +254,7 @@ def broadcast_route_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(F.broadcast(routes), "event_type")  # BroadcastHashJoin by construction
         .groupBy("target")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum(_cents()) / 100.0).alias("total"))
         .orderBy("target")
     )
 
@@ -1116,7 +1133,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS win_start,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total
     FROM events
     GROUP BY win_start, event_type
     ORDER BY win_start, event_type
@@ -1126,7 +1143,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum(_cents()) / 100.0).alias("total"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
         .orderBy("win_start", "event_type")
     )
@@ -1143,7 +1160,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT win_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2)     AS total
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total
     FROM shifted
     GROUP BY win_start, event_type
     ORDER BY win_start, event_type
@@ -1160,7 +1177,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum(_cents()) / 100.0).alias("total"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
         .orderBy("win_start", "event_type")
     )
@@ -1331,7 +1348,7 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS session_value,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS session_value,
            (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS duration_sec
     FROM sessions
     GROUP BY user_id, session_id
@@ -1339,6 +1356,12 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min inactivity) — batch twin of the
+    streaming session-window operator. Session totals sum exact integer
+    CENTS (see ``_cents``): round 2's one red driver row was this
+    query's rounded raw double sum flipping a half-cent boundary
+    under the driver's partitioning while passing local parity at every
+    SF — the signature of order-dependent double accumulation."""
     from pyspark.sql.window import Window
 
     e = _t(spark, sf_dir, "events")
@@ -1356,7 +1379,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            (F.sum(_cents()) / 100.0).alias("session_value"),
             ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / F.lit(1_000_000))
             .cast("long")
             .alias("duration_sec"),
@@ -1375,21 +1398,25 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 @register(
     "pivot_daily_event_values",
     oracle="""
-    SELECT CAST(ts AS DATE) AS dt,
-           ROUND(SUM(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
-           ROUND(SUM(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
-           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
-           ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
-           ROUND(SUM(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
-    FROM events GROUP BY dt ORDER BY dt
+    WITH cents AS (
+        SELECT CAST(ts AS DATE) AS dt, event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS value_c
+        FROM events)
+    SELECT dt,
+           SUM(CASE WHEN event_type = 'click'    THEN value_c END) / 100.0 AS click,
+           SUM(CASE WHEN event_type = 'error'    THEN value_c END) / 100.0 AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN value_c END) / 100.0 AS purchase,
+           SUM(CASE WHEN event_type = 'signup'   THEN value_c END) / 100.0 AS signup,
+           SUM(CASE WHEN event_type = 'view'     THEN value_c END) / 100.0 AS view
+    FROM cents GROUP BY dt ORDER BY dt
     """,
 )
 def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").withColumn("value_c", _cents())
     out = (
         e.groupBy(F.to_date("ts").alias("dt"))
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.round(F.sum("value"), 2))
+        .agg(F.sum("value_c") / 100.0)
     )
     return out.orderBy("dt")
 
@@ -1399,7 +1426,7 @@ def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS dt,
-               ROUND(SUM(value), 2) AS total_value,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value,
                CAST(COUNT(*) AS DOUBLE) AS n_events
         FROM events GROUP BY dt
     )
@@ -1413,7 +1440,7 @@ def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("dt")).agg(
-        F.round(F.sum("value"), 2).alias("total_value"),
+        (F.sum(_cents()) / 100.0).alias("total_value"),
         F.count(F.lit(1)).cast("double").alias("n_events"),
     )
     return daily.unpivot(
@@ -2139,7 +2166,8 @@ def bitwise_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(least(user_id % 7, user_id % 5)) AS BIGINT) AS least_sum,
            CAST(SUM(coalesce(NULLIF(user_id % 4, 0), NULLIF(user_id % 2, 0), 99))
                 AS BIGINT) AS coalesce_sum,
-           ROUND(SUM(value / NULLIF(user_id % 4, 0)), 2) AS safe_div_sum
+           SUM(CAST(ROUND(value / NULLIF(user_id % 4, 0) * 1000000, 0) AS BIGINT))
+               / 1000000.0 AS safe_div_sum
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -2148,8 +2176,9 @@ def conditional_null_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     NVL2 (CASE-expanded in the oracle — DuckDB has no nvl2), COALESCE
     chains, GREATEST/LEAST (both engines skip NULL operands), COUNT's
     null-skipping, and NULL-safe division via NULLIF denominators (the
-    portable try_divide). Integer paths are exact; the one float sum is
-    rounded like every float aggregate in the suite."""
+    portable try_divide). Integer paths are exact; the one float sum
+    quantizes each quotient to integer micro-units before summing so the
+    aggregate is order-free (see ``_cents``)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -2170,8 +2199,14 @@ def conditional_null_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("coalesce(nullif(user_id % 4, 0), nullif(user_id % 2, 0), 99)"))
             .cast("long")
             .alias("coalesce_sum"),
-            F.round(F.sum(F.expr("value / nullif(user_id % 4, 0)")), 2)
-            .alias("safe_div_sum"),
+            (
+                F.sum(
+                    F.round(
+                        F.expr("value / nullif(user_id % 4, 0)") * 1000000, 0
+                    ).cast("long")
+                )
+                / 1000000.0
+            ).alias("safe_div_sum"),
         )
         .orderBy("event_type")
     )
@@ -2591,7 +2626,8 @@ def map_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(COALESCE(TRY_CAST(maybe_num AS BIGINT), -1)) AS BIGINT)
                AS num_sum,
            CAST(COUNT(TRY_CAST(maybe_ts AS TIMESTAMP)) AS BIGINT) AS n_ts_ok,
-           ROUND(SUM(value / NULLIF(user_id % 5, 0)), 2) AS div_sum
+           SUM(CAST(ROUND(value / NULLIF(user_id % 5, 0) * 1000000, 0) AS BIGINT))
+               / 1000000.0 AS div_sum
     FROM t GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -2624,8 +2660,15 @@ def try_cast_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("num_sum"),
             F.count(F.expr("try_cast(maybe_ts AS TIMESTAMP)")).alias("n_ts_ok"),
-            F.round(F.sum(F.try_divide(F.col("value"), F.col("user_id") % 5)), 2)
-            .alias("div_sum"),
+            (
+                F.sum(
+                    F.round(
+                        F.try_divide(F.col("value"), F.col("user_id") % 5) * 1000000,
+                        0,
+                    ).cast("long")
+                )
+                / 1000000.0
+            ).alias("div_sum"),
         )
         .orderBy("event_type")
     )
