@@ -109,3 +109,17 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as exc:
             failures.append(f"{name}: {type(exc).__name__}")
     assert not failures, f"queries crashing on empty input: {failures}"
+
+
+def test_driver_window_is_pinned():
+    """The correctness driver hard-checks the FIRST 50 registry entries;
+    ordering is therefore evidence allocation, and a stray registration
+    must not silently evict driver coverage. Round 3 front-loads the
+    LLM-pipeline block (never driver-checked in rounds 1-2) plus
+    sessionize_events; see plans/__init__.py DRIVER_WINDOW and
+    COVERAGE.md for the rationale and rotation history."""
+    from weather_data_ingestion_gcp_spark.plans import DRIVER_WINDOW
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW

@@ -10,3 +10,92 @@ from . import core  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
 from . import datapipe  # noqa: F401,E402
+
+# ---------------------------------------------------------------------------
+# Driver-visible ordering. The correctness driver hard-checks the FIRST 50
+# registry entries each round, so ordering is evidence allocation: rounds 1-2
+# spent both windows on the reference-surface queries (green since round 1)
+# while the entire LLM-pipeline block sat past position 50, never receiving a
+# driver row. This window front-loads the never-checked block — dedup,
+# similarity/ANN, text analysis, sampling, multimodal, temporal joins, SCD2 —
+# plus sessionize_events to prove the round-3 integer-cents fix. The
+# remaining never-checked entries (TPC-H extras, breadth suites, sketches)
+# rotate into the window next round. Pinned by tests/test_registry_contract
+# so a new registration cannot silently evict driver coverage.
+# ---------------------------------------------------------------------------
+DRIVER_WINDOW = [
+    "sessionize_events",
+    # exact + near-duplicate detection
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_keep_best_quality",
+    "dedup_simhash_hamming",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # decontamination + end-to-end curation
+    "decontaminate_ngram_exact",
+    "decontaminate_test_split",
+    "curation_pipeline_keep",
+    # similarity search / embeddings
+    "similarity_cosine_topk",
+    "similarity_ann_rp_lsh",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_kmeans",
+    "similarity_mmr_diverse",
+    "embedding_quantize_int8",
+    # lexical retrieval + text statistics
+    "bm25_lexical_topk",
+    "text_tfidf_top_terms",
+    "inverted_index_bigrams",
+    "text_winnow_fingerprints",
+    "word_pair_pmi",
+    "bpe_char_pair_counts",
+    # language ID / quality / tokenization
+    "text_langid_scores",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_entropy_quality",
+    "text_normalize_clean",
+    "html_strip_markup",
+    "url_extract_normalize",
+    "pii_scrub_counts",
+    "quality_percentile_gate",
+    "vocab_oov_rate",
+    "boilerplate_prefix_groups",
+    # chunking / packing
+    "chunk_documents_overlap",
+    "sequence_pack_offsets",
+    # sampling / dataset mixing
+    "sample_hash_bernoulli",
+    "sample_stratified_quota",
+    "sample_weighted_topk",
+    "train_test_split_stats",
+    "dataset_mix_by_lang",
+    # multimodal plumbing
+    "multimodal_decode_meta",
+    "multimodal_feature_extract",
+    "multimodal_frame_offsets",
+    # temporal joins + slowly-changing dimensions
+    "asof_join_clicks_views",
+    "interval_join_views_clicks",
+    "range_join_price_bands",
+    "scd2_customer_history",
+]
+
+
+def _apply_driver_window() -> None:
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    window = set(DRIVER_WINDOW)
+    front = {n: QUERIES[n] for n in DRIVER_WINDOW}
+    rest = {n: fn for n, fn in QUERIES.items() if n not in window}
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(rest)
+
+
+_apply_driver_window()
