@@ -160,6 +160,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "similarity_cosine_topk",
     "similarity_ann_ivf",
     "similarity_ann_ivf_kmeans",
+    "similarity_mmr_diverse",  # 1-row contract agg x 1-row argmax
     "text_tfidf_top_terms",
     "bm25_lexical_topk",
     "word_pair_pmi",

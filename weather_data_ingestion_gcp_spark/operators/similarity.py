@@ -340,21 +340,21 @@ def rp_lsh_topk(
     )
 
 
-def ivf_topk(
+def ivf_parts(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "label",
-) -> DataFrame:
-    """Approximate top-k: probe the nprobe clusters whose centroids are
-    nearest each query, brute-force only inside them.
+) -> "tuple[DataFrame, DataFrame]":
+    """The two IVF stages before the final top-k cut, exposed so callers
+    can audit the mechanics (the accuracy-contract oracles check that the
+    returned top-k is exactly the best of the probed candidate set and
+    that every candidate came from a probed cluster).
 
-    Centroids are a tiny aggregate (one row per cluster) — broadcast to the
-    query side; the candidate search is an equi-join on cluster id, which at
-    scale hits only the probed partitions of a cluster-bucketed corpus.
+    Returns ``(probes, scored)``: probes = (q_id, cluster) pairs actually
+    searched; scored = every candidate with its exact cosine.
     """
     # centroid per cluster: element-wise mean via posexplode + re-assemble
     exploded = corpus.select(
@@ -399,11 +399,35 @@ def ivf_topk(
         .select(
             "q_id",
             "n_id",
+            "cluster",
             (
                 dot_pandas(F.col("q_vec"), F.col("n_vec"))
                 / (F.col("q_nrm") * F.col("n_nrm"))
             ).alias("cos_sim"),
         )
+    )
+    return probes.select("q_id", "cluster"), scored
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe clusters whose centroids are
+    nearest each query, brute-force only inside them.
+
+    Centroids are a tiny aggregate (one row per cluster) — broadcast to the
+    query side; the candidate search is an equi-join on cluster id, which at
+    scale hits only the probed partitions of a cluster-bucketed corpus.
+    """
+    _, scored = ivf_parts(
+        corpus, queries, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        cluster_col=cluster_col,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("n_id"))
     return (

@@ -591,19 +591,45 @@ def vector_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register("similarity_ann_ivf_kmeans")  # iterative k-means: rows-only driver check
+@register(
+    "similarity_ann_ivf_kmeans",
+    oracle="""
+    SELECT vec_id AS q_id,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8 ORDER BY q_id
+    """,
+)
 def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully self-contained IVF: cluster with deterministic Lloyd k-means
     (operators/similarity.kmeans_assign), then probe-and-search. The
-    iterative clustering loop is why this entry has no SQL oracle."""
-    from ..operators.similarity import ivf_topk, kmeans_assign
+    iterative clustering loop is not SQL-expressible, so the registered
+    output is an ACCURACY CONTRACT (the HLL/approx-percentile pattern):
+    per query, exactly k results, and recall@5 vs the exact brute-force
+    neighbors >= 0.2 — a verdict the oracle pins TRUE. Observed recall on
+    geometric k-means clusters is >= 0.6 at sf0.001/0.01/0.1 (nprobe=2 of
+    8 clusters), so the pinned bound has 3x slack while still failing the
+    hash compare on any real ANN regression."""
+    from ..operators.similarity import brute_force_topk, ivf_topk, kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.join(kmeans_assign(emb, k=8, max_iter=3), "vec_id")
     queries = corpus.filter(F.col("vec_id") < 8)
-    out = ivf_topk(corpus, queries, k=5, nprobe=2, cluster_col="kmeans_cluster")
-    return out.select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk").orderBy(
-        "q_id", "rk"
+    ann = ivf_topk(corpus, queries, k=5, nprobe=2, cluster_col="kmeans_cluster")
+    brute = brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    hits = ann.join(
+        brute.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi"
+    ).groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        ann.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_results",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 1).alias("recall_ok"),
+        )
+        .orderBy("q_id")
     )
 
 
@@ -673,13 +699,58 @@ def similarity_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rk")
 
 
-@register("similarity_ann_ivf")  # iterative/centroid-based: rows-only driver check
+@register(
+    "similarity_ann_ivf",
+    oracle="""
+    SELECT vec_id AS q_id,
+           CAST(5 AS BIGINT) AS n_results,
+           CAST(15 AS BIGINT) AS rk_sum,
+           TRUE AS probed_only,
+           TRUE AS topk_of_candidates
+    FROM embeddings WHERE vec_id < 8 ORDER BY q_id
+    """,
+)
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over the table's pre-assigned ``label`` clusters, registered as
+    a MECHANICS CONTRACT (oracle pins every verdict TRUE): per query,
+    exactly k ranked results (rk 1..5, so rk_sum = 15), every candidate
+    drawn from a probed cluster, and the returned top-k exactly the best
+    of the probed candidate set (min picked cosine >= max unpicked
+    cosine). Recall vs brute force is NOT contracted here — the data's
+    arbitrary labels bound it, not the operator (a query whose true
+    neighbors sit in unprobed clusters legitimately has recall 0); the
+    k-means twin contracts recall on geometric clusters instead."""
+    from pyspark.sql.window import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = similarity.ivf_topk(emb, queries, k=5, nprobe=2)
-    return out.select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk").orderBy(
-        "q_id", "rk"
+    probes, scored = similarity.ivf_parts(emb, queries, nprobe=2)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("n_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    audited = ranked.join(
+        probes.withColumn("is_probed", F.lit(True)), ["q_id", "cluster"], "left"
+    )
+    picked = F.col("rk") <= 5
+    return (
+        audited.groupBy("q_id")
+        .agg(
+            F.sum(F.when(picked, 1).otherwise(0)).cast("long").alias("n_results"),
+            F.sum(F.when(picked, F.col("rk")).otherwise(0))
+            .cast("long")
+            .alias("rk_sum"),
+            F.min(F.when(picked, F.coalesce("is_probed", F.lit(False)))).alias(
+                "probed_only"
+            ),
+            (
+                F.coalesce(
+                    F.min(F.when(picked, F.col("cos_sim"))), F.lit(float("inf"))
+                )
+                >= F.coalesce(
+                    F.max(F.when(~picked, F.col("cos_sim"))), F.lit(float("-inf"))
+                )
+            ).alias("topk_of_candidates"),
+        )
+        .orderBy("q_id")
     )
 
 
@@ -1351,25 +1422,60 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.scalar_quantize_stats(e).orderBy("vec_id")
 
 
-@register("similarity_mmr_diverse")  # iterative greedy -> rows-only check
+@register(
+    "similarity_mmr_diverse",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_selected,
+           CAST(8 AS BIGINT) AS n_distinct,
+           CAST(36 AS BIGINT) AS rank_sum,
+           TRUE AS top1_is_argmax
+    FROM (SELECT 1) WHERE EXISTS (SELECT 1 FROM embeddings WHERE vec_id = 0)
+    """,
+)
 def similarity_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval (similarity.mmr_select): greedy MMR picks
     8 vectors balancing relevance to the query (vec_id 0) against
-    redundancy with already-picked ones. Sequential in k by definition
-    (each pick reshapes the next argmax), hence no SQL oracle — the
-    greedy invariant and determinism are pytest-pinned instead. Per round
-    the corpus is scored in one Arrow pass against a broadcast <= k x dim
-    matrix and exactly one row is collected."""
+    redundancy with already-picked ones. The greedy loop is sequential in
+    k by definition, so the registered output is an INVARIANT CONTRACT
+    the oracle pins: 8 picks, all distinct, ranks exactly 1..8
+    (rank_sum 36), and the first pick equal to the exact relevance argmax
+    — with an empty selected set the MMR score reduces to lam * rel, so
+    pick 1 must be the brute-force nearest neighbor (ascending-id
+    tiebreak on both paths). Per greedy round the corpus is scored in one
+    Arrow pass against a broadcast <= k x dim matrix; only the bounded
+    shortlist is ever collected."""
     e = load_table(spark, sf_dir, "embeddings")
     qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
     if qrow is None:
         # no query vector (empty table): empty result, contract schema
         return spark.createDataFrame(
-            [], "vec_id bigint, mmr_rank int, relevance double"
+            [],
+            "n_selected bigint, n_distinct bigint, rank_sum bigint, "
+            "top1_is_argmax boolean",
         )
-    return similarity.mmr_select(
-        e.filter(F.col("vec_id") != 0), [float(v) for v in qrow[0]], k=8, lam=0.7
-    ).orderBy("mmr_rank")
+    corpus = e.filter(F.col("vec_id") != 0)
+    sel = similarity.mmr_select(
+        corpus, [float(v) for v in qrow[0]], k=8, lam=0.7
+    )
+    top1 = (
+        similarity.brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=1)
+        .select(F.col("n_id").alias("argmax_id"))
+    )
+    return (
+        sel.agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.countDistinct("vec_id").alias("n_distinct"),
+            F.sum("mmr_rank").cast("long").alias("rank_sum"),
+            F.min(F.when(F.col("mmr_rank") == 1, F.col("vec_id"))).alias("_pick1"),
+        )
+        .crossJoin(top1)
+        .select(
+            "n_selected",
+            "n_distinct",
+            "rank_sum",
+            (F.col("_pick1") == F.col("argmax_id")).alias("top1_is_argmax"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
