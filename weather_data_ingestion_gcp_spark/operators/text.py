@@ -188,46 +188,62 @@ def winnow_fingerprints(
 
     Formulation: MAP-ONLY. A document's fingerprints depend on nothing but
     its own text, so the whole operator is one Arrow-batched pandas UDF:
-    texts cross to Python once per batch, each doc's k-gram md5s and
-    w-window minima are computed in numpy (hashlib md5 == the engines'
-    md5, so cross-engine parity holds), and only the per-doc fingerprint
-    arrays come back. No explode, no shuffle, no window sort — the
-    previous exploded formulation (grams as rows + codegen md5 + rows-
-    frame window minima) shuffled ~1.5M gram rows at sf0.1 and cost 7-13s;
-    this one runs in well under a second and stays embarrassingly parallel
-    at any corpus size (work is bounded by text bytes scanned per
-    partition). Short docs (< k+w-1 chars) yield an empty fingerprint set,
-    matching the windowed definition. Output: (id, n_fp, min_fp, max_fp)
-    summary, or (id, fp) rows with ``output="fps"``."""
+    texts cross to Python once per batch, each doc's gram hashes and
+    w-window minima are computed in numpy, and only the per-doc
+    fingerprint arrays come back. No explode, no shuffle, no window sort —
+    work is bounded by text bytes scanned per partition, embarrassingly
+    parallel at any corpus size.
+
+    Gram hash: winnowing needs any consistent hash (SIGMOD'03 §2), not a
+    cryptographic one. A per-gram ``hashlib.md5`` loop ran at Python rate
+    (~1 call per text byte — 12 s at sf0.1, the suite's slowest query by
+    2x); instead each k-gram's base-128 value (injective for ASCII,
+    < 2^56) is computed by a vectorized Horner pass over the byte array
+    and scrambled by an odd golden-ratio multiplier mod 2^63 — a
+    bijection, so gram distinctness is preserved and the window minima
+    are uniformly distributed. The DuckDB oracle states the identical
+    arithmetic (HUGEINT multiply, same modulus). Non-ASCII input still
+    hashes deterministically (codepoint path, numpy uint64 wraparound)
+    but cross-engine parity is only pinned for ASCII — which the
+    whitespace-normalized driver corpus is. Short docs (< k+w-1 chars)
+    yield an empty fingerprint set, matching the windowed definition.
+    Output: (id, n_fp, min_fp, max_fp) summary, or (id, fp) rows with
+    ``output="fps"``."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(T.ArrayType(T.StringType()))
+    @pandas_udf(T.ArrayType(T.LongType()))
     def fps_pd(texts: pd.Series) -> pd.Series:
-        import hashlib
-
         import numpy as np
 
+        mult = np.uint64(11400714819323198485)  # odd -> bijective mod 2^63
+        mask = np.uint64(0x7FFFFFFFFFFFFFFF)
         out = []
-        for s in texts:
-            if s is None:
-                out.append([])
-                continue
-            # whitespace-normalize + lowercase (ASCII corpus: Python and
-            # Java/DuckDB \s+ -> " " + trim agree)
-            s2 = " ".join(s.lower().split())
-            ng = len(s2) - k + 1
-            if ng < w:  # no full w-wide window of grams
-                out.append([])
-                continue
-            hs = np.array(
-                [hashlib.md5(s2[i : i + k].encode("utf-8")).hexdigest() for i in range(ng)]
-            )
-            m = hs[: ng - w + 1]
-            for j in range(1, w):  # sliding lexicographic min, vectorized
-                sh = hs[j : ng - w + 1 + j]
-                m = np.where(sh < m, sh, m)
-            out.append(np.unique(m).tolist())
+        with np.errstate(over="ignore"):  # uint64 wraparound is the design
+            for s in texts:
+                if s is None:
+                    out.append([])
+                    continue
+                # whitespace-normalize + lowercase (ASCII corpus: Python
+                # and Java/DuckDB \s+ -> " " + trim agree)
+                s2 = " ".join(s.lower().split())
+                ng = len(s2) - k + 1
+                if ng < w:  # no full w-wide window of grams
+                    out.append([])
+                    continue
+                raw = s2.encode("utf-8")
+                if len(raw) == len(s2):  # pure ASCII: zero-copy vector path
+                    b = np.frombuffer(raw, np.uint8).astype(np.uint64)
+                else:  # rare non-ASCII: per-codepoint fallback
+                    b = np.fromiter(map(ord, s2), np.uint64, len(s2))
+                g = np.zeros(ng, dtype=np.uint64)
+                for j in range(k):  # Horner: g = ((c0*128 + c1)*128 + ...)
+                    g = g * np.uint64(128) + b[j : j + ng]
+                hs = (g * mult) & mask
+                m = hs[: ng - w + 1]
+                for j in range(1, w):  # sliding window min, vectorized
+                    m = np.minimum(m, hs[j : ng - w + 1 + j])
+                out.append(np.unique(m).astype(np.int64).tolist())
         return pd.Series(out)
 
     # a small single-file source scans as ONE split, serializing the UDF on

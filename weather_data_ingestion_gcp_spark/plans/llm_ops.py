@@ -1083,7 +1083,17 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CASE WHEN len(t) >= 8
                     THEN list_transform(generate_series(1, len(t) - 7),
-                                        i -> md5(substr(t, i, 8)))
+                         i -> CAST((CAST(
+                                (((((((CAST(ord(substr(t, i, 1)) AS BIGINT) * 128
+                                     + ord(substr(t, i + 1, 1))) * 128
+                                     + ord(substr(t, i + 2, 1))) * 128
+                                     + ord(substr(t, i + 3, 1))) * 128
+                                     + ord(substr(t, i + 4, 1))) * 128
+                                     + ord(substr(t, i + 5, 1))) * 128
+                                     + ord(substr(t, i + 6, 1))) * 128
+                                     + ord(substr(t, i + 7, 1)))
+                              AS HUGEINT) * 11400714819323198485)
+                              % 9223372036854775808 AS BIGINT))
                     ELSE [] END AS hs
         FROM norm
     ),
@@ -1103,10 +1113,11 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators.text.winnow_fingerprints): char
-    8-gram md5s, 4-wide window minima, distinct per doc — any shared
-    substring of length >= 11 chars yields a common fingerprint. The
-    whole computation is columnar array lambdas inside one projection;
-    no explode, no shuffle until the final orderBy."""
+    8-gram rolling hashes (base-128 Horner value x golden-ratio odd
+    multiplier mod 2^63 — a bijection, so gram identity is preserved),
+    4-wide window minima, distinct per doc — any shared substring of
+    length >= 11 chars yields a common fingerprint. One Arrow-batched
+    vectorized pass; no explode, no shuffle until the final orderBy."""
     d = load_table(spark, sf_dir, "documents")
     return text.winnow_fingerprints(d, "doc_id", "text", k=8, w=4).orderBy("doc_id")
 
