@@ -1152,21 +1152,32 @@ def word_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus cross join); term document-frequencies ride a broadcast; the
     corpus size is a broadcast scalar. All PMI inputs are exact integers,
     so the only float ops (two divides, one ln) see identical operands in
-    both engines."""
+    both engines.
+
+    Scale path: n_co <= min(df_a, df_b), so a pair can only survive the
+    ``n_co >= MIN_CO`` gate if BOTH terms appear in >= MIN_CO documents —
+    each self-join leg is therefore semi-joined against the (tiny,
+    broadcast) hot-term relation BEFORE the doc_id join. Semantics are
+    provably identical; the pair blowup shrinks from per-doc full-vocab^2
+    to hot-vocab^2 (long-tail tokens — most of any real corpus — never
+    enter the join)."""
+    min_co = 50
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(text.words(F.col("text"))).alias("token")
     ).distinct()
     n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    a = toks.select("doc_id", F.col("token").alias("w1"))
-    b = toks.select("doc_id", F.col("token").alias("w2"))
+    hot = dfc.filter(F.col("df") >= min_co).select("token")
+    toks_hot = toks.join(F.broadcast(hot), "token", "left_semi")
+    a = toks_hot.select("doc_id", F.col("token").alias("w1"))
+    b = toks_hot.select("doc_id", F.col("token").alias("w2"))
     co = (
         a.join(b, "doc_id")
         .filter(F.col("w1") < F.col("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_co"))
-        .filter(F.col("n_co") >= 50)
+        .filter(F.col("n_co") >= min_co)
     )
     fa = dfc.select(F.col("token").alias("w1"), F.col("df").alias("df_a"))
     fb = dfc.select(F.col("token").alias("w2"), F.col("df").alias("df_b"))
