@@ -63,6 +63,12 @@ def main() -> int:
         if gc_every and (i + 1) % gc_every == 0:
             spark._jvm.System.gc()
 
+    # the dedup block persists shared shingle relations; release them once
+    # the suite is done rather than leaving the session to LRU eviction
+    from weather_data_ingestion_gcp_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)

@@ -228,6 +228,18 @@ def test_multimodal_header_parser_pure():
     with pytest.raises(ValueError):
         _parse_image_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9")  # no SOF
 
+    # 0xFF fill/padding bytes before a marker are legal (ITU T.81 B.1.1.2);
+    # the walk must skip them, not read a length from the real marker byte
+    padded = _jpeg_bytes(7, 9)
+    sof_at = padded.index(b"\xff\xc0")
+    padded = padded[:sof_at] + b"\xff\xff\xff" + padded[sof_at:]
+    assert _parse_image_header(padded) == (7, 9, 3, "jpeg")
+    # EOI terminates the walk even when followed by trailing garbage
+    with pytest.raises(ValueError):
+        _parse_image_header(
+            b"\xff\xd8\xff\xd9" + b"\xff\xc0\x00\x0b\x08\x00\x09\x00\x07\x03"
+        )
+
 
 def test_scalar_function_helpers(spark):
     from weather_data_ingestion_gcp_spark.functions import (

@@ -24,6 +24,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Shingle relations persisted by minhash_near_duplicates(cache_shingles=
+#: True). The cache is what lets every dedup query over one table share a
+#: single tokenization, but each distinct (input, shingle_n) plan holds a
+#: MEMORY_AND_DISK entry for the session lifetime; long-running callers
+#: release explicitly instead of leaning on LRU block eviction.
+_SHINGLE_CACHE: list[DataFrame] = []
+
+
+def release_shingle_caches(blocking: bool = False) -> int:
+    """Unpersist every shingle relation cached by
+    ``minhash_near_duplicates`` and return how many were released. Call
+    after a dedup block completes in a long-running session (the bench
+    harness does, once, after the suite)."""
+    n = 0
+    for cached in _SHINGLE_CACHE:
+        try:
+            cached.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _SHINGLE_CACHE.clear()
+    return n
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -241,12 +265,17 @@ def minhash_near_duplicates(
       point the shingle relation is ~corpus-sized, so flip
       ``cache_shingles=False`` there and eat the extra scans (or dedup in
       date-partition slices so each slice's cache fits).
+
+    Every persisted handle is tracked; long-running sessions call
+    ``release_shingle_caches()`` after their dedup block completes (the
+    bench harness does) instead of relying on LRU eviction alone.
     """
     sh = shingles(df, id_col, text_col, n=shingle_n)
     if cache_shingles:
         from pyspark.storagelevel import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE.append(sh)
     aggs = [
         F.min(F.md5(F.concat_ws("|", "shingle", F.lit(str(s))))).alias(f"h{s}")
         for s in range(num_hashes)

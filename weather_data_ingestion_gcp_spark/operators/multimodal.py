@@ -65,6 +65,11 @@ def _parse_image_header(p: bytes) -> tuple[int, int, int, str]:
                 i += 1
                 continue
             marker = p[i + 1]
+            if marker == 0xFF:  # legal fill/padding byte before a marker
+                i += 1
+                continue
+            if marker == 0xD9:  # EOI — end of image, no SOF found
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

@@ -343,10 +343,17 @@ def extract_urls(
         F.lit(r"(?i)https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+"),
         F.lit(0),
     )
-    e = df.select(F.col(id_col), F.explode(urls).alias("url"))
+    # trailing sentence punctuation is text, not URL — strip it from the
+    # RAW match before splitting host/path, so a pathless URL followed by
+    # punctuation ('see http://x.org, next') cannot keep the comma inside
+    # host and corrupt the canonical dedup key
+    e = df.select(F.col(id_col), F.explode(urls).alias("_m")).select(
+        id_col, F.regexp_replace("_m", r"[.,;:!?)]+$", "").alias("url")
+    )
     host = F.lower(F.regexp_extract("url", r"(?i)^https?://([^/?#]+)", 1))
     path = F.regexp_extract("url", r"(?i)^https?://[^/?#]+([^?#]*)", 1)
-    # trailing sentence punctuation is text, not URL
+    # a path immediately followed by the dropped query/fragment can still
+    # end in punctuation ('/a.?q=1') — strip again for the canonical form
     path = F.regexp_replace(path, r"[.,;:!?)]+$", "")
     return e.select(
         id_col,

@@ -734,7 +734,7 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT) AS n_words,
            ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy,
-           CAST(FLOOR(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) AS BIGINT)
+           CAST(FLOOR(ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4)) AS BIGINT)
                AS entropy_bucket
     FROM wc GROUP BY doc_id ORDER BY doc_id
     """,
@@ -744,14 +744,18 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode + two partial-aggregated hash aggregates; the integer-
     argument formulation keeps both engines' float paths identical to 4
     decimals. The floor bucket is the filter key a curation pipeline
-    thresholds on."""
+    thresholds on; it floors the ROUNDED entropy, not the raw double — a
+    one-distinct-word doc's true entropy is exactly 0 but can evaluate
+    one ulp negative under one engine's libm and 0.0 under the other's,
+    which would flip floor() between -1 and 0 (round-4 first makes both
+    sides see the same value at every such boundary)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     e = text.word_entropy(d, "doc_id", "text")
     return e.select(
         "doc_id",
         "n_words",
         F.round("entropy", 4).alias("entropy"),
-        F.floor("entropy").cast("long").alias("entropy_bucket"),
+        F.floor(F.round("entropy", 4)).cast("long").alias("entropy_bucket"),
     ).orderBy("doc_id")
 
 
@@ -834,11 +838,15 @@ def html_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS text
         FROM documents WHERE doc_id % 4 = 0
     ),
-    urls AS (
+    matches AS (
         SELECT doc_id,
                unnest(regexp_extract_all(text,
-                   '(?i)https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+')) AS url
+                   '(?i)https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+')) AS m
         FROM injected
+    ),
+    urls AS (
+        SELECT doc_id, regexp_replace(m, '[.,;:!?)]+$', '') AS url
+        FROM matches
     )
     SELECT doc_id, url,
            lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
