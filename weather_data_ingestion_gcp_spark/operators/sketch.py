@@ -124,3 +124,64 @@ def countmin_estimate(cells: DataFrame, probes: DataFrame, key_col: str) -> Data
         .groupBy(key_col)
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (MG'82): per-partition k-counter summaries,
+# whose key-union is a guaranteed SUPERSET of every item with global
+# frequency > n/k (pigeonhole: a global heavy hitter exceeds the local
+# n_p/k bar in at least one partition). An exact count of only the
+# candidates then yields the exact heavy-hitter set with one narrow
+# shuffle — the two-phase shape that scans 100 TB once and shuffles
+# O(partitions * k) rows instead of O(distinct keys).
+# ---------------------------------------------------------------------------
+
+
+def mg_partial_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries -> distinct candidate keys.
+
+    mapInPandas runs the classic k-counter stream over each partition
+    (increment if present; admit if a slot is free; else decrement all),
+    emitting at most k candidate keys per partition. Driver/shuffle state
+    is bounded by partitions * k rows regardless of input cardinality.
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} string"
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key in pdf[key_col]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    for c in list(counters):
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            del counters[c]
+        yield pd.DataFrame({key_col: list(counters)})
+
+    return df.select(key_col).mapInPandas(summarize, schema=out_schema).distinct()
+
+
+def mg_heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Exact heavy hitters (count * k > n) via the MG candidate superset.
+
+    Phase 1 scans once and emits <= partitions * k candidates; phase 2
+    exact-counts ONLY rows matching a candidate (broadcast semi-join
+    reaches the scan as a pushed filter at real scale) and keeps those
+    over the n/k bar. Output equals the exact answer by the superset
+    guarantee -- hash-checkable against a plain GROUP BY oracle."""
+    cands = mg_partial_candidates(df, key_col, k)
+    total = df.select(F.count(F.lit(1)).alias("n_total"))
+    return (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("exact_count") * k > F.col("n_total"))
+        .select(key_col, "exact_count", "n_total")
+    )

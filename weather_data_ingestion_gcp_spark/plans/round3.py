@@ -1,0 +1,550 @@
+"""Round-3 corpus-analytics queries: repetition gates, Zipf fit,
+cross-source divergence, centroid geometry, anomaly scoring, and exact
+heavy hitters via a Misra-Gries candidate pass — the corpus-health
+dashboard a 100 TB curation run computes alongside dedup/quality gates
+(SURVEY.md §2.8 north-star extensions; no reference file:line — the
+reference's analytics surface stops at daily weather rollups,
+Load-gcs-to-bq/main.py:86-92, and these extend the same GROUP-BY-and-
+window machinery to corpus statistics).
+
+Cross-engine hash discipline (see registry.py contract): every float
+aggregate is either (a) summed over integer-quantized terms (BIGINT,
+order-free, exact), or (b) a single IEEE double expression over
+exact-integer aggregates written IDENTICALLY on both sides — one
+division/sqrt chain is correctly-rounded and engine-invariant, unlike
+order-dependent double accumulation. Ratios are emitted as FLOOR'd
+parts-per-million / milli / centi BIGINTs, never ROUND'd doubles, so no
+half-even-vs-half-up disagreement can flip a digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import sketch, text
+from .core import _cents
+from .registry import load_table, register
+
+#: DuckDB fragment: (doc_id, source, ws) with the shared word-split rule.
+_SQL_WS = r"""
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+    FROM documents
+"""
+
+
+def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "source", text.words(F.col("text")).alias("ws"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition gate (Rae et al. '21 §A1.1): fraction of the doc
+# covered by its most frequent unigram / bigram. Shape: one explode + two
+# (doc_id, gram) partial-agg shuffles + a doc_id reduce — no windows over
+# the full corpus, no doc text after the split, so the shuffled rows are
+# (id, gram, count) triples regardless of document size.
+# ---------------------------------------------------------------------------
+_REP_THRESHOLD_PPM = 60000  # top bigram covering >6% of a doc => repetitive
+
+
+@register(
+    "gopher_repetition_flags",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, ws, len(ws) AS n_words FROM ({_SQL_WS})
+    ),
+    uni AS (
+        SELECT doc_id, MAX(c) AS top_uni_n FROM (
+            SELECT doc_id, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS w FROM sized)
+            GROUP BY doc_id, w)
+        GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, MAX(c) AS top_bi_n FROM (
+            SELECT doc_id, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i + 1])) AS bg
+                  FROM sized WHERE len(ws) >= 2)
+            GROUP BY doc_id, bg)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(top_uni_n AS BIGINT) AS top_uni_n,
+           CAST(COALESCE(top_bi_n, 0) AS BIGINT) AS top_bi_n,
+           CAST(FLOOR(top_uni_n * 1000000.0 / n_words) AS BIGINT) AS top_uni_ppm,
+           CAST(FLOOR(COALESCE(top_bi_n, 0) * 1000000.0
+                      / GREATEST(n_words - 1, 1)) AS BIGINT) AS top_bi_ppm,
+           CAST(FLOOR(COALESCE(top_bi_n, 0) * 1000000.0
+                      / GREATEST(n_words - 1, 1)) AS BIGINT)
+               >= {_REP_THRESHOLD_PPM} AS repetitive
+    FROM sized s
+    JOIN uni USING (doc_id)
+    LEFT JOIN bi USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-unigram / top-bigram coverage fractions (ppm) and a
+    repetition flag — the Gopher repetition filter. Fractions are
+    FLOOR'd ppm over exact integer counts: one IEEE division of exact
+    ints is bit-identical everywhere, immune to the round-half rule."""
+    sized = _docs_words(spark, sf_dir).select(
+        "doc_id", "ws", F.size("ws").alias("n_words")
+    )
+    uni = (
+        sized.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_uni_n"))
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    bi = (
+        sized.where(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bi_n"))
+    )
+    top_bi = F.coalesce("top_bi_n", F.lit(0))
+    bi_ppm = F.floor(top_bi * 1000000.0 / F.greatest(F.col("n_words") - 1, F.lit(1)))
+    return (
+        sized.join(uni, "doc_id")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("top_uni_n").cast("long").alias("top_uni_n"),
+            top_bi.cast("long").alias("top_bi_n"),
+            F.floor(F.col("top_uni_n") * 1000000.0 / F.col("n_words"))
+            .cast("long")
+            .alias("top_uni_ppm"),
+            bi_ppm.cast("long").alias("top_bi_ppm"),
+            (bi_ppm >= _REP_THRESHOLD_PPM).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope per source: OLS of ln(freq) on ln(rank) over
+# the top-300 words. The regression runs on 1e-4-quantized BIGINT terms so
+# every sum is exact and order-free; the closed-form slope is then ONE
+# double division of two exact integers. A natural-language source obeys
+# slope ~ -1; synthetic/boilerplate-heavy sources drift toward 0.
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_slope_by_source",
+    oracle=r"""
+    WITH wc AS (
+        SELECT source, w, COUNT(*) AS c
+        FROM (SELECT source, unnest(ws) AS w FROM (""" + _SQL_WS + r"""))
+        GROUP BY source, w
+    ),
+    ranked AS (
+        SELECT source, c,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+        FROM wc
+    ),
+    q AS (
+        SELECT source,
+               CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 10000, 0) AS BIGINT) AS x,
+               CAST(ROUND(ln(CAST(c AS DOUBLE)) * 10000, 0) AS BIGINT) AS y
+        FROM ranked WHERE rnk <= 300
+    ),
+    s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM q GROUP BY source
+    )
+    SELECT source, n AS n_ranks,
+           CAST(FLOOR((n * sxy - sx * sy) * 100.0
+                      / NULLIF(n * sxx - sx * sx, 0)) AS BIGINT) AS slope_centi
+    FROM s ORDER BY source
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source. Word counts shuffle once on
+    (source, word); ranking is a per-source window over at most |vocab|
+    rows; the OLS sums are exact BIGINTs (x,y <= ~6e4, 300 terms —
+    far inside 2^63), so the slope is engine-invariant."""
+    wc = (
+        _docs_words(spark, sf_dir)
+        .select("source", F.explode("ws").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    )
+    q = (
+        wc.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 300)
+        .select(
+            "source",
+            F.round(F.log(F.col("rnk").cast("double")) * 10000, 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("c").cast("double")) * 10000, 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_ranks"),
+        F.floor((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 100.0 / denom)
+        .cast("long")
+        .alias("slope_centi"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary Jaccard: top-20 vocab per source (count desc,
+# word tiebreak), pairwise overlap via ONE equi-join on the word — the
+# vocab relation is O(sources * 20) rows, so at any corpus scale the pair
+# computation runs on a broadcast-sized dimension after one word count.
+# ---------------------------------------------------------------------------
+_VOCAB_K = 20
+
+_SQL_TOPVOCAB = rf"""
+    SELECT source, w FROM (
+        SELECT source, w,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+        FROM (SELECT source, w, COUNT(*) AS c
+              FROM (SELECT source, unnest(ws) AS w FROM ({_SQL_WS}))
+              GROUP BY source, w))
+    WHERE rnk <= {_VOCAB_K}
+"""
+
+
+@register(
+    "source_vocab_jaccard",
+    oracle=f"""
+    WITH v AS ({_SQL_TOPVOCAB}),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM v GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_common,
+           CAST(FLOOR(n_common * 1000000.0
+                      / (sa.nv + sb.nv - n_common)) AS BIGINT) AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise top-K-vocabulary Jaccard between sources — the corpus-mix
+    redundancy matrix. Pairs with zero overlap are absent on both sides
+    (inner join semantics match the oracle)."""
+    wc = (
+        _docs_words(spark, sf_dir)
+        .select("source", F.explode("ws").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    )
+    v = wc.withColumn("rnk", rnk).where(F.col("rnk") <= _VOCAB_K).select("source", "w")
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.source") == F.col("source_a"))
+        .join(F.broadcast(sb), F.col("sb.source") == F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.floor(
+                F.col("n_common")
+                * 1000000.0
+                / (F.col("sa.nv") + F.col("sb.nv") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid cosine matrix: mean embedding per label (components
+# quantized to exact 1e-6 BIGINTs), then all label-pair cosines from
+# exact integer dot products. The centroid relation is O(labels * dim)
+# rows — at 100 TB the only full-data pass is the (label, pos) average;
+# the geometry runs on a broadcast-sized matrix.
+# ---------------------------------------------------------------------------
+@register(
+    "label_centroid_cosine",
+    oracle="""
+    WITH comp AS (
+        SELECT label, pos, CAST(ROUND(AVG(v) * 1000000, 0) AS BIGINT) AS c
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, pos
+    ),
+    nrm AS (SELECT label, SUM(c * c) AS n2 FROM comp GROUP BY label),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b, SUM(a.c * b.c) AS dot
+        FROM comp a JOIN comp b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           CAST(FLOOR(dot * 1000000.0
+                      / NULLIF(sqrt(CAST(na.n2 AS DOUBLE))
+                               * sqrt(CAST(nb.n2 AS DOUBLE)), 0)) AS BIGINT)
+               AS cos_ppm
+    FROM dots
+    JOIN nrm na ON na.label = label_a
+    JOIN nrm nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine similarity — the class-separation
+    diagnostic for an embedding table. Float32 inputs make the per-
+    (label, pos) double sum EXACT (24-bit mantissas, narrow exponent
+    range, 53-bit accumulator), so the 1e-6 quantization sees identical
+    values regardless of accumulation order; dot products and norms are
+    then exact BIGINT sums and the cosine is one correctly-rounded
+    sqrt/divide chain."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", "pos0")
+        .agg(F.round(F.avg("v") * 1000000, 0).cast("long").alias("c"))
+    )
+    nrm = comp.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = comp.alias("a")
+    b = comp.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos0") == F.col("b.pos0"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = nrm.alias("na")
+    nb = nrm.alias("nb")
+    denom = F.nullif(
+        F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        dots.join(F.broadcast(na), F.col("na.label") == F.col("label_a"))
+        .join(F.broadcast(nb), F.col("nb.label") == F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.floor(F.col("dot") * 1000000.0 / denom).cast("long").alias("cos_ppm"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily per-type anomaly z-scores: the day's mean event value (exact
+# integer milli-units from the cents sum) scored against the type's
+# 30-day mean/std. All statistics derive from exact BIGINT sums whose
+# magnitudes are scale-invariant (per-day MEANS, not totals — the sums
+# stay ~1e13 at ANY corpus size), then one shared double formula.
+# ---------------------------------------------------------------------------
+@register(
+    "event_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(FLOOR(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 10.0
+                          / COUNT(*)) AS BIGINT) AS avg_milli
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+               SUM(avg_milli) AS s1, SUM(avg_milli * avg_milli) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type AS event_type, day, avg_milli,
+           CAST(FLOOR((avg_milli - CAST(s1 AS DOUBLE) / nd) * 1000.0
+                      / NULLIF(sqrt((CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE) * s1 / nd) / nd), 0))
+                AS BIGINT) AS z_milli,
+           COALESCE(ABS(CAST(FLOOR((avg_milli - CAST(s1 AS DOUBLE) / nd) * 1000.0
+                      / NULLIF(sqrt((CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE) * s1 / nd) / nd), 0))
+                AS BIGINT)) >= 2000, FALSE) AS is_anomaly
+    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    ORDER BY event_type, day
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day) z-score of the day's mean value against the
+    type's across-days distribution; |z| >= 2 flags the anomaly. The
+    population std comes from exact integer s1/s2 sums via one double
+    expression mirrored verbatim in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum(_cents()) * 10.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_milli")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("avg_milli").alias("s1"),
+        F.sum(F.col("avg_milli") * F.col("avg_milli")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nd")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("nd")) / F.col("nd")
+    z = F.floor(
+        (F.col("avg_milli") - mean) * 1000.0 / F.nullif(F.sqrt(var), F.lit(0.0))
+    ).cast("long")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "avg_milli",
+            z.alias("z_milli"),
+            F.coalesce(F.abs(z) >= 2000, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence from the corpus distribution
+# (CCNet-style domain-shift signal), add-one smoothed over the corpus
+# vocabulary. The source x vocab grid is O(sources * |vocab|) — tiny
+# next to the one word-count pass — and each KL term is quantized to
+# 1e-9 BIGINTs before the order-free sum.
+# ---------------------------------------------------------------------------
+@register(
+    "source_unigram_kl",
+    oracle=f"""
+    WITH wx AS (SELECT source, unnest(ws) AS w FROM ({_SQL_WS})),
+    corpus AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wx GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wx),
+    persrc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs
+               FROM wx GROUP BY source, w),
+    srctot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+               FROM wx GROUP BY source),
+    grid AS (
+        SELECT st.source, st.ns, cp.w, cp.c, COALESCE(ps.cs, 0) AS cs
+        FROM srctot st CROSS JOIN corpus cp
+        LEFT JOIN persrc ps ON ps.source = st.source AND ps.w = cp.w
+    )
+    SELECT source, ns AS n_words,
+           SUM(CAST(ROUND(((cs + 1.0) / (ns + v))
+                          * ln(((cs + 1.0) / (ns + v))
+                               / ((c + 1.0) / (n + v))) * 1000000000, 0)
+                    AS BIGINT)) AS kl_nano
+    FROM grid CROSS JOIN tot
+    GROUP BY source, ns ORDER BY source
+    """,
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source || corpus) over add-one-smoothed unigram distributions —
+    flags sources whose language diverges from the corpus mix. Scalar
+    corpus totals ride a 1-row broadcast cross join (the same pattern as
+    the BM25/TF-IDF corpus constants); terms quantize to nano units
+    before summation so the aggregate is exact."""
+    wx = _docs_words(spark, sf_dir).select("source", F.explode("ws").alias("w"))
+    corpus = wx.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = wx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("w").cast("long").alias("v"),
+    )
+    persrc = wx.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    )
+    srctot = wx.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    grid = (
+        srctot.crossJoin(F.broadcast(corpus))
+        .join(
+            persrc.withColumnRenamed("cs", "cs_raw"),
+            ["source", "w"],
+            "left",
+        )
+        .withColumn("cs", F.coalesce("cs_raw", F.lit(0)))
+    )
+    p = (F.col("cs") + 1.0) / (F.col("ns") + F.col("v"))
+    q = (F.col("c") + 1.0) / (F.col("n") + F.col("v"))
+    term = F.round(p * F.log(p / q) * 1000000000, 0).cast("long")
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("source", F.col("ns").alias("n_words"))
+        .agg(F.sum(term).alias("kl_nano"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters over the corpus word stream via Misra-Gries
+# candidates (operators/sketch.py): phase 1 emits <= partitions*k
+# candidates from one scan; phase 2 exact-counts only candidate-matching
+# rows. Output provably equals the exact > n/k answer, so a plain
+# GROUP BY ... HAVING oracle hash-checks a sketch-based plan.
+# ---------------------------------------------------------------------------
+_MG_K = 30
+
+
+@register(
+    "heavy_hitters_mg",
+    oracle=f"""
+    WITH wx AS (SELECT w FROM (SELECT unnest(ws) AS w FROM ({_SQL_WS})) ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM wx)
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_count, n_total
+    FROM wx CROSS JOIN tot
+    GROUP BY w, n_total
+    HAVING COUNT(*) * {_MG_K} > n_total
+    ORDER BY w
+    """,
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Words with frequency > n/k (k=30) — exact answer, sketch-bounded
+    shuffle. See sketch.mg_heavy_hitters for the superset argument."""
+    wx = _docs_words(spark, sf_dir).select(F.explode("ws").alias("w"))
+    return sketch.mg_heavy_hitters(wx, "w", _MG_K).orderBy("w")
