@@ -166,6 +166,8 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "word_pair_pmi",
     "tpch_q11_important_parts",
     "tpch_q22_sales_opportunity",
+    "source_unigram_kl",  # 1-row (n, v) corpus-totals scalar broadcast
+    "heavy_hitters_mg",  # 1-row n_total scalar broadcast
 }
 
 
@@ -408,3 +410,30 @@ def test_quantization_plan_is_shuffle_free_projection(spark):
     # compute shape
     core = df._jdf.queryExecution().executedPlan().toString()
     assert core.count("Exchange") <= 1  # only the final sort's exchange
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "gopher_repetition_flags",
+        "zipf_slope_by_source",
+        "source_vocab_jaccard",
+        "label_centroid_cosine",
+        "event_anomaly_zscore",
+    ],
+)
+def test_round3_analytics_never_nested_loop(spark, name):
+    """The corpus-health analytics reduce to small statistical relations
+    before any join — no all-pairs products, no nested-loop fallbacks."""
+    plan = _formatted(QUERIES[name](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mg_phase2_is_broadcast_semi_join(spark):
+    """Misra-Gries phase 2 must reach the corpus as a BROADCAST left-semi
+    join on the bounded candidate relation: at 100 TB the candidates
+    (<= partitions*k keys) prune the exact-count scan instead of
+    shuffling every distinct word."""
+    plan = _formatted(QUERIES["heavy_hitters_mg"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
