@@ -143,3 +143,39 @@ def test_zipf_slope_negative_on_real_distribution(spark):
     assert rows
     # rank-frequency slopes are non-positive by construction (freq sorted desc)
     assert all(r.slope_centi <= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merges_hand_computed(spark):
+    from weather_data_ingestion_gcp_spark.operators import bpe
+
+    wf = spark.createDataFrame([("aaab", 2), ("aab", 1)], "w string, n long")
+    rows = bpe.bpe_learn_merges(wf, "w", "n", n_merges=5).collect()
+    got = [(r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count) for r in rows]
+    # round 1: (a,a) -> 2*2 + 1 = 5; round 2: tie (a,b)=2 vs (aa,a)=2,
+    # lexicographic tiebreak picks 'a'; rounds 3-4 collapse the rest;
+    # round 5 finds no pair left -> early stop at 4 merges
+    assert got == [
+        (1, "a", "a", "aa", 5),
+        (2, "a", "b", "ab", 2),
+        (3, "aa", "ab", "aaab", 2),
+        (4, "aa", "b", "aab", 1),
+    ]
+
+
+def test_bpe_empty_input(spark):
+    from weather_data_ingestion_gcp_spark.operators import bpe
+
+    wf = spark.createDataFrame([], "w string, n long")
+    assert bpe.bpe_learn_merges(wf, "w", "n", n_merges=3).count() == 0
+
+
+def test_bpe_single_char_words_no_pairs(spark):
+    from weather_data_ingestion_gcp_spark.operators import bpe
+
+    wf = spark.createDataFrame([("a", 10), ("b", 4)], "w string, n long")
+    assert bpe.bpe_learn_merges(wf, "w", "n", n_merges=3).count() == 0

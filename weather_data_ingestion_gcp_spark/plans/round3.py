@@ -548,3 +548,73 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. See sketch.mg_heavy_hitters for the superset argument."""
     wx = _docs_words(spark, sf_dir).select(F.explode("ws").alias("w"))
     return sketch.mg_heavy_hitters(wx, "w", _MG_K).orderBy("w")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (operators/bpe.py) — the iterative tokenizer-training
+# loop, oracled by UNROLLING the rounds into chained CTEs. Spark's only
+# driver traffic is the 1-row argmax per round; the oracle proves each
+# adopted merge and its weighted pair count hash-identical.
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle(n_rounds: int) -> str:
+    """Chained-CTE unroll: w0 -> (p1 -> b1 -> w1) -> ... -> union of b_r."""
+    parts = [
+        rf"""w0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+        SELECT p.l AS l, p.r AS r, SUM(n) AS pair_count FROM (
+            SELECT n, unnest(list_transform(generate_series(1, len(t) - 1),
+                             i -> {{'l': t[i], 'r': t[i + 1]}})) AS p
+            FROM (SELECT n, string_split(trim(seq), ' ') AS t FROM w{r - 1})
+            WHERE len(t) >= 2)
+        GROUP BY p.l, p.r
+    ),
+    b{r} AS (
+        SELECT l, r, pair_count FROM p{r}
+        ORDER BY pair_count DESC, l, r LIMIT 1
+    ),
+    w{r} AS (
+        SELECT n, replace(replace(seq, ' ' || l || ' ' || r || ' ',
+                                  ' ' || l || r || ' '),
+                          ' ' || l || ' ' || r || ' ',
+                          ' ' || l || r || ' ') AS seq
+        FROM w{r - 1} CROSS JOIN b{r}
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, l || r AS merged, pair_count FROM b{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {unions}\n    ORDER BY merge_rank"
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle(_BPE_ROUNDS))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 5 BPE merges over the corpus word-frequency table — the
+    iterative driver-loop operator family's tokenizer member (compare
+    kmeans: bounded 1-row collect per round, everything else stays
+    DataFrame-side on the vocabulary-sized relation)."""
+    from ..operators import bpe
+
+    wx = (
+        _docs_words(spark, sf_dir)
+        .select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return bpe.bpe_learn_merges(wx, "w", "n", n_merges=_BPE_ROUNDS).orderBy(
+        "merge_rank"
+    )
