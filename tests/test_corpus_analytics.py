@@ -179,3 +179,23 @@ def test_bpe_single_char_words_no_pairs(spark):
 
     wf = spark.createDataFrame([("a", 10), ("b", 4)], "w string, n long")
     assert bpe.bpe_learn_merges(wf, "w", "n", n_merges=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDedup-style semantic pruning
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_prune_keeps_lowest_id(spark):
+    from weather_data_ingestion_gcp_spark.operators import similarity
+
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)  # orthogonal to e1
+    rows = [(0, e1), (1, e1), (2, e2), (3, e1)]  # 0,1,3 identical
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in similarity.semantic_dedup_prune(emb, tau=0.9).collect()}
+    assert out[0].kept is True and out[0].n_near == 2
+    assert out[1].kept is False  # identical, higher id than 0
+    assert out[3].kept is False
+    assert out[2].kept is True and out[2].n_near == 0

@@ -551,3 +551,82 @@ def mmr_select(
         rows, f"{id_col} long, mmr_rank int, relevance double"
     )
     return out.select(id_col, "mmr_rank", F.round("relevance", 6).alias("relevance"))
+
+
+def semantic_dedup_prune(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.35,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: str = "hp",
+) -> DataFrame:
+    """SemDedup-style semantic pruning (Abbas et al. '23, arXiv:2303.09540):
+    drop any vector with a semantically-near LOWER-ID neighbor, keeping the
+    first representative of every near-duplicate neighborhood.
+
+    Candidate pairs come from sign-LSH band collisions (the deterministic
+    md5-derived hyperplanes of :func:`random_hyperplane_bands` — the
+    oracle embeds the identical float literals), then exact cosine >= tau
+    verifies. The keep rule is greedy-by-id: a vector is dropped iff a
+    verified pair links it to a smaller id. No connected components needed
+    — the decision is one EXISTS per vector, and transitively-linked
+    neighborhoods still keep exactly their minimum id.
+
+    Output: (id, kept, n_near) — n_near counts verified partners on either
+    side, the neighborhood-density signal SemDedup thresholds on.
+    Quadratic only within an LSH bucket; the pair relation is the bounded
+    blocked set, never all-pairs (plan-pinned no-cartesian).
+    """
+    bands = random_hyperplane_bands(emb, id_col, vec_col, n_bits, band_bits, dim, seed)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bsig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bsig")
+    pairs = (
+        a.join(b, ["band", "bsig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = emb.select(
+        F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    va = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dup = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(
+            F.round(
+                dot_pandas(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= tau
+        )
+        .select("id_a", "id_b")
+    )
+    partners = (
+        dup.select(F.col("id_a").alias(id_col))
+        .unionAll(dup.select(F.col("id_b").alias(id_col)))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    dropped = dup.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "_dropped", F.lit(True)
+    )
+    return (
+        emb.select(id_col)
+        .join(partners, id_col, "left")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_dropped", F.lit(False)).alias("is_dropped"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+        )
+        .withColumn("kept", ~F.col("is_dropped"))
+        .drop("is_dropped")
+    )

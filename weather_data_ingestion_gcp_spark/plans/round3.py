@@ -618,3 +618,73 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_learn_merges(wx, "w", "n", n_merges=_BPE_ROUNDS).orderBy(
         "merge_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup-style semantic pruning: sign-LSH blocked candidate pairs, exact
+# cosine verify, greedy keep-lowest-id. The oracle embeds the identical
+# md5-derived hyperplane float literals (the similarity_ann_rp_lsh
+# pattern), so buckets, cosines, and the kept set all hash-check exactly.
+# ---------------------------------------------------------------------------
+_SEM_TAU = 0.35
+
+
+def _semantic_dedup_oracle(
+    tau: float, n_bits: int = 16, band_bits: int = 4
+) -> str:
+    from ..operators.similarity import hyperplanes
+
+    W = hyperplanes(n_bits=n_bits, dim=64)
+
+    def lit(w: list) -> str:
+        return "[" + ", ".join(repr(x) for x in w) + "]"
+
+    def bit(j: int) -> str:
+        return (
+            f"(CASE WHEN list_dot_product(v, {lit(W[j])}) > 0 THEN 1 ELSE 0 END)"
+        )
+
+    band_rows = []
+    for b in range(n_bits // band_bits):
+        sig = "0"
+        for i in range(band_bits):
+            sig = f"({sig} * 2 + {bit(b * band_bits + i)})"
+        band_rows.append(f"SELECT vec_id, {b} AS band, {sig} AS bsig FROM e")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS ({bands_sql}),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cb a JOIN cb b ON a.band = b.band AND a.bsig = b.bsig
+        WHERE a.vec_id < b.vec_id
+    ),
+    dup AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p JOIN e a ON a.vec_id = p.id_a JOIN e b ON b.vec_id = p.id_b
+        WHERE ROUND(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= {tau}
+    ),
+    partners AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_near FROM (
+            SELECT id_a AS vec_id FROM dup
+            UNION ALL SELECT id_b FROM dup)
+        GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           COALESCE(e.vec_id IN (SELECT id_b FROM dup), FALSE) = FALSE AS kept,
+           COALESCE(p.n_near, 0) AS n_near
+    FROM e LEFT JOIN partners p ON p.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+@register("dedup_semantic_prune", oracle=_semantic_dedup_oracle(_SEM_TAU))
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup over the embeddings table: kept flag + neighborhood size
+    per vector (see operators.similarity.semantic_dedup_prune)."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_prune(emb, tau=_SEM_TAU).orderBy("vec_id")
