@@ -98,3 +98,59 @@ def test_transform_with_state_typed_state_vars(spark, tmp_path):
     assert rows and rows[0].n_events == 3
     assert rows[0].value_total == 6.5
     assert rows[0].n_event_types == 2  # 1.5,2.0 -> 'a'; 3.0 -> 'b'
+
+
+def test_streaming_mg_candidates_bounded_and_heavy_survives(spark, tmp_path):
+    """Streaming Misra-Gries: the dominant word survives across
+    micro-batches with count >= true - n_bucket/(k+1); per-bucket state
+    stays bounded at k counters no matter how many distinct words pass."""
+    import json as _json
+
+    from weather_data_ingestion_gcp_spark.streaming.stateful import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    def land(name, words):
+        p = tmp_path / "win" / name
+        p.parent.mkdir(exist_ok=True)
+        p.write_text("\n".join(_json.dumps({"w": w}) for w in words) + "\n")
+
+    # 'hot' appears 30x across two batches among 20 singleton words
+    land("m1.json", ["hot"] * 15 + [f"r{i}" for i in range(10)])
+    land("m2.json", ["hot"] * 15 + [f"r{i}" for i in range(10, 20)])
+
+    stream = (
+        spark.readStream.schema("w STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "win"))
+    )
+    q = (
+        streaming_heavy_hitter_candidates(stream, n_buckets=4, k=4)
+        .writeStream.format("memory")
+        .queryName("mg_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM mg_stream").collect()
+    assert rows
+    # final emission per bucket
+    last_seq = {}
+    for r in rows:
+        last_seq[r.bucket] = max(last_seq.get(r.bucket, 0), r.emit_seq)
+    final = [r for r in rows if r.emit_seq == last_seq[r.bucket]]
+    by_bucket: dict[int, list] = {}
+    for r in final:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    # bounded state: every bucket holds <= k candidates
+    assert all(len(v) <= 4 for v in by_bucket.values())
+    # the heavy word survived with the MG lower-bound guarantee
+    hot = [r for r in final if r.w == "hot"]
+    assert hot, "dominant word must remain a candidate"
+    n_bucket = hot[0].n_seen
+    assert hot[0].mg_count >= 30 - n_bucket // (4 + 1)
+    # state carried across the two micro-batches
+    assert hot[0].emit_seq >= 2

@@ -138,3 +138,85 @@ except ImportError:  # pragma: no cover - pyspark < 4.0 or no protobuf
         raise NotImplementedError(
             "transformWithStateInPandas requires pyspark >= 4.0 and protobuf"
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy-hitter candidates — the stream twin of
+# operators.sketch.mg_heavy_hitters. Keys are hash-bucketed so every
+# occurrence of a word lands in ONE group's state; within the bucket the
+# classic k-counter summary holds the MG guarantee (candidate count >=
+# true count - n_bucket/(k+1), every item above n_bucket/(k+1) present).
+# State per bucket is two bounded arrays (<= k keys + counts) regardless
+# of stream length — the memory contract that makes frequency tracking
+# safe on an unbounded stream.
+# ---------------------------------------------------------------------------
+
+_MG_STATE_SCHEMA = "ks ARRAY<STRING>, cs ARRAY<BIGINT>, n_seen BIGINT, seq BIGINT"
+_MG_OUTPUT_SCHEMA = (
+    "bucket INT, w STRING, mg_count BIGINT, n_seen BIGINT, emit_seq BIGINT"
+)
+
+
+def _mg_update_factory(k: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, cs, n_seen, seq = state.get
+            counters = dict(zip(ks, cs))
+        else:
+            counters, n_seen, seq = {}, 0, 0
+        for pdf in pdfs:
+            for w in pdf["w"]:
+                n_seen += 1
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    for c in list(counters):
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            del counters[c]
+        seq += 1
+        state.update((list(counters), [counters[c] for c in counters], n_seen, seq))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(counters),
+                "w": list(counters),
+                "mg_count": list(counters.values()),
+                "n_seen": [n_seen] * len(counters),
+                "emit_seq": [seq] * len(counters),
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitter_candidates(
+    words: DataFrame, word_col: str = "w", n_buckets: int = 8, k: int = 4
+) -> DataFrame:
+    """word stream -> per-bucket Misra-Gries candidate summaries, one
+    emission per (bucket, trigger) in update mode. Bucketing uses the
+    md5-hex hash (portable, partition-invariant) so a word's counts never
+    split across states."""
+    from pyspark.sql import functions as F
+
+    bucketed = words.select(
+        F.col(word_col).alias("w"),
+        (
+            F.conv(F.substring(F.md5(F.col(word_col)), 1, 4), 16, 10).cast("long")
+            % n_buckets
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _mg_update_factory(k),
+        outputStructType=_MG_OUTPUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
