@@ -1071,10 +1071,12 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(d, _BM25_TERMS, "doc_id", "text", k=20).orderBy("rk")
 
 
-@register(
-    "text_winnow_fingerprints",
-    oracle=r"""
-    WITH norm AS (
+#: DuckDB fragment: per-doc winnowing fingerprint SETS (doc_id, fps list)
+#: — shared by the summary entry and the overlap-pairs entry. Mirrors
+#: operators.text.winnow_fingerprints (k=8 char-grams, w=4 windows,
+#: base-128 Horner gram value scrambled by the odd golden-ratio
+#: multiplier mod 2^63 — the identical arithmetic the pandas UDF runs).
+_SQL_WINNOW_FPS = r"""norm AS (
         SELECT doc_id,
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
         FROM documents
@@ -1105,7 +1107,13 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             j -> list_min(list_slice(hs, j, j + 3)))
                         ELSE [] END) AS fps
         FROM g
-    )
+    )"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH {_SQL_WINNOW_FPS}
     SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
            list_min(fps) AS min_fp, list_max(fps) AS max_fp
     FROM fp ORDER BY doc_id

@@ -688,3 +688,62 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup_prune(emb, tau=_SEM_TAU).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Winnow-fingerprint overlap pairs: content-overlap candidate generation
+# from the MOSS fingerprints — document pairs sharing >= 3 surviving
+# fingerprints after a document-frequency cap drops boilerplate-hot
+# fingerprints (the stop-gram guard of decontaminate_ngram_exact applied
+# to substring fingerprints). Reuses the exact winnow arithmetic the
+# summary entry oracles, so the pair relation hash-checks end-to-end.
+# ---------------------------------------------------------------------------
+_WINNOW_MAX_DF = 10
+_WINNOW_MIN_SHARED = 3
+
+
+def _winnow_pairs_oracle() -> str:
+    from .llm_ops import _SQL_WINNOW_FPS
+
+    return f"""
+    WITH {_SQL_WINNOW_FPS},
+    fps AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_WINNOW_MAX_DF}
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("winnow_overlap_pairs", oracle=_winnow_pairs_oracle())
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with substring-level content overlap: shared
+    winnowing fingerprints (df-capped) counted per pair. The join runs
+    on the rare-fingerprint relation only — the cap bounds per-key join
+    fan-out exactly like the LSH bucket cap, keeping the pair space
+    linear in shared content, not quadratic in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints(d, "doc_id", "text", k=8, w=4, output="fps")
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _WINNOW_MAX_DF)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
