@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from weather_data_ingestion_gcp_spark.operators.temporal import (
     asof_join_backward,
     bucketed_range_join,
@@ -63,3 +65,38 @@ def test_range_join_boundaries(spark):
     # inclusive bounds on both ends; outside-by-epsilon points excluded;
     # overlapping intervals each match their own points
     assert got == [(1, 100), (1, 101), (2, 101), (2, 102)]
+
+
+def test_asof_nearest_directions_and_ties(spark):
+    """Nearest as-of: backward-inclusive, forward-exclusive, |gap| ties
+    resolved backward."""
+    from weather_data_ingestion_gcp_spark.operators.temporal import asof_join_nearest
+
+    L = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:10"),  # equidistant: back 10:00:00, fwd 10:00:20
+            (2, 1, "2024-01-01 10:00:00"),  # equal-ts right -> backward, gap 0
+            (3, 2, "2024-01-01 09:00:00"),  # only forward exists
+            (4, 3, "2024-01-01 09:00:00"),  # no right rows at all
+        ],
+        "lid bigint, k bigint, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    R = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 10:00:00"),
+            (101, 1, "2024-01-01 10:00:20"),
+            (200, 2, "2024-01-01 09:05:00"),
+        ],
+        "rid bigint, k bigint, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.lid: r
+        for r in asof_join_nearest(
+            L, R, key="k", left_ts="ts", right_ts="ts",
+            right_payload=["rid"], tiebreak="rid",
+        ).collect()
+    }
+    assert (out[1].asof_rid, out[1].asof_direction, out[1].asof_gap_us) == (100, "b", 10_000_000)
+    assert (out[2].asof_rid, out[2].asof_direction, out[2].asof_gap_us) == (100, "b", 0)
+    assert (out[3].asof_rid, out[3].asof_direction, out[3].asof_gap_us) == (200, "f", 300_000_000)
+    assert out[4].asof_rid is None and out[4].asof_direction is None

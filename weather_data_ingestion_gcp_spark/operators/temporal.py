@@ -92,3 +92,76 @@ def bucketed_range_join(
         .filter((F.col(x) >= F.col(lo)) & (F.col(x) <= F.col(hi)))
         .drop("_bucket")
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest as-of join: every left row + the right row closest in time,
+    looking BACKWARD-INCLUSIVE (right.ts <= left.ts) and
+    FORWARD-EXCLUSIVE (right.ts > left.ts), ties in |gap| resolved
+    backward. The convention matches DuckDB's `<=` / `>` ASOF pair
+    exactly, so the composition is oracle-checkable.
+
+    Same single-sort shape as :func:`asof_join_backward`: one union, one
+    (key, ts) window ordering, and TWO frames over it — last-non-null
+    preceding for the backward match, first-non-null strictly-following
+    for the forward match (right rows sort before left at equal ts, so
+    the following frame excludes them — the forward-exclusive rule).
+    Output adds ``asof_direction`` ('b'/'f') and ``asof_gap_us``.
+    """
+    payload_cols = list(dict.fromkeys(right_payload + [right_ts]))
+    payload_t = right.select(*payload_cols).schema
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(payload_t).alias("_p"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.schema).alias("_l"),
+        F.struct(*payload_cols).alias("_p"),
+    )
+    order = [F.col("_ts"), F.col("_side")]
+    if tiebreak:
+        order.insert(1, F.col("_p").getField(tiebreak).asc_nulls_last())
+    w = Window.partitionBy("_k").orderBy(*order)
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    filled = (
+        l.unionByName(r)
+        .withColumn("_mb", F.last("_p", ignorenulls=True).over(wb))
+        .withColumn("_mf", F.first("_p", ignorenulls=True).over(wf))
+        .filter(F.col("_side") == 1)
+    )
+    us = F.unix_micros
+    gap_b = us(F.col("_ts")) - us(F.col("_mb").getField(right_ts))
+    gap_f = us(F.col("_mf").getField(right_ts)) - us(F.col("_ts"))
+    pick_b = F.col("_mf").isNull() | (
+        F.col("_mb").isNotNull() & (gap_b <= gap_f)
+    )
+    chosen = F.when(pick_b, F.col("_mb")).otherwise(F.col("_mf"))
+    cols = [F.col("_l").getField(c).alias(c) for c in left.columns]
+    cols += [chosen.getField(c).alias(f"asof_{c}") for c in right_payload]
+    cols += [
+        F.when(chosen.isNull(), F.lit(None).cast("string"))
+        .when(pick_b, F.lit("b"))
+        .otherwise(F.lit("f"))
+        .alias("asof_direction"),
+        F.when(chosen.isNull(), F.lit(None).cast("long"))
+        .when(pick_b, gap_b)
+        .otherwise(gap_f)
+        .cast("long")
+        .alias("asof_gap_us"),
+    ]
+    return filled.select(*cols)

@@ -747,3 +747,68 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join — completes the temporal family (backward asof,
+# interval, range): each click paired with the closest view either side,
+# backward-inclusive / forward-exclusive, |gap| ties resolved backward —
+# the convention DuckDB's `<=` / `>` ASOF pair states exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_nearest_views",
+    oracle="""
+    SELECT t.event_id AS click_id, t.user_id AS user_id,
+           CASE WHEN f.event_id IS NULL OR (b.event_id IS NOT NULL AND
+                     epoch_us(t.ts) - epoch_us(b.ts)
+                     <= epoch_us(f.ts) - epoch_us(t.ts))
+                THEN b.event_id ELSE f.event_id END AS view_id,
+           CASE WHEN b.event_id IS NULL AND f.event_id IS NULL THEN NULL
+                WHEN f.event_id IS NULL OR (b.event_id IS NOT NULL AND
+                     epoch_us(t.ts) - epoch_us(b.ts)
+                     <= epoch_us(f.ts) - epoch_us(t.ts))
+                THEN 'b' ELSE 'f' END AS direction,
+           CASE WHEN b.event_id IS NULL AND f.event_id IS NULL THEN NULL
+                WHEN f.event_id IS NULL OR (b.event_id IS NOT NULL AND
+                     epoch_us(t.ts) - epoch_us(b.ts)
+                     <= epoch_us(f.ts) - epoch_us(t.ts))
+                THEN CAST(epoch_us(t.ts) - epoch_us(b.ts) AS BIGINT)
+                ELSE CAST(epoch_us(f.ts) - epoch_us(t.ts) AS BIGINT)
+                END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+      ON t.user_id = b.user_id AND b.ts <= t.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') f
+      ON t.user_id = f.user_id AND f.ts > t.ts
+    ORDER BY click_id
+    """,
+)
+def asof_join_nearest_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-view attribution for every click (see
+    operators.temporal.asof_join_nearest — one union + one window sort,
+    two frames; never a range self-join)."""
+    from ..operators.temporal import asof_join_nearest
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_nearest(
+        clicks,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof_event_id").alias("view_id"),
+        F.col("asof_direction").alias("direction"),
+        F.col("asof_gap_us").alias("gap_us"),
+    ).orderBy("click_id")
