@@ -168,6 +168,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "tpch_q22_sales_opportunity",
     "source_unigram_kl",  # 1-row (n, v) corpus-totals scalar broadcast
     "heavy_hitters_mg",  # 1-row n_total scalar broadcast
+    "doc_unigram_logprob",  # 1-row (n, v) corpus-totals scalar broadcast
 }
 
 

@@ -812,3 +812,62 @@ def asof_join_nearest_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_direction").alias("direction"),
         F.col("asof_gap_us").alias("gap_us"),
     ).orderBy("click_id")
+
+
+# ---------------------------------------------------------------------------
+# Unigram negative-log-likelihood quality score — the statistical-LM
+# quality filter (CCNet's LM-perplexity gate with the corpus unigram
+# model standing in for the external KenLM): documents dominated by rare
+# words score high and get flagged. One corpus-count pass; scoring is a
+# broadcast join of the vocabulary-sized count relation; per-occurrence
+# terms quantize to nano units so the doc sum is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_unigram_logprob",
+    oracle=r"""
+    WITH wx AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          w -> w <> '')) AS w
+        FROM documents
+    ),
+    corpus AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wx GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wx),
+    scored AS (
+        SELECT wx.doc_id,
+               CAST(ROUND(-ln((c + 1.0) / (n + v)) * 1000000000, 0) AS BIGINT)
+                   AS t_nano
+        FROM wx JOIN corpus USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(FLOOR(SUM(t_nano) / (COUNT(*) * 1000000.0)) AS BIGINT)
+               AS nll_avg_milli
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average unigram NLL under the corpus distribution (add-one
+    smoothed) in FLOOR'd milli-nats — rare-word-heavy documents rank
+    high, the LM-quality ordering a curation pipeline gates on."""
+    wx = _docs_words(spark, sf_dir).select("doc_id", F.explode("ws").alias("w"))
+    corpus = wx.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = wx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("w").cast("long").alias("v"),
+    )
+    t_nano = F.round(
+        -F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * 1000000000, 0
+    ).cast("long")
+    return (
+        wx.join(F.broadcast(corpus), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", t_nano.alias("t_nano"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.floor(F.sum("t_nano") / (F.count(F.lit(1)) * 1000000.0))
+            .cast("long")
+            .alias("nll_avg_milli"),
+        )
+        .orderBy("doc_id")
+    )
