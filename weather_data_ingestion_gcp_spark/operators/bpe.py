@@ -50,9 +50,13 @@ def bpe_learn_merges(
     adopted merge, in adoption order. Stops early if no pair remains.
     """
     spark = words.sparkSession
+    # persist the vocabulary-sized input: every round's pair aggregate
+    # re-evaluates the lineage, and without this the upstream corpus
+    # word-count scan would re-run once per merge round
     wf = words.select(
         F.col(weight_col).cast("long").alias("n"), spell(F.col(word_col)).alias("seq")
-    )
+    ).persist()
+    base = wf
     out_schema = (
         "merge_rank int, left_sym string, right_sym string,"
         " merged string, pair_count long"
@@ -81,4 +85,5 @@ def bpe_learn_merges(
         wf = wf.withColumn(
             "seq", F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
         )
+    base.unpersist(blocking=False)
     return spark.createDataFrame(merges, out_schema)
