@@ -871,3 +871,59 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day per-user rolling feature — the RANGE-frame window shape
+# feature engineering runs at scale: daily pre-aggregation first (the
+# fact table collapses to user x day before any window), then one
+# user-partitioned RANGE frame over the day number. Exact integer cents
+# end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_7d_user_value",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id, day,
+           cents / 100.0 AS day_value,
+           n_events,
+           SUM(cents) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS rolling_7d_value,
+           SUM(n_events) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS rolling_7d_events
+    FROM daily ORDER BY user_id, day
+    """,
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day): the day's total plus trailing-7-day rolling sums
+    via a RANGE frame on the epoch-day number. Calendar-gap-correct
+    (unlike a 7-ROW frame) and exact (integer cents under every sum)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(_cents()).alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        (F.col("cents") / 100.0).alias("day_value"),
+        "n_events",
+        (F.sum("cents").over(w) / 100.0).alias("rolling_7d_value"),
+        F.sum("n_events").over(w).alias("rolling_7d_events"),
+    ).orderBy("user_id", "day")
