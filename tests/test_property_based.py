@@ -144,3 +144,70 @@ def test_connected_components_matches_union_find(spark, n_nodes, edges):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == expected
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(2, 6),
+)
+@settings(**_SETTINGS)
+def test_mg_heavy_hitters_matches_exact_reference(spark, words, k):
+    """Misra-Gries two-phase output == the trivially exact > n/k filter,
+    for any word multiset, any k, any partitioning."""
+    from collections import Counter
+
+    from weather_data_ingestion_gcp_spark.operators.sketch import mg_heavy_hitters
+
+    df = spark.createDataFrame([(w,) for w in words], "w string").repartition(3)
+    got = {r.w: r.exact_count for r in mg_heavy_hitters(df, "w", k).collect()}
+    n = len(words)
+    want = {w: c for w, c in Counter(words).items() if c * k > n}
+    assert got == want
+
+
+def _bpe_reference(word_counts: dict[str, int], n_merges: int):
+    """Pure-python BPE mirror: overlapping adjacent-pair ranking, (count
+    desc, pair asc) tiebreak, double scan-left replace rewrite."""
+    seqs = {f" {' '.join(w)} ": c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for s, c in seqs.items():
+            toks = s.split()
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, cnt))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        seqs = {
+            s.replace(pat, rep).replace(pat, rep): c for s, c in seqs.items()
+        }
+    return merges
+
+
+@given(
+    wc=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_bpe_matches_python_reference(spark, wc, n_merges):
+    from weather_data_ingestion_gcp_spark.operators.bpe import bpe_learn_merges
+
+    wf = spark.createDataFrame(list(wc.items()), "w string, n long")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_learn_merges(wf, "w", "n", n_merges=n_merges).collect()
+    ]
+    assert got == _bpe_reference(wc, n_merges)
