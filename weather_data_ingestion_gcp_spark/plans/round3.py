@@ -927,3 +927,38 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents").over(w) / 100.0).alias("rolling_7d_value"),
         F.sum("n_events").over(w).alias("rolling_7d_events"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the evaluation companion to
+# text_langid_scores: declared language vs heuristic prediction, the
+# quality report a corpus-mix pipeline reads before trusting a language
+# filter. The oracle composes the langid entry's own SQL verbatim, so
+# both entries stay definitionally in lockstep.
+# ---------------------------------------------------------------------------
+def _langid_confusion_oracle() -> str:
+    from .registry import ORACLE
+
+    return f"""
+    SELECT d.lang AS true_lang, p.pred_lang AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({ORACLE["text_langid_scores"]}) p
+    JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.pred_lang
+    ORDER BY true_lang, pred_lang
+    """
+
+
+@register("langid_confusion_matrix", oracle=_langid_confusion_oracle())
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(declared lang, predicted lang, count) — one broadcast-free
+    aggregate over the langid projection."""
+    d = load_table(spark, sf_dir, "documents")
+    out = text.langid_scores(d, "text")
+    return (
+        out.groupBy(
+            F.col("lang").alias("true_lang"), F.col("pred_lang").alias("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
