@@ -962,3 +962,62 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix — first-order Markov statistics over each
+# user's event sequence: ONE user-partitioned window (lag) then one
+# aggregate; probabilities are FLOOR'd ppm of exact transition counts.
+# The sequence-modeling prep step (user-behavior chains) on the same
+# partitioning the sessionizer uses.
+# ---------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    outdeg AS (
+        SELECT from_type, SUM(n_trans) AS n_out FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type AS from_type, t.to_type AS to_type, t.n_trans AS n_trans,
+           CAST(FLOOR(t.n_trans * 1000000.0 / o.n_out) AS BIGINT) AS prob_ppm
+    FROM trans t JOIN outdeg o ON o.from_type = t.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from, to, count, probability-ppm) over consecutive events per
+    user. The lag window and the sessionizer share the (user_id; ts,
+    event_id) sort, so at scale the two computations pipeline on one
+    exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    outdeg = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.floor(F.col("n_trans") * 1000000.0 / F.col("n_out"))
+            .cast("long")
+            .alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
