@@ -1021,3 +1021,99 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier scores — cosine of every vector to its own label
+# centroid, the mislabeled-example / noise-detection signal an embedding
+# QA pass computes. Same exact-integer centroid machinery as the
+# label-centroid matrix: centroid components and vector components both
+# quantize to 1e-6 BIGINTs, so dots/norms are exact and the score is one
+# correctly-rounded sqrt/divide chain.
+# ---------------------------------------------------------------------------
+_OUTLIER_TAU_PPM = 0  # negative cos-to-centroid => points away => flagged
+
+
+@register(
+    "embedding_outlier_scores",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, pos, CAST(ROUND(AVG(v) * 1000000, 0) AS BIGINT) AS c
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, pos
+    ),
+    vq AS (
+        -- CAST to DOUBLE before the multiply: DuckDB's FLOAT * INTEGER
+        -- stays FLOAT (Spark side casts identically)
+        SELECT vec_id, label, pos,
+               CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+        FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+    ),
+    dots AS (
+        SELECT vq.vec_id, vq.label,
+               SUM(vq.q * comp.c) AS dot,
+               SUM(vq.q * vq.q) AS vq2,
+               SUM(comp.c * comp.c) AS c2
+        FROM vq JOIN comp ON comp.label = vq.label AND comp.pos = vq.pos
+        GROUP BY vq.vec_id, vq.label
+    )
+    SELECT vec_id, label,
+           CAST(FLOOR(dot * 1000000.0
+                      / NULLIF(sqrt(CAST(vq2 AS DOUBLE))
+                               * sqrt(CAST(c2 AS DOUBLE)), 0)) AS BIGINT)
+               AS cos_ppm,
+           COALESCE(CAST(FLOOR(dot * 1000000.0
+                      / NULLIF(sqrt(CAST(vq2 AS DOUBLE))
+                               * sqrt(CAST(c2 AS DOUBLE)), 0)) AS BIGINT)
+                    < {_OUTLIER_TAU_PPM}, FALSE) AS is_outlier
+    FROM dots ORDER BY vec_id
+    """,
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cosine to its label centroid (exact-integer arithmetic)
+    with an outlier flag — low-similarity members are mislabeled-example
+    candidates. The centroid relation is O(labels x dim) and broadcasts;
+    the only full-data pass is the quantized posexplode."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", "pos0")
+        .agg(F.round(F.avg("v") * 1000000, 0).cast("long").alias("c"))
+    )
+    vq = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "pos0",
+        # cast BEFORE the multiply: float32 * int stays float32 in Spark
+        # but promotes to double in DuckDB — a 1-ulp quantization skew
+        F.round(F.col("v").cast("double") * 1000000, 0).cast("long").alias("q"),
+    )
+    dots = (
+        vq.join(F.broadcast(comp), ["label", "pos0"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q") * F.col("c")).alias("dot"),
+            F.sum(F.col("q") * F.col("q")).alias("vq2"),
+            F.sum(F.col("c") * F.col("c")).alias("c2"),
+        )
+    )
+    cos_ppm = F.floor(
+        F.col("dot")
+        * 1000000.0
+        / F.nullif(
+            F.sqrt(F.col("vq2").cast("double")) * F.sqrt(F.col("c2").cast("double")),
+            F.lit(0.0),
+        )
+    ).cast("long")
+    return dots.select(
+        "vec_id",
+        "label",
+        cos_ppm.alias("cos_ppm"),
+        F.coalesce(cos_ppm < _OUTLIER_TAU_PPM, F.lit(False)).alias("is_outlier"),
+    ).orderBy("vec_id")
