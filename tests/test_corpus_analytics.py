@@ -199,3 +199,13 @@ def test_semantic_prune_keeps_lowest_id(spark):
     assert out[1].kept is False  # identical, higher id than 0
     assert out[3].kept is False
     assert out[2].kept is True and out[2].n_near == 0
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    rows = QUERIES["split_leakage_safe"](spark, "/root/testdata/sf0.001").collect()
+    by_comp: dict[int, set] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())
+    splits = {r.split for r in rows}
+    assert splits == {"train", "test"}

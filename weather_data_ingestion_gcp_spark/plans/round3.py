@@ -1117,3 +1117,43 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos_ppm.alias("cos_ppm"),
         F.coalesce(cos_ppm < _OUTLIER_TAU_PPM, F.lit(False)).alias("is_outlier"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/test split: near-duplicate CLUSTERS are the split
+# unit, not documents — a hash split on raw doc_id leaks train content
+# into test through near-dups (the contamination the decontamination
+# entries then have to scrub). Assigning by the cluster representative's
+# hash keeps every near-dup family on one side by construction. The
+# oracle composes the dedup_clusters closure verbatim.
+# ---------------------------------------------------------------------------
+def _leakage_safe_oracle() -> str:
+    from .datapipe import _sql_hex4_to_int
+    from .registry import ORACLE
+
+    bucket = _sql_hex4_to_int("c.component")
+    return f"""
+    SELECT c.doc_id, c.component,
+           CASE WHEN {bucket} % 100 < 80 THEN 'train' ELSE 'test' END AS split
+    FROM ({ORACLE["dedup_clusters"]}) c
+    ORDER BY c.doc_id
+    """
+
+
+@register("split_leakage_safe", oracle=_leakage_safe_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 split assigned per near-dup cluster (hash of the component
+    representative) — every near-duplicate family lands wholly in one
+    split. Composes the verified minhash -> connected-components path
+    with the deterministic hash bucket the samplers use."""
+    from ..operators import dedup, graph, sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+    comp = graph.connected_components(d.select("doc_id"), pairs.select("id_a", "id_b"))
+    split = F.when(
+        sampling.hash_bucket(F.col("component")) % 100 < 80, F.lit("train")
+    ).otherwise(F.lit("test"))
+    return comp.select("doc_id", "component", split.alias("split")).orderBy("doc_id")
