@@ -1,0 +1,176 @@
+"""Crafted-input units for the round-3b extensions (plans/round3b.py):
+passage dedup, shard packing, last-touch attribution, hard negatives,
+code-density counting, and KMV intersection estimation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_passage_dedup_counts_repeated_window(spark):
+    # 40 words = exactly two 20-word passages; doc 2 repeats doc 1's text
+    # -> 4 passages, 2 distinct, dup_ppm = 500000.
+    w20a = " ".join(f"a{i}" for i in range(20))
+    w20b = " ".join(f"b{i}" for i in range(20))
+    text = f"{w20a} {w20b}"
+    d = _docs(
+        spark,
+        [
+            (1, text, "en", "s1", len(text)),
+            (2, text, "en", "s1", len(text)),
+            (3, "short doc under twenty words", "en", "s1", 28),
+        ],
+    )
+    from weather_data_ingestion_gcp_spark.operators import text as T
+
+    ws = d.select("doc_id", "source", T.words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 20
+    )
+    n = ws.count()
+    assert n == 2  # the short doc contributes no passages
+    passages = ws.select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.expr("size(ws) div 20").cast("int"))).alias(
+            "i"
+        ),
+        "ws",
+    ).select(
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.col("ws"), (F.col("i") - 1) * 20 + 1, 20))).alias(
+            "ph"
+        ),
+    )
+    agg = passages.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("ph").alias("d")
+    ).first()
+    assert (agg["n"], agg["d"]) == (4, 2)
+
+
+def test_shard_pack_running_sum_boundaries(spark):
+    from pyspark.sql.window import Window
+
+    t = spark.createDataFrame(
+        [(1, "s", 300), (2, "s", 300), (3, "s", 300), (4, "s", 300)],
+        "doc_id long, source string, n_tokens long",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("shard", F.expr("cum_before div 400"))
+    got = {r["doc_id"]: r["shard"] for r in packed.collect()}
+    # cum_before: 0, 300, 600, 900 -> shards 0, 0, 1, 2
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_attribution_last_touch_window_gate(spark):
+    from weather_data_ingestion_gcp_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ev(eid, typ, days_off):
+        return (eid, t0 + dt.timedelta(days=days_off), 1, typ)
+
+    e = spark.createDataFrame(
+        [
+            ev(1, "click", -8),  # outside the 7-day window for p1
+            ev(2, "click", -1),  # latest click before p1 -> attributed
+            ev(3, "purchase", 0),
+            ev(4, "purchase", 8),  # 9 days after click 2 -> unattributed
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    j = temporal.asof_join_backward(
+        purchases, clicks, "user_id", "ts", "click_ts", ["click_id", "click_ts"],
+        tiebreak="click_id",
+    )
+    gap = F.expr("(unix_micros(ts) - unix_micros(asof_click_ts)) div 1000000")
+    ok = F.col("asof_click_ts").isNotNull() & (gap <= 7 * 24 * 3600)
+    got = {
+        r["event_id"]: r["attr"]
+        for r in j.select(
+            "event_id", F.when(ok, F.col("asof_click_id")).alias("attr")
+        ).collect()
+    }
+    assert got == {3: 2, 4: None}
+
+
+def test_hard_negatives_exclude_same_label(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.1], 0),   # same label: must be excluded
+            (2, [0.9, 0.2], 1),    # nearest cross-label
+            (3, [0.0, 1.0], 1),
+            (4, [-1.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import os
+
+    sf = str(tmp_path)
+    emb.write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import hard_negative_topk
+
+    rows = hard_negative_topk(spark, sf).collect()
+    q0 = [r for r in rows if r["q_id"] == 0]
+    assert [r["n_id"] for r in q0] == [2, 3, 4]  # label-0 neighbor 1 excluded
+    assert all(r["n_label"] != 0 for r in q0)
+
+
+def test_code_signal_counts_exact(spark):
+    d = _docs(spark, [(0, "plain words only", "en", "s", 16)])
+    # doc_id 0 -> % 4 == 0 -> code snippet prepended
+    from weather_data_ingestion_gcp_spark.plans.round3b import _CODE_SNIPPET, _count_lit
+
+    injected = d.select(
+        F.concat(F.lit(_CODE_SNIPPET), F.col("text")).alias("text")
+    )
+    r = injected.select(
+        _count_lit(F.col("text"), "```").alias("fences"),
+        _count_lit(F.col("text"), "\n    ").alias("indents"),
+    ).first()
+    assert r["fences"] == 2
+    assert r["indents"] == 1
+
+
+def test_kmv_intersection_estimate_reasonable(spark, tmp_path):
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 200 users click, 200 view, overlap = users 100..199
+    for u in range(200):
+        rows.append((eid, t0, u, "click", 1.0, "{}")); eid += 1
+    for u in range(100, 300):
+        rows.append((eid, t0, u, "view", 1.0, "{}")); eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    e.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import kmv_join_cardinality
+
+    r = kmv_join_cardinality(spark, sf).first()
+    assert r["exact_intersection"] == 100
+    assert r["within_bound"] is True
+    # inclusion-exclusion over k=64 sketches lands near the exact count
+    assert abs(r["est_intersection"] - 100) <= 50

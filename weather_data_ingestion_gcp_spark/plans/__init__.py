@@ -11,6 +11,7 @@ from . import llm_ops  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
 from . import datapipe  # noqa: F401,E402
 from . import round3  # noqa: F401,E402
+from . import round3b  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50

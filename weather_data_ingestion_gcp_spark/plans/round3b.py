@@ -1,0 +1,555 @@
+"""Round-3b training-data extensions: passage-level dedup, tokenizer
+fertility, hard-negative mining, duplication inflation, token-budget shard
+packing, code/markdown density signals, last-touch attribution, and a KMV
+join-cardinality estimate — the remaining ops a 100 TB pretraining-data
+pipeline runs between curation and shard export (SURVEY.md §2.8 north-star
+extensions; no reference file:line — the reference's surface stops at the
+daily weather rollup, Load-gcs-to-bq/main.py:86-92, and these extend the
+same GROUP BY / window / join machinery).
+
+Hash discipline (registry.py contract): counts and ratios are BIGINTs
+(FLOOR'd parts-per-million / milli units over exact integer sums); the only
+doubles are single-expression chains over deterministic inputs evaluated
+identically by both engines (cosine over identical float literals, the KMV
+(k-1)/u_k estimate over an exact 48-bit integer) — never order-dependent
+double accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import temporal, text
+from ..operators.similarity import _norm, dot_pandas
+from .core import _KMV_K, _KMV_SPACE, _sql_hex12_to_bigint
+from .registry import load_table, register
+
+_SQL_WORDS = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (C4 / Lee et al. '22 granularity): documents are
+# split into consecutive 20-word passages and duplication is measured at the
+# passage level — catching boilerplate shared across otherwise-distinct
+# docs that document-level fingerprints miss. Shape: one explode over
+# n_words/20 passages per doc, then (source, md5) pairs into one hash
+# aggregate — passage TEXT never shuffles (only its 32-byte digest), so the
+# shuffle volume is O(passages), independent of document size.
+# ---------------------------------------------------------------------------
+_PASSAGE_W = 20
+
+
+@register(
+    "passage_exact_dedup",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+    ),
+    idx AS (
+        SELECT source, ws,
+               unnest(generate_series(1, len(ws) // {_PASSAGE_W})) AS i
+        FROM ws WHERE len(ws) >= {_PASSAGE_W}
+    ),
+    p AS (
+        SELECT source,
+               md5(array_to_string(list_slice(ws, (i - 1) * {_PASSAGE_W} + 1,
+                                              i * {_PASSAGE_W}), ' ')) AS ph
+        FROM idx
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(COUNT(DISTINCT ph) AS BIGINT) AS n_distinct,
+           CAST(FLOOR((COUNT(*) - COUNT(DISTINCT ph)) * 1000000.0
+                      / COUNT(*)) AS BIGINT) AS dup_ppm
+    FROM p GROUP BY source ORDER BY source
+    """,
+)
+def passage_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", "source", text.words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= _PASSAGE_W
+    )
+    passages = ws.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.expr(f"size(ws) div {_PASSAGE_W}").cast("int"))
+        ).alias("i"),
+        F.col("ws"),
+    ).select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), (F.col("i") - 1) * _PASSAGE_W + 1, _PASSAGE_W)
+            )
+        ).alias("ph"),
+    )
+    agg = passages.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.countDistinct("ph").alias("n_distinct"),
+    )
+    return agg.select(
+        "source",
+        "n_passages",
+        "n_distinct",
+        F.floor(
+            (F.col("n_passages") - F.col("n_distinct"))
+            * F.lit(1000000.0)
+            / F.col("n_passages")
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language: regex-tokens per whitespace-word and
+# bytes per regex-token — the stats that size a token budget before a
+# training run (fertility ~1 for space-delimited langs, >>1 for scripts the
+# tokenizer fragments). One map-side tokenize + one tiny per-lang aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "token_fertility_by_lang",
+    oracle=rf"""
+    WITH t AS (
+        SELECT lang,
+               len({_SQL_WORDS}) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                 AS re_tokens,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+           CAST(SUM(re_tokens) AS BIGINT) AS sum_re_tokens,
+           CAST(FLOOR(SUM(re_tokens) * 1000.0 / SUM(ws_tokens)) AS BIGINT)
+             AS fertility_milli,
+           CAST(FLOOR(SUM(n_chars) * 1000.0 / SUM(re_tokens)) AS BIGINT)
+             AS chars_per_token_milli
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = text.token_counts(d, "text").select("lang", "ws_tokens", "re_tokens", "n_chars")
+    agg = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("sum_ws_tokens"),
+        F.sum("re_tokens").alias("sum_re_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_ws_tokens",
+        "sum_re_tokens",
+        F.floor(F.col("sum_re_tokens") * F.lit(1000.0) / F.col("sum_ws_tokens"))
+        .cast("long")
+        .alias("fertility_milli"),
+        F.floor(F.col("sum_chars") * F.lit(1000.0) / F.col("sum_re_tokens"))
+        .cast("long")
+        .alias("chars_per_token_milli"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: per query vector, the
+# top-3 most-similar vectors with a DIFFERENT label — near neighbors across
+# the label boundary are exactly the negatives a contrastive loss needs.
+# Same broadcast + Arrow-dot shape as brute_force_topk (norms computed once
+# per side before the pair blowup); at 100 TB the query side is the small
+# probe set and stays broadcast, so the corpus scan is shuffle-free and the
+# only exchange is the final per-query top-k window.
+# ---------------------------------------------------------------------------
+@register(
+    "hard_negative_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS n_id, label AS n_label,
+                 CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT q_id, n_id, n_label,
+               list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS sim
+        FROM q CROSS JOIN c
+        WHERE q_id <> n_id AND q_label <> n_label
+    ),
+    ranked AS (
+        SELECT q_id, n_id, n_label, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+        FROM scored
+    )
+    SELECT q_id, n_id, n_label, ROUND(sim, 6) AS cos_sim, rk
+    FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+    """,
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("n_vec"),
+        _norm(F.col("embedding")).alias("n_nrm"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("n_id")) & (F.col("q_label") != F.col("n_label")),
+    ).select(
+        "q_id",
+        "n_id",
+        "n_label",
+        (
+            dot_pandas(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "n_id", "n_label", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplication-inflation factor per source: how many raw docs per distinct
+# normalized fingerprint — the first number a curation run reports per
+# crawl/source (a 3x-inflated source gets its sampling rate cut before any
+# expensive near-dup pass). Fingerprints ride the whitespace-normalized md5
+# (operators.text.fingerprint rule); one hash aggregate, digests not bodies.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_inflation_by_source",
+    oracle=r"""
+    WITH fp AS (
+        SELECT source,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+           CAST(FLOOR(COUNT(*) * 1000.0 / COUNT(DISTINCT fp)) AS BIGINT)
+             AS inflation_milli
+    FROM fp GROUP BY source ORDER BY source
+    """,
+)
+def dup_inflation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fp"),
+    )
+    agg = fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).alias("n_dup_docs"),
+        F.floor(F.col("n_docs") * F.lit(1000.0) / F.col("n_distinct"))
+        .cast("long")
+        .alias("inflation_milli"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing: assign documents to export shards so each
+# shard carries ~TARGET tokens, deterministically (doc_id order). The
+# running sum is windowed WITHIN source — per-source shard sequences keep
+# the window partitioned (no single-partition global sort at 100 TB; a
+# global sequence would serialize the cumsum). shard = tokens-before // T
+# is the standard first-fit streaming pack.
+# ---------------------------------------------------------------------------
+_SHARD_TOKENS = 400
+
+
+@register(
+    "shard_pack_by_tokens",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source, len({_SQL_WORDS}) AS n_tokens FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // {_SHARD_TOKENS} AS shard
+        FROM t
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY source, shard ORDER BY source, shard
+    """,
+)
+def shard_pack_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(text.words(F.col("text"))).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("shard", F.expr(f"cum_before div {_SHARD_TOKENS}"))
+    return (
+        packed.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code / markdown density signals: fence markers, braces, semicolons,
+# indented lines — the cheap structural features a quality router uses to
+# send a doc down the code-vs-prose pipeline. The synthetic corpus has no
+# code, so the query injects a deterministic fixture from doc_id (same
+# pattern as the HTML/PII entries) and measures it. All counts are
+# length-difference arithmetic over literal substrings (no regex dialect
+# exposure), map-only codegen.
+# ---------------------------------------------------------------------------
+_CODE_SNIPPET = "# Title\n```python\ndef f(x):\n    return x\n```\n"
+_BRACE_SNIPPET = "\nif (a) { b(); c(); }\n    indented line\n"
+
+
+def _count_lit(col, sub: str):
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit(""))))
+        / len(sub)
+    ).cast("long")
+
+
+@register(
+    "code_markdown_signals",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN '{_CODE_SNIPPET}' || text
+                    WHEN doc_id % 4 = 2 THEN text || '{_BRACE_SNIPPET}'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, '```', ''))) / 3 AS BIGINT)
+             AS n_fence_markers,
+           CAST(length(text) - length(replace(text, '{{', '')) AS BIGINT)
+             AS n_open_braces,
+           CAST(length(text) - length(replace(text, ';', '')) AS BIGINT)
+             AS n_semicolons,
+           CAST((length(text) - length(replace(text, chr(10) || '    ', ''))) / 5
+                AS BIGINT) AS n_indented_lines,
+           (length(text) - length(replace(text, '```', ''))) / 3 >= 2
+             AS has_code_fence
+    FROM injected ORDER BY doc_id
+    """,
+)
+def code_markdown_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(_CODE_SNIPPET), F.col("text")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.col("text"), F.lit(_BRACE_SNIPPET)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = F.col("text")
+    return injected.select(
+        "doc_id",
+        _count_lit(t, "```").alias("n_fence_markers"),
+        _count_lit(t, "{").alias("n_open_braces"),
+        _count_lit(t, ";").alias("n_semicolons"),
+        _count_lit(t, "\n    ").alias("n_indented_lines"),
+        (_count_lit(t, "```") >= 2).alias("has_code_fence"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: every purchase credited to the user's latest
+# click at-or-before it, voided when the gap exceeds the 7-day attribution
+# window. Composes the as-of join operator (one union + one window over the
+# user_id partitioning — no range self-join); the window gate is a post-hoc
+# CASE, exactly how DuckDB's ASOF + CASE expresses it.
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_S = 7 * 24 * 3600
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+          WHERE event_type = 'click'),
+    j AS (
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               c.click_id, epoch_us(p.ts) AS p_us, epoch_us(c.click_ts) AS c_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.click_ts <= p.ts
+    )
+    SELECT purchase_id, user_id,
+           CASE WHEN c_us IS NOT NULL
+                     AND (p_us - c_us) // 1000000 <= {_ATTR_WINDOW_S}
+                THEN click_id END AS click_id,
+           CASE WHEN c_us IS NOT NULL
+                     AND (p_us - c_us) // 1000000 <= {_ATTR_WINDOW_S}
+                THEN (p_us - c_us) // 1000000 END AS gap_s
+    FROM j ORDER BY purchase_id
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    j = temporal.asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        tiebreak="click_id",
+    )
+    gap = F.expr("(unix_micros(ts) - unix_micros(asof_click_ts)) div 1000000")
+    in_window = F.col("asof_click_ts").isNotNull() & (gap <= _ATTR_WINDOW_S)
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("asof_click_id")).alias("click_id"),
+        F.when(in_window, gap).alias("gap_s"),
+    ).orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# KMV join-cardinality estimate: |clickers ∩ viewers| from three mergeable
+# KMV sketches via inclusion-exclusion (est_a + est_b - est_union) — the
+# sketch-level pre-join sizing a planner does before committing a shuffle
+# strategy. Every ingredient is deterministic md5 arithmetic, so BOTH the
+# estimates and the verdict hash-match the oracle exactly; the sketches
+# themselves are O(k) relations, mergeable hierarchically at 100 TB.
+# ---------------------------------------------------------------------------
+def _tag_pred(tag: str) -> str:
+    return {
+        "a": "= 'click'",
+        "b": "= 'view'",
+        "u": "IN ('click', 'view')",
+    }[tag]
+
+
+def _sql_kmv_est(tag: str) -> str:
+    return f"""
+        SELECT '{tag}' AS s, CASE WHEN COUNT(*) < {_KMV_K}
+                    THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE ({_KMV_K} - 1.0)
+                         / (CAST({_sql_hex12_to_bigint('MAX(hh)')} AS DOUBLE)
+                            / {_KMV_SPACE!r}) END AS est
+        FROM (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hh
+              FROM events WHERE event_type {_tag_pred(tag)}
+              ORDER BY hh LIMIT {_KMV_K})
+    """
+
+
+@register(
+    "kmv_join_cardinality",
+    oracle=f"""
+    WITH ests AS (
+        {_sql_kmv_est('a')} UNION ALL {_sql_kmv_est('b')} UNION ALL {_sql_kmv_est('u')}
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN s = 'a' THEN est END) AS est_a,
+               MAX(CASE WHEN s = 'b' THEN est END) AS est_b,
+               MAX(CASE WHEN s = 'u' THEN est END) AS est_u
+        FROM ests
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'view')
+    )
+    SELECT ROUND(est_a, 2) AS est_a, ROUND(est_b, 2) AS est_b,
+           ROUND(est_u, 2) AS est_union,
+           ROUND(est_a + est_b - est_u, 2) AS est_intersection,
+           exact_intersection,
+           ABS(est_a + est_b - est_u - exact_intersection)
+             <= 0.5 * exact_intersection AS within_bound
+    FROM wide, exact
+    """,
+)
+def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def kmv_est(pred) -> DataFrame:
+        # orderBy + limit plans as TakeOrderedAndProject over the distinct
+        # fingerprint relation (k smallest of per-partition k smallest) —
+        # no global sort, no single-partition window shuffle.
+        h = (
+            e.filter(pred)
+            .select(F.md5(F.col("user_id").cast("string")).alias("hh"))
+            .distinct()
+        )
+        sk = h.orderBy("hh").limit(_KMV_K).agg(
+            F.max("hh").alias("kth"), F.count(F.lit(1)).alias("m")
+        )
+        kth_val = F.conv(F.substring("kth", 1, 12), 16, 10).cast("bigint")
+        return sk.select(
+            F.when(F.col("m") < _KMV_K, F.col("m").cast("double"))
+            .otherwise(
+                F.lit(_KMV_K - 1.0) / (kth_val.cast("double") / F.lit(_KMV_SPACE))
+            )
+            .alias("est")
+        )
+
+    ea = kmv_est(F.col("event_type") == "click").select(F.col("est").alias("est_a"))
+    eb = kmv_est(F.col("event_type") == "view").select(F.col("est").alias("est_b"))
+    eu = kmv_est(F.col("event_type").isin("click", "view")).select(
+        F.col("est").alias("est_u")
+    )
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    viewers = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    exact = clickers.intersect(viewers).agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    wide = ea.crossJoin(eb).crossJoin(eu).crossJoin(exact)
+    est_int = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return wide.select(
+        F.round("est_a", 2).alias("est_a"),
+        F.round("est_b", 2).alias("est_b"),
+        F.round("est_u", 2).alias("est_union"),
+        F.round(est_int, 2).alias("est_intersection"),
+        "exact_intersection",
+        (
+            F.abs(est_int - F.col("exact_intersection"))
+            <= 0.5 * F.col("exact_intersection")
+        ).alias("within_bound"),
+    )
