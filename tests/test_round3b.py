@@ -174,3 +174,44 @@ def test_kmv_intersection_estimate_reasonable(spark, tmp_path):
     assert r["within_bound"] is True
     # inclusion-exclusion over k=64 sketches lands near the exact count
     assert abs(r["est_intersection"] - 100) <= 50
+
+
+def test_triangle_counts_on_crafted_clique(spark, tmp_path):
+    # 4-clique {1,2,3,4}: C(4,3)=4 triangles, each node in C(3,2)=3 of them.
+    # Texts are engineered identical so minhash links every pair.
+    import os
+
+    same = " ".join(f"w{i}" for i in range(30))
+    docs = [(i, same, "en", "s", len(same)) for i in (1, 2, 3, 4)]
+    docs.append((9, "totally different words here entirely distinct tokens", "en", "s", 50))
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    d.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import graph_triangle_counts
+
+    got = {r["doc_id"]: r["n_triangles"] for r in graph_triangle_counts(spark, sf).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_symmetry_and_isolation(spark, tmp_path):
+    # Same fixture: the 4-clique nodes are symmetric -> equal scores,
+    # strictly above the isolated node's teleport-only score.
+    import os
+
+    same = " ".join(f"w{i}" for i in range(30))
+    docs = [(i, same, "en", "s", len(same)) for i in (1, 2, 3, 4)]
+    docs.append((9, "totally different words here entirely distinct tokens", "en", "s", 50))
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    d.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import graph_pagerank_neardup
+
+    rows = {r["doc_id"]: r for r in graph_pagerank_neardup(spark, sf).collect()}
+    clique_scores = {rows[i]["score_nano"] for i in (1, 2, 3, 4)}
+    assert len(clique_scores) == 1  # symmetric nodes agree exactly
+    assert rows[9]["degree"] == 0
+    assert clique_scores.pop() > rows[9]["score_nano"]

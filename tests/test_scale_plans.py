@@ -169,6 +169,9 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "source_unigram_kl",  # 1-row (n, v) corpus-totals scalar broadcast
     "heavy_hitters_mg",  # 1-row n_total scalar broadcast
     "doc_unigram_logprob",  # 1-row (n, v) corpus-totals scalar broadcast
+    "hard_negative_topk",  # bounded 8-row probe-set broadcast (brute_force_topk shape)
+    "graph_pagerank_neardup",  # 1-row node-count scalar broadcast per round
+    "kmv_join_cardinality",  # 1-row sketch-estimate scalar cross joins
 }
 
 

@@ -288,27 +288,29 @@ def minhash_near_duplicates(
     sizes = wide.select("doc_id", F.col("_n_sh").alias("n"))
     bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
     pairs = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
-    out = verify_jaccard(pairs, sh, sizes=sizes).filter(
+    # NOTE: the verified-pairs output is deliberately NOT session-cached
+    # here. An A/B at sf0.1 showed a global CacheManager entry for every
+    # pairs plan slows the REST of the suite by ~15% (plan-matching
+    # against large cached trees on every compile) while only multi-
+    # reference consumers benefit. Consumers that reference the pairs
+    # relation several times in ONE plan (PageRank's per-round joins,
+    # triangle counting's three-way self-join) persist the returned
+    # frame themselves via cache_pairs_frame().
+    return verify_jaccard(pairs, sh, sizes=sizes).filter(
         F.col("jaccard") >= threshold
     )
-    if cache_shingles:
-        # The verified-pairs relation is what the dedup FAMILY consumes:
-        # cluster resolution (both CC variants), keep-best-representative,
-        # leakage-safe splitting, and the curation pipeline all call with
-        # the same (table, params) and so analyze to the SAME plan — one
-        # CacheManager entry serves them all, and the whole
-        # shingle->signature->band-join->verify chain runs once per
-        # session, not once per query. Unlike the shingle relation the
-        # pairs relation is O(near-duplicate pairs), far below corpus
-        # size, so it stays cacheable at the 100 TB design point (gate
-        # it with the same flag for API simplicity; a scale deployment
-        # that disables shingle caching re-enables the cheap pairs cache
-        # by persisting the returned frame itself). Released with the
-        # same registry.
-        from pyspark.storagelevel import StorageLevel
 
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        _SHINGLE_CACHE.append(out)
+
+def cache_pairs_frame(pairs: DataFrame) -> DataFrame:
+    """Persist a verified-pairs relation for a consumer that scans it
+    multiple times within one plan (graph analytics). The relation is
+    O(near-duplicate pairs) — far below corpus size, safe at the 100 TB
+    design point. The handle joins the shingle-cache registry so
+    ``release_shingle_caches()`` frees it with everything else."""
+    from pyspark.storagelevel import StorageLevel
+
+    out = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE.append(out)
     return out
 
 

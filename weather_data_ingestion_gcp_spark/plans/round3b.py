@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 from ..operators import temporal, text
 from ..operators.similarity import _norm, dot_pandas
 from .core import _KMV_K, _KMV_SPACE, _sql_hex12_to_bigint
-from .registry import load_table, register
+from .registry import ORACLE, load_table, register
 
 _SQL_WORDS = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
 
@@ -552,4 +552,180 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_int - F.col("exact_intersection"))
             <= 0.5 * F.col("exact_intersection")
         ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the near-duplicate graph — the corpus-quality graph
+# a curation run has ALREADY built (minhash pairs), analyzed one level
+# deeper than connected components:
+#
+# - PageRank-style centrality ranks each document by how embedded it is in
+#   duplication structure (a high-centrality doc is the "canonical" copy a
+#   keep-best policy should prefer; cf. web-graph centrality in crawl
+#   curation).
+# - Triangle counts measure local clique-ness: a node in many triangles
+#   sits inside a tight duplicate cluster, not a chain of borderline
+#   matches — a different signal than component size.
+#
+# Both run entirely in integer arithmetic (nano-unit scores, BIGINT
+# counts), so every iteration is order-free and cross-engine exact; the
+# oracle composes the verified minhash-pairs SQL verbatim and unrolls the
+# power iteration as chained CTEs (the BPE pattern).
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int) -> str:
+    pairs = ORACLE["dedup_minhash_lsh"]
+    parts = [
+        f"e AS (SELECT id_a, id_b FROM ({pairs}))",
+        """sym AS (
+        SELECT id_a AS u, id_b AS v FROM e
+        UNION ALL SELECT id_b AS u, id_a AS v FROM e
+    )""",
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)",
+        """s0 AS (
+        SELECT doc_id, 1000000000 // (SELECT n FROM nn) AS s FROM documents
+    )""",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""s{r} AS (
+        SELECT d0.doc_id,
+               (15 * (1000000000 // (SELECT n FROM nn))) // 100
+               + COALESCE(agg.inflow, 0) AS s
+        FROM documents d0
+        LEFT JOIN (
+            SELECT sym.v AS doc_id,
+                   SUM((85 * (p.s // deg.d)) // 100) AS inflow
+            FROM sym
+            JOIN s{r - 1} p ON p.doc_id = sym.u
+            JOIN deg ON deg.u = sym.u
+            GROUP BY sym.v
+        ) agg ON agg.doc_id = d0.doc_id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT s{iters}.doc_id, CAST(s{iters}.s AS BIGINT) AS score_nano,
+           CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree
+    FROM s{iters} LEFT JOIN deg ON deg.u = s{iters}.doc_id
+    ORDER BY doc_id
+    """
+    )
+
+
+@register("graph_pagerank_neardup", oracle=_pagerank_oracle(_PR_ITERS))
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round power iteration on the near-dup graph, integer nano-unit
+    scores: contrib(u) = (85 * (s(u) // deg(u))) // 100, s'(v) = base +
+    sum(contribs) — every operation is BIGINT, so accumulation order
+    cannot move a bit and both engines agree exactly. Per round: one join
+    of scores onto the (cached) symmetric edge list + one aggregate; the
+    edge relation re-uses the session-cached minhash pairs, and score
+    state is O(nodes), never materialized on the driver."""
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+    # every power-iteration round re-scans the edge list; persist it so
+    # the minhash chain runs once, not once per round (dedup.
+    # cache_pairs_frame — released with the shingle-cache registry)
+    e = dedup.cache_pairs_frame(pairs.select("id_a", "id_b"))
+    sym = e.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        e.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = d.select("doc_id")
+    n_docs = nodes.agg(F.count(F.lit(1)).alias("n"))
+    init = F.expr("1000000000 div n")
+    scores = nodes.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id", init.alias("s"), F.col("n")
+    )
+    base = F.expr("(15 * (1000000000 div n)) div 100")
+    for _ in range(_PR_ITERS):
+        inflow = (
+            sym.join(scores.select(F.col("doc_id").alias("u"), "s"), "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("doc_id"), F.expr("(85 * (s div d)) div 100").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        scores = (
+            nodes.crossJoin(F.broadcast(n_docs))
+            .join(inflow, "doc_id", "left")
+            .select(
+                "doc_id",
+                (base + F.coalesce(F.col("inflow"), F.lit(0))).alias("s"),
+                F.col("n"),
+            )
+        )
+    return (
+        scores.join(deg.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("score_nano"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("degree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _triangle_oracle() -> str:
+    pairs = ORACLE["dedup_minhash_lsh"]
+    return f"""
+    WITH e AS (SELECT id_a, id_b FROM ({pairs})),
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM e e1
+        JOIN e e2 ON e2.id_a = e1.id_b
+        JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    per_node AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_triangles FROM per_node ORDER BY doc_id
+    """
+
+
+@register("graph_triangle_counts", oracle=_triangle_oracle())
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the near-dup graph: canonical a<b<c
+    enumeration (edges stored low<high, so the wedge join e1(a,b)⋈e2(b,c)
+    plus the closing-edge semi-check emits each triangle once). Two
+    equi-joins on the id columns of the (cached) pairs relation — at
+    scale the standard degree-ordered orientation bounds the wedge join
+    by sum(deg^2) of low-degree endpoints; near-dup graphs are
+    clique-clustered, so wedges stay within clusters."""
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+    # the wedge join scans the edge list three times in one plan
+    e = dedup.cache_pairs_frame(pairs.select("id_a", "id_b"))
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        members.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
     )
