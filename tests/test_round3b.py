@@ -215,3 +215,62 @@ def test_pagerank_symmetry_and_isolation(spark, tmp_path):
     assert len(clique_scores) == 1  # symmetric nodes agree exactly
     assert rows[9]["degree"] == 0
     assert clique_scores.pop() > rows[9]["score_nano"]
+
+
+def test_winsorize_thresholds_and_clipping(spark, tmp_path):
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 20 values 1.00..20.00 -> k_low = ceil(20/20) = 1 -> th_low = 100
+    # cents; k_high = ceil(19*20/20) = 19 -> th_high = 1900 cents.
+    rows = [(i, t0, 1, "click", float(i), "{}") for i in range(1, 21)]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    e.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import winsorized_robust_stats
+
+    r = winsorized_robust_stats(spark, sf).first()
+    assert (r["th_low_cents"], r["th_high_cents"]) == (100, 1900)
+    assert (r["n_clipped_low"], r["n_clipped_high"]) == (0, 1)  # only 20.00 > 19.00
+    # winsorized sum: 100+...+1900 + 1900 (the clipped 2000)
+    assert r["winsorized_sum_cents"] == sum(range(100, 2000, 100)) + 1900
+
+
+def test_ppjoin_finds_exactly_the_high_jaccard_pair(spark, tmp_path):
+    import os
+
+    # docs 1,2 share ~all 3-gram shingles; doc 3 is disjoint.
+    base = " ".join(f"w{i}" for i in range(12))
+    docs = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " extra", "en", "s", len(base) + 6),
+        (3, " ".join(f"z{i}" for i in range(12)), "en", "s", 40),
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    d.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import ppjoin_prefix_similarity
+
+    rows = ppjoin_prefix_similarity(spark, sf).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["jaccard"] >= 0.9
+
+
+def test_pca_power_iteration_finds_dominant_axis(spark, tmp_path):
+    import os
+
+    # variance concentrated on dim 0 (values spread), others constant
+    rows = [(i, [float(i % 7) - 3.0] + [0.25] * 7, 0) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path)
+    emb.write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import pca_power_iteration
+
+    out = {r["dim"]: r["eigvec_milli"] for r in pca_power_iteration(spark, sf).collect()}
+    assert abs(out[1]) == 1000  # dim 1 (1-based) carries all variance
+    assert all(abs(out[j]) < 50 for j in range(2, 9))

@@ -172,6 +172,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "hard_negative_topk",  # bounded 8-row probe-set broadcast (brute_force_topk shape)
     "graph_pagerank_neardup",  # 1-row node-count scalar broadcast per round
     "kmv_join_cardinality",  # 1-row sketch-estimate scalar cross joins
+    "pca_power_iteration",  # 1-row n / max|y| scalar broadcasts per round
 }
 
 

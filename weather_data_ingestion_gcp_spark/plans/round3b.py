@@ -729,3 +729,358 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics: clip each event type's values at exact
+# rank-based P5/P95 thresholds and report clip counts + the robust sum —
+# the outlier-tolerant aggregate a metrics pipeline uses when raw sums are
+# skew-dominated. Everything is BIGINT cents: thresholds are the k-th
+# smallest values at integer ranks k_low = (n+19)//20, k_high =
+# (19n+19)//20 (= CEIL(n/20), CEIL(19n/20) in pure integer arithmetic —
+# no double percentile interpolation, so no cross-engine ulp boundary to
+# flip a clip comparison). Shape: one per-type rank window + one join back
+# + one aggregate; exact per-group ranking is the cost of exact
+# percentiles — at 100 TB the approx_percentile_contract entry is the
+# sketch-based scale path for the same decision.
+# ---------------------------------------------------------------------------
+@register(
+    "winsorized_robust_stats",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+    ),
+    r AS (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    th AS (
+        SELECT event_type, MAX(n) AS n,
+               MAX(CASE WHEN rn = (n + 19) // 20 THEN c END) AS th_low,
+               MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN c END) AS th_high
+        FROM r GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(MAX(th.n) AS BIGINT) AS n,
+           MAX(th.th_low) AS th_low_cents,
+           MAX(th.th_high) AS th_high_cents,
+           CAST(SUM(CASE WHEN v.c < th.th_low THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN v.c > th.th_high THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(GREATEST(th.th_low, LEAST(th.th_high, v.c))) AS BIGINT)
+             AS winsorized_sum_cents
+    FROM v JOIN th ON th.event_type = v.event_type
+    GROUP BY v.event_type ORDER BY v.event_type
+    """,
+)
+def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import _cents
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", _cents().alias("c"))
+    w_rank = Window.partitionBy("event_type").orderBy("c")
+    w_all = Window.partitionBy("event_type")
+    r = v.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    th = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("c"))).alias(
+            "th_low"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("c"))
+        ).alias("th_high"),
+    )
+    clipped = F.greatest(F.col("th_low"), F.least(F.col("th_high"), F.col("c")))
+    return (
+        v.join(th, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("th_low").alias("th_low_cents"),
+            F.max("th_high").alias("th_high_cents"),
+            F.sum((F.col("c") < F.col("th_low")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("c") > F.col("th_high")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+            F.sum(clipped).alias("winsorized_sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity self-join (PPJoin family, Xiao et al.
+# WWW'08): a THIRD candidate-generation strategy next to MinHash-LSH
+# (probabilistic) and fixed-token blocking (heuristic). Set elements are
+# word-3-gram shingles (the minhash family's granularity — single words
+# over a small vocabulary make every pair "similar"); shingles are
+# globally ordered by ascending document frequency, and a pair with
+# Jaccard >= 0.5 MUST share an element within each side's first
+# sz - ceil(sz/2) + 1 rarest shingles, so joining ONLY on prefix
+# shingles is provably complete — and because prefixes hold the RAREST
+# elements, the equi-join fans out least exactly where a naive token
+# join explodes (high-df boilerplate shingles never enter the join).
+# Prefix ranks use pure integer arithmetic ((sz+1)//2 = ceil(sz/2)), the
+# df tiebreak is (df, shingle) lexicographic, and the final Jaccard is
+# one division over exact integer counts — deterministic across engines
+# and partitionings.
+# ---------------------------------------------------------------------------
+_PPJ_T = 0.5  # Jaccard threshold; prefix length = sz - ceil(t*sz) + 1
+
+
+def _ppjoin_oracle() -> str:
+    from .llm_ops import _SQL_SHINGLES3
+
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, shingle AS t FROM ({_SQL_SHINGLES3})
+    ),
+    df AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+    ranked AS (
+        SELECT tok.doc_id, tok.t,
+               ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY df.df, tok.t) AS rn,
+               COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
+        FROM tok JOIN df ON df.t = tok.t
+    ),
+    pref AS (
+        SELECT doc_id, t, sz FROM ranked
+        WHERE rn <= sz - (sz + 1) // 2 + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.sz AS sza,
+                        b.doc_id AS id_b, b.sz AS szb
+        FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+    ),
+    ov AS (
+        SELECT c.id_a, c.id_b, c.sza, c.szb, COUNT(*) AS n_ov
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND tb.t = ta.t
+        GROUP BY c.id_a, c.id_b, c.sza, c.szb
+    )
+    SELECT id_a, id_b,
+           ROUND(n_ov * 1.0 / (sza + szb - n_ov), 6) AS jaccard
+    FROM ov
+    WHERE n_ov * 1.0 / (sza + szb - n_ov) >= {_PPJ_T}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("ppjoin_prefix_similarity", oracle=_ppjoin_oracle())
+def ppjoin_prefix_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    # the shingle relation feeds ranking AND both verify legs (3 scans in
+    # one plan) — persist it; CacheManager dedupes with the minhash
+    # family's identical shingle cache, so no extra footprint
+    tok = dedup.cache_pairs_frame(
+        dedup.shingles(d, "doc_id", "text", n=3).withColumnRenamed("shingle", "t")
+    )
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(dfreq, "t")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "t")),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    pref = ranked.filter(F.col("rn") <= F.expr("sz - (sz + 1) div 2 + 1")).select(
+        "doc_id", "t", "sz"
+    )
+    a = pref.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"), "t")
+    b = pref.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"), "t")
+    cand = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "sza", "id_b", "szb")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), "t")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "t")
+    ov = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "t"])
+        .groupBy("id_a", "id_b", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("n_ov"))
+    )
+    jac = F.col("n_ov") / (F.col("sza") + F.col("szb") - F.col("n_ov"))
+    return (
+        ov.filter(jac >= _PPJ_T)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dominant principal direction via integer power iteration — the PCA
+# primitive an embedding-QA pipeline runs (SemDedup whitens with it;
+# drift monitors track it). The covariance matrix is computed EXACTLY in
+# scaled integers: vectors quantize to milli-units q = FLOOR(v*1000)
+# (floor of an identical correctly-rounded double on both engines — no
+# round-half rule exposure), and n²·Cov_jk = n·Σq_jq_k − Σq_j·Σq_k is
+# exact BIGINT; dividing by n² once bounds every entry ~1e6 regardless
+# of corpus size, so five matrix-vector rounds with milli-unit
+# renormalization stay within int64 at ANY n. Negative-value division
+# uses sign(y)·((|y|·1000) div m) — DuckDB's // floors while Spark's div
+# truncates, and they only agree on non-negative operands. Shape: the
+# 64×64 matrix relation broadcasts; each round is one 64-row join + one
+# aggregate; the quadratic (j,k) expansion rides the posexplode'd
+# component relation (n·d² rows map-side, partial-aggregated before the
+# shuffle).
+# ---------------------------------------------------------------------------
+_PCA_ITERS = 5
+
+
+def _pca_oracle(iters: int) -> str:
+    parts = [
+        """qi AS (
+        SELECT vec_id, embedding AS e,
+               unnest(generate_series(1, len(embedding))) AS j
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, j,
+               CAST(FLOOR(CAST(e[j] AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM qi
+    )""",
+        "nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM q)",
+        "s AS (SELECT j, SUM(q) AS s FROM q GROUP BY j)",
+        """p AS (
+        SELECT a.j AS j, b.j AS k, SUM(a.q * b.q) AS p
+        FROM q a JOIN q b ON a.vec_id = b.vec_id
+        GROUP BY a.j, b.j
+    )""",
+        """m AS (
+        SELECT p.j, p.k,
+               ((SELECT n FROM nn) * p.p - sj.s * sk.s)
+                 // ((SELECT n FROM nn) * (SELECT n FROM nn)) AS c
+        FROM p JOIN s sj ON sj.j = p.j JOIN s sk ON sk.j = p.k
+    )""",
+        "x0 AS (SELECT j, CAST(1000 AS BIGINT) AS x FROM s)",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""y{r} AS (
+        SELECT m.j, SUM(m.c * x.x) AS y
+        FROM m JOIN x{r - 1} x ON x.j = m.k
+        GROUP BY m.j
+    ),
+    x{r} AS (
+        SELECT y.j,
+               CASE WHEN y.y < 0 THEN -1 ELSE 1 END
+               * ((ABS(y.y) * 1000) // (SELECT MAX(ABS(y)) FROM y{r})) AS x
+        FROM y{r} y
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT j AS dim, CAST(x AS BIGINT) AS eigvec_milli
+    FROM x{iters} ORDER BY dim
+    """
+    )
+
+
+@register("pca_power_iteration", oracle=_pca_oracle(_PCA_ITERS))
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The n·d² outer-product sums are computed as Arrow-batched numpy
+    # matmuls (Q^T·Q per batch, int64-exact — same quantization as the
+    # oracle: floor(float64(v)·1000), identical IEEE ops), so executors
+    # run BLAS instead of generating n·d² codegen rows, and the only
+    # shuffle carries d²-sized integer partials per partition. This is
+    # the deliberate pandas-UDF drop-down: a generator-based expansion of
+    # the same sums was measured ~2× slower at sf0.1 and grows linearly
+    # in n either way; the partials contract is what scales to 100 TB
+    # (mergeable integer sums, O(d²) per partition crossing the wire).
+    import pandas as _pd
+
+    def _gram_partials(batches):
+        import numpy as np
+
+        d_dim, P, S, n_rows = None, None, None, 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000
+            ).astype(np.int64)
+            if P is None:
+                d_dim = Q.shape[1]
+                P = np.zeros((d_dim, d_dim), dtype=np.int64)
+                S = np.zeros(d_dim, dtype=np.int64)
+            P += Q.T @ Q
+            S += Q.sum(axis=0)
+            n_rows += Q.shape[0]
+        if n_rows == 0:
+            return
+        js, ks = np.indices((d_dim, d_dim))
+        yield _pd.DataFrame(
+            {
+                "j": np.concatenate([js.ravel() + 1, np.arange(1, d_dim + 1), [-1]]),
+                "k": np.concatenate([ks.ravel() + 1, np.full(d_dim, -1), [-1]]),
+                "v": np.concatenate([P.ravel(), S, [n_rows]]),
+            }
+        )
+
+    parts = emb.select("embedding").mapInPandas(_gram_partials, "j int, k int, v long")
+    parts = dedup.cache_pairs_frame(parts)
+    nn = parts.filter(F.col("j") == -1).agg(F.sum("v").alias("n"))
+    s = parts.filter((F.col("k") == -1) & (F.col("j") > 0)).groupBy("j").agg(
+        F.sum("v").alias("s")
+    )
+    p = (
+        parts.filter(F.col("k") > 0)
+        .groupBy("j", "k")
+        .agg(F.sum("v").alias("p"))
+    )
+    sj = s.select(F.col("j"), F.col("s").alias("s_j"))
+    sk = s.select(F.col("j").alias("k"), F.col("s").alias("s_k"))
+    # the d×d matrix is scanned once per power round — persist it so the
+    # n·d² covariance aggregation runs once, not once per iteration
+    # d² rows: coalesce to one partition so each power round schedules
+    # one task against the cached matrix, not shuffle-partitions many
+    m = dedup.cache_pairs_frame(
+        p.join(sj, "j")
+        .join(sk, "k")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "j",
+            "k",
+            F.expr("(n * p - s_j * s_k) div (n * n)").alias("c"),
+        )
+        .coalesce(1)
+    )
+    x = s.select("j", F.lit(1000).cast("long").alias("x"))
+    for _ in range(_PCA_ITERS):
+        # y is referenced twice per round (renorm + max); without a
+        # persist each reference re-evaluates the whole chain of prior
+        # rounds — 2^iters blowup. The persisted frame is d rows.
+        y = dedup.cache_pairs_frame(
+            m.join(F.broadcast(x.select(F.col("j").alias("k"), "x")), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("x")).alias("y"))
+            .coalesce(1)
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mabs"))
+        x = y.crossJoin(F.broadcast(mx)).select(
+            "j",
+            (
+                F.when(F.col("y") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr("(ABS(y) * 1000) div mabs")
+            ).alias("x"),
+        )
+    return x.select(
+        F.col("j").alias("dim"), F.col("x").cast("long").alias("eigvec_milli")
+    ).orderBy("dim")
