@@ -274,3 +274,59 @@ def test_pca_power_iteration_finds_dominant_axis(spark, tmp_path):
     out = {r["dim"]: r["eigvec_milli"] for r in pca_power_iteration(spark, sf).collect()}
     assert abs(out[1]) == 1000  # dim 1 (1-based) carries all variance
     assert all(abs(out[j]) < 50 for j in range(2, 9))
+
+
+def test_multi_touch_credit_and_window(spark, tmp_path):
+    import os
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(days=8), 1, "click", 1.0, "{}"),   # outside window
+        (2, t0 - dt.timedelta(days=2), 1, "click", 1.0, "{}"),
+        (3, t0 - dt.timedelta(days=1), 1, "click", 1.0, "{}"),
+        (4, t0, 1, "purchase", 9.0, "{}"),
+        (5, t0, 2, "purchase", 9.0, "{}"),                        # no clicks
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    e.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import (
+        attribution_linear_multi_touch,
+    )
+
+    got = {r["purchase_id"]: r for r in attribution_linear_multi_touch(spark, sf).collect()}
+    assert set(got) == {4}  # purchase 5 has no touches -> absent
+    assert got[4]["n_touches"] == 2  # click 1 outside the 7-day window
+    assert got[4]["credit_ppm_each"] == 500000
+    assert (got[4]["first_click_id"], got[4]["last_click_id"]) == (2, 3)
+
+
+def test_dq_checks_flag_crafted_violations(spark, tmp_path):
+    import os
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (1, t0, 2, "view", 2.0, "{}"),          # dup event_id
+        (3, t0, None, "click", -5.0, "{}"),     # null user + negative value
+        (4, dt.datetime(2030, 1, 1), 3, "weird", 1.0, "{}"),  # bad ts + type
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    e.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import dq_expectation_checks
+
+    got = {r["check_name"]: r["n_violations"] for r in dq_expectation_checks(spark, sf).collect()}
+    assert got == {
+        "null_user_id": 1,
+        "negative_or_null_value": 1,
+        "ts_out_of_range": 1,
+        "unknown_event_type": 1,
+        "duplicate_event_ids": 1,
+    }

@@ -1084,3 +1084,199 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select(
         F.col("j").alias("dim"), F.col("x").cast("long").alias("eigvec_milli")
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite (Deequ/Great-Expectations shape): each
+# expectation is one filter-count over the fact table, unioned into a
+# (check, n_violations, n_rows, passed) report — the gate a pipeline
+# evaluates before publishing a partition. ONE scan computes every check
+# (conditional aggregates, no per-check scans); all counts are BIGINTs.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_expectation_checks",
+    oracle="""
+    WITH agg AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+               SUM(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+                 AS bad_value,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                         OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END)
+                 AS ts_out_of_range,
+               SUM(CASE WHEN event_type NOT IN
+                        ('click','view','purchase','signup','error')
+                        THEN 1 ELSE 0 END) AS unknown_type,
+               COUNT(*) - COUNT(DISTINCT event_id) AS dup_event_ids
+        FROM events
+    )
+    SELECT c.check_name,
+           CAST(c.n_violations AS BIGINT) AS n_violations,
+           CAST(agg.n_rows AS BIGINT) AS n_rows,
+           c.n_violations = 0 AS passed
+    FROM agg, LATERAL (
+        SELECT 'null_user_id' AS check_name, null_user AS n_violations
+        UNION ALL SELECT 'negative_or_null_value', bad_value
+        UNION ALL SELECT 'ts_out_of_range', ts_out_of_range
+        UNION ALL SELECT 'unknown_event_type', unknown_type
+        UNION ALL SELECT 'duplicate_event_ids', dup_event_ids
+    ) c
+    ORDER BY check_name
+    """,
+)
+def dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user"),
+        F.sum((F.col("value").isNull() | (F.col("value") < 0)).cast("long")).alias(
+            "bad_value"
+        ),
+        F.sum(
+            (
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("ts_out_of_range"),
+        F.sum(
+            (~F.col("event_type").isin("click", "view", "purchase", "signup", "error"))
+            .cast("long")
+        ).alias("unknown_type"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_event_ids"),
+    )
+    checks = [
+        ("null_user_id", "null_user"),
+        ("negative_or_null_value", "bad_value"),
+        ("ts_out_of_range", "ts_out_of_range"),
+        ("unknown_event_type", "unknown_type"),
+        ("duplicate_event_ids", "dup_event_ids"),
+    ]
+    rows = None
+    for name, col in checks:
+        r = agg.select(
+            F.lit(name).alias("check_name"),
+            F.col(col).cast("long").alias("n_violations"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution: every click in the 7 days before a
+# purchase shares the credit equally (FLOOR'd ppm so credit is integer-
+# exact). Composes the bucketed range join (day-width time buckets; each
+# click lands in one bucket, purchases explode across their window's
+# buckets) — no unbounded time-range self-join ever forms.
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_linear_multi_touch",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS purchase_id, user_id,
+                      epoch_us(ts) AS p_us FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click'),
+    touches AS (
+        SELECT p.purchase_id, p.user_id, c.click_id
+        FROM p JOIN c ON c.user_id = p.user_id
+                     AND c.c_us >= p.p_us - {7 * 24 * 3600} * 1000000::BIGINT
+                     AND c.c_us <= p.p_us
+    )
+    SELECT purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(1000000 // COUNT(*) AS BIGINT) AS credit_ppm_each,
+           CAST(MIN(click_id) AS BIGINT) AS first_click_id,
+           CAST(MAX(click_id) AS BIGINT) AS last_click_id
+    FROM touches GROUP BY purchase_id ORDER BY purchase_id
+    """,
+)
+def attribution_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1000000
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.expr("unix_micros(ts)").alias("p_us"),
+    ).withColumn("lo", F.col("p_us") - 7 * day_us).withColumn("hi", F.col("p_us"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.expr("unix_micros(ts)").alias("c_us"),
+    )
+    joined = temporal.bucketed_range_join(
+        p, c.withColumnRenamed("user_id", "c_user"), lo="lo", hi="hi", x="c_us",
+        bucket_width=float(day_us),
+    ).filter(F.col("user_id") == F.col("c_user"))
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.expr("1000000 div count(1)").alias("credit_ppm_each"),
+            F.min("click_id").alias("first_click_id"),
+            F.max("click_id").alias("last_click_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (Deequ-style column statistics): per column, row/null/
+# distinct counts from ONE scan (conditional + distinct aggregates) — the
+# metadata a catalog publishes with every partition. Numeric min/max are
+# deliberately excluded from the report: cross-engine double-to-string
+# formatting is not canonical, and the numeric profile lives in typed
+# entries (percentile_stats, stats_aggregate_breadth).
+# ---------------------------------------------------------------------------
+@register(
+    "profile_table_columns",
+    oracle="""
+    WITH agg AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n0,
+               COUNT(DISTINCT event_id) AS d0,
+               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n1,
+               COUNT(DISTINCT ts) AS d1,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n2,
+               COUNT(DISTINCT user_id) AS d2,
+               SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n3,
+               COUNT(DISTINCT event_type) AS d3,
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n4,
+               COUNT(DISTINCT value) AS d4,
+               SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n5,
+               COUNT(DISTINCT props) AS d5
+        FROM events
+    )
+    SELECT c.col_name, CAST(agg.n_rows AS BIGINT) AS n_rows,
+           CAST(c.n_nulls AS BIGINT) AS n_nulls,
+           CAST(c.n_distinct AS BIGINT) AS n_distinct
+    FROM agg, LATERAL (
+        SELECT 'event_id' AS col_name, n0 AS n_nulls, d0 AS n_distinct
+        UNION ALL SELECT 'ts', n1, d1
+        UNION ALL SELECT 'user_id', n2, d2
+        UNION ALL SELECT 'event_type', n3, d3
+        UNION ALL SELECT 'value', n4, d4
+        UNION ALL SELECT 'props', n5, d5
+    ) c
+    ORDER BY col_name
+    """,
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n{i}"))
+        aggs.append(F.countDistinct(c).alias(f"d{i}"))
+    agg = e.agg(*aggs)
+    rows = None
+    for i, c in enumerate(cols):
+        r = agg.select(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(f"n{i}").cast("long").alias("n_nulls"),
+            F.col(f"d{i}").cast("long").alias("n_distinct"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("col_name")
