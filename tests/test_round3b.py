@@ -330,3 +330,51 @@ def test_dq_checks_flag_crafted_violations(spark, tmp_path):
         "unknown_event_type": 1,
         "duplicate_event_ids": 1,
     }
+
+
+def test_wilson_interval_brackets_rate(spark, tmp_path):
+    import os
+
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(20):
+        rows.append((eid, t0, u, "click", 1.0, "{}")); eid += 1
+    for u in range(5):  # 5/20 convert
+        rows.append((eid, t0, u, "purchase", 9.0, "{}")); eid += 1
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    e.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import conversion_wilson_by_day
+
+    r = conversion_wilson_by_day(spark, sf).first()
+    assert (r["n_clickers"], r["n_converted"]) == (20, 5)
+    assert abs(r["rate"] - 0.25) < 1e-6
+    assert r["wilson_lo"] < r["rate"] < r["wilson_hi"]
+    assert 0.0 <= r["wilson_lo"] and r["wilson_hi"] <= 1.0
+
+
+def test_cumulative_distinct_counts_first_appearances_once(spark, tmp_path):
+    import os
+
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    rows = [
+        (0, d1, 1, "click", 1.0, "{}"),
+        (1, d1, 2, "click", 1.0, "{}"),
+        (2, d2, 1, "click", 1.0, "{}"),  # returning user: not counted again
+        (3, d2, 3, "click", 1.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    e.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import cumulative_distinct_users
+
+    got = [(str(r["d"]), r["n_new_users"], r["cumulative_users"])
+           for r in cumulative_distinct_users(spark, sf).collect()]
+    assert got == [("2024-01-01", 2, 2), ("2024-01-02", 1, 3)]

@@ -1280,3 +1280,124 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows.orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Conversion rate with a Wilson 95% interval, per day: of the users who
+# clicked that day, how many also purchased that day — with the interval
+# an experimentation readout needs before trusting a small-n day. The
+# Wilson chain is ONE shared IEEE expression over exact integer (k, n)
+# aggregates — identical text on both engines, so the doubles match to
+# the rounded digit (the repo's standard float discipline). Shape: one
+# (day, user) dedup aggregate + one day aggregate; the interval math is
+# scalar per day row.
+# ---------------------------------------------------------------------------
+_WILSON_Z = "1.959963984540054e0"  # z_{0.975}; e-notation forces DOUBLE in
+# DuckDB too (a bare decimal literal parses as DECIMAL there and the
+# mixed decimal/double chain drifts at the 5th digit)
+
+
+@register(
+    "conversion_wilson_by_day",
+    oracle=f"""
+    WITH du AS (
+        SELECT CAST(ts AS DATE) AS d, user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+        FROM events GROUP BY d, user_id
+    ),
+    day AS (
+        SELECT d,
+               SUM(clicked) AS n,
+               SUM(CASE WHEN clicked = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS k
+        FROM du GROUP BY d
+    )
+    SELECT d,
+           CAST(n AS BIGINT) AS n_clickers,
+           CAST(k AS BIGINT) AS n_converted,
+           ROUND(k * 1e0 / n, 6) AS rate,
+           ROUND((k * 1e0 / n + {_WILSON_Z} * {_WILSON_Z} / (2e0 * n)
+                  - {_WILSON_Z} * sqrt((k * 1e0 / n) * (1e0 - k * 1e0 / n) / n
+                                       + {_WILSON_Z} * {_WILSON_Z} / (4e0 * n * n)))
+                 / (1e0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+           ROUND((k * 1e0 / n + {_WILSON_Z} * {_WILSON_Z} / (2e0 * n)
+                  + {_WILSON_Z} * sqrt((k * 1e0 / n) * (1e0 - k * 1e0 / n) / n
+                                       + {_WILSON_Z} * {_WILSON_Z} / (4e0 * n * n)))
+                 / (1e0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+    FROM day WHERE n > 0 ORDER BY d
+    """,
+)
+def conversion_wilson_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.groupBy(F.col("ts").cast("date").alias("d"), "user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+        )
+    )
+    day = du.groupBy("d").agg(
+        F.sum("clicked").alias("n"),
+        F.sum(((F.col("clicked") == 1) & (F.col("purchased") == 1)).cast("int")).alias(
+            "k"
+        ),
+    )
+    z = _WILSON_Z
+    p_hat = "k * 1e0 / n"
+    half = f"{z} * sqrt(({p_hat}) * (1.0 - {p_hat}) / n + {z} * {z} / (4e0 * n * n))"
+    center = f"{p_hat} + {z} * {z} / (2e0 * n)"
+    denom = f"1e0 + {z} * {z} / n"
+    return (
+        day.filter(F.col("n") > 0)
+        .select(
+            "d",
+            F.col("n").cast("long").alias("n_clickers"),
+            F.col("k").cast("long").alias("n_converted"),
+            F.round(F.expr(p_hat), 6).alias("rate"),
+            F.round(F.expr(f"(({center}) - ({half})) / ({denom})"), 6).alias(
+                "wilson_lo"
+            ),
+            F.round(F.expr(f"(({center}) + ({half})) / ({denom})"), 6).alias(
+                "wilson_hi"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day (the "total accounts ever seen" curve):
+# distinct-by-first-appearance turns an O(days × users) rolling-distinct
+# into ONE per-user min + a window over the (tiny) per-day relation —
+# the standard trick that makes lifetime-reach queries scale.
+# ---------------------------------------------------------------------------
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT d0 AS d, COUNT(*) AS n_new FROM first_seen GROUP BY d0
+    )
+    SELECT d, CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(SUM(n_new) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day ORDER BY d
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    per_day = first_seen.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "d",
+        F.col("n_new").cast("long").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("d")
