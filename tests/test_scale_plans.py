@@ -442,3 +442,23 @@ def test_mg_phase2_is_broadcast_semi_join(spark):
     shuffling every distinct word."""
     plan = _formatted(QUERIES["heavy_hitters_mg"](spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_shard_packing_window_is_partitioned(spark):
+    """The shard-packing running sum must window WITHIN source — a global
+    ORDER BY cumsum would funnel the corpus through one partition. The
+    plan's Window node must carry a partition spec, and no
+    single-partition exchange may feed it (the final presentation sort
+    is exempt)."""
+    plan = _plan(QUERIES["shard_pack_by_tokens"](spark, SF))
+    body = plan.split("TakeOrderedAndProject")[-1] if "TakeOrderedAndProject" in plan else plan
+    win = [ln for ln in body.splitlines() if "Window" in ln and "windowspecdefinition" in ln.lower() or ln.strip().startswith("Window")]
+    assert win, "expected a Window node in the shard packing plan"
+    # the Window's required distribution is hashpartitioning(source…):
+    # a SinglePartition exchange directly below it would mean a global sort
+    import re
+
+    # find the segment from the Window node to the next blank line
+    seg = body[body.index(win[0]):]
+    head = seg[:1200]
+    assert "partitionBy=[source" in head.replace(" ", "") or "hashpartitioning(source" in head.replace("Exchange ", "Exchange")

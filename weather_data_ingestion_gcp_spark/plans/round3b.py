@@ -1401,3 +1401,64 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new_users"),
         F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Window value-function breadth: FIRST_VALUE / LAST_VALUE (with and
+# without IGNORE NULLS), NTH_VALUE, LEAD/LAG with defaults — the family's
+# remaining members beyond the rank functions already pinned. One window
+# spec -> one sort; the synthetic NULL injection (every 3rd value) makes
+# the ignore-nulls semantics observable in the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "window_value_functions_breadth",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                    ELSE CAST(ROUND(value * 100) AS BIGINT) END AS c
+        FROM events WHERE event_type = 'click' AND user_id < 40
+    )
+    SELECT user_id, event_id, c,
+           FIRST_VALUE(c) OVER w AS first_raw,
+           FIRST_VALUE(c IGNORE NULLS) OVER w AS first_nn,
+           LAST_VALUE(c) OVER w AS last_raw,
+           LAST_VALUE(c IGNORE NULLS) OVER w AS last_nn,
+           NTH_VALUE(c, 2) OVER w AS second_val,
+           LEAD(c, 1, -1) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS next_or_neg1,
+           LAG(c, 2, -2) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS prev2_or_neg2
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_value_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter((F.col("event_type") == "click") & (F.col("user_id") < 40)).select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.lit(None).cast("long")
+        ).otherwise(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wseq = Window.partitionBy("user_id").orderBy("event_id")
+    return v.select(
+        "user_id",
+        "event_id",
+        "c",
+        F.first("c").over(w).alias("first_raw"),
+        F.first("c", ignorenulls=True).over(w).alias("first_nn"),
+        F.last("c").over(w).alias("last_raw"),
+        F.last("c", ignorenulls=True).over(w).alias("last_nn"),
+        F.nth_value("c", 2).over(w).alias("second_val"),
+        F.lead("c", 1, -1).over(wseq).alias("next_or_neg1"),
+        F.lag("c", 2, -2).over(wseq).alias("prev2_or_neg2"),
+    ).orderBy("user_id", "event_id")
