@@ -378,3 +378,28 @@ def test_cumulative_distinct_counts_first_appearances_once(spark, tmp_path):
     got = [(str(r["d"]), r["n_new_users"], r["cumulative_users"])
            for r in cumulative_distinct_users(spark, sf).collect()]
     assert got == [("2024-01-01", 2, 2), ("2024-01-02", 1, 3)]
+
+
+def test_passage_rewrite_keeps_first_occurrence_only(spark, tmp_path):
+    import os
+
+    w20 = " ".join(f"a{i}" for i in range(20))
+    tail = "unique tail words here"
+    docs = [
+        (1, f"{w20} {tail}", "en", "s", 1),   # first occurrence of w20
+        (2, f"{w20} other ending", "en", "s", 1),  # w20 removed here
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    d.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from weather_data_ingestion_gcp_spark.plans.round3b import passage_dedup_rewrite
+    import hashlib
+
+    got = {r["doc_id"]: r for r in passage_dedup_rewrite(spark, sf).collect()}
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 1
+    # doc 2's rebuilt text is just its (unique) tail passage
+    assert got[2]["clean_md5"] == hashlib.md5(b"other ending").hexdigest()
+    assert got[1]["clean_md5"] == hashlib.md5(f"{w20} {tail}".encode()).hexdigest()

@@ -1462,3 +1462,94 @@ def window_value_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFram
         F.lead("c", 1, -1).over(wseq).alias("next_or_neg1"),
         F.lag("c", 2, -2).over(wseq).alias("prev2_or_neg2"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Passage-dedup REWRITE (the transform counterpart of passage_exact_dedup,
+# C4-style): every passage occurrence except the corpus-FIRST (min
+# (doc_id, position)) is dropped, and each document is reassembled from
+# its surviving passages in order. Documents are covered completely
+# (ceil(n/20) windows — the tail window is shorter). The output row is
+# (doc_id, n_passages, n_removed, md5(rebuilt)) so the full rewritten
+# text is hash-verified without shuffling bodies to the driver. Shape:
+# one explode, one first-occurrence window on the digest (32-byte keys),
+# one per-doc ordered reassembly — passage text shuffles ONCE (to its
+# digest's partition and back by doc).
+# ---------------------------------------------------------------------------
+@register(
+    "passage_dedup_rewrite",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, (len(ws) + {_PASSAGE_W} - 1)
+                                         // {_PASSAGE_W})) AS i
+        FROM ws WHERE len(ws) >= 1
+    ),
+    p AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(ws, (i - 1) * {_PASSAGE_W} + 1,
+                                          i * {_PASSAGE_W}), ' ') AS passage
+        FROM idx
+    ),
+    ranked AS (
+        SELECT doc_id, i, passage,
+               ROW_NUMBER() OVER (PARTITION BY md5(passage)
+                                  ORDER BY doc_id, i) AS occ
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN occ = 1 THEN passage END,
+                                   ' ' ORDER BY i), '')) AS clean_md5
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", text.words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 1
+    )
+    p = ws.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.expr(f"(size(ws) + {_PASSAGE_W} - 1) div {_PASSAGE_W}").cast("int"),
+            )
+        ).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(
+            " ", F.slice(F.col("ws"), (F.col("i") - 1) * _PASSAGE_W + 1, _PASSAGE_W)
+        ).alias("passage"),
+    )
+    occ_w = Window.partitionBy(F.md5("passage")).orderBy("doc_id", "i")
+    ranked = p.withColumn("occ", F.row_number().over(occ_w))
+    # ordered reassembly without an ordered string_agg: sort (i, passage)
+    # structs, then join the surviving texts — all JVM-side array lambdas
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("occ") == 1, F.struct("i", "passage"))
+                ),
+            ),
+            lambda s: s.getField("passage"),
+        ),
+        " ",
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("occ") > 1).cast("long")).alias("n_removed"),
+            F.md5(kept).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
