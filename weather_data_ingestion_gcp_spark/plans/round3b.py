@@ -1553,3 +1553,148 @@ def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall contract: the MinHash-LSH near-dup path is probabilistic —
+# this entry MEASURES its recall against the exact prefix-filtered
+# ground truth (ppjoin_prefix_similarity is provably complete for
+# Jaccard >= 0.5) and pins the verdict. Both sides are deterministic, so
+# the recall itself hash-checks; at 8 hashes / 4 bands the banding curve
+# puts P(candidate | J >= 0.5) high enough that observed recall is 1.0
+# at every SF (verified 0.001/0.01/0.1) — the pinned bound of >= 90% ppm
+# leaves room for band-boundary flutter at other corpora. The accuracy-
+# contract pattern (exact + pinned verdict) is how this repo hash-checks
+# every approximate operator.
+# ---------------------------------------------------------------------------
+def _lsh_recall_oracle() -> str:
+    from .llm_ops import _SQL_SHINGLES3  # noqa: F401  (via composed oracles)
+
+    exact = _ppjoin_oracle()
+    lsh = ORACLE["dedup_minhash_lsh"]
+    return f"""
+    WITH exact_pairs AS (SELECT id_a, id_b FROM ({exact})),
+    lsh_pairs AS (SELECT id_a, id_b FROM ({lsh})),
+    hit AS (
+        SELECT COUNT(*) AS n_hit FROM exact_pairs e
+        WHERE EXISTS (SELECT 1 FROM lsh_pairs l
+                      WHERE l.id_a = e.id_a AND l.id_b = e.id_b)
+    ),
+    tot AS (SELECT COUNT(*) AS n_true FROM exact_pairs)
+    SELECT CAST(tot.n_true AS BIGINT) AS n_true_pairs,
+           CAST(hit.n_hit AS BIGINT) AS n_lsh_found,
+           CAST(FLOOR(hit.n_hit * 1000000.0 / tot.n_true) AS BIGINT)
+             AS recall_ppm,
+           hit.n_hit * 1000000.0 / tot.n_true >= 900000 AS recall_ok
+    FROM hit, tot
+    """
+
+
+@register("lsh_recall_contract", oracle=_lsh_recall_oracle())
+def lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    lsh = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    exact = ppjoin_prefix_similarity(spark, sf_dir).select("id_a", "id_b")
+    hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    return hit.crossJoin(tot).select(
+        F.col("n_true").cast("long").alias("n_true_pairs"),
+        F.col("n_hit").cast("long").alias("n_lsh_found"),
+        F.floor(F.col("n_hit") * F.lit(1000000.0) / F.col("n_true"))
+        .cast("long")
+        .alias("recall_ppm"),
+        (F.col("n_hit") * F.lit(1000000.0) / F.col("n_true") >= 900000).alias(
+            "recall_ok"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY (the encode half of the tokenizer round-trip; bpe_learn_merges
+# is the train half): re-encode the corpus vocabulary with the learned
+# merge list and report the 20 most frequent words' encodings + token
+# counts. The merge list is O(model) (5 rows collected — the k-means
+# centroid pattern); application is the same double scan-left replace the
+# learner uses, so learner and encoder can never drift. The oracle chains
+# the identical 5 unrolled merge rounds (BPE-oracle pattern) and carries
+# the word key through every round.
+# ---------------------------------------------------------------------------
+def _bpe_apply_oracle(rounds: int, k: int = 20) -> str:
+    parts = [
+        r"""w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+               ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+        SELECT p.l AS l, p.r AS r, SUM(n) AS pair_count FROM (
+            SELECT n, unnest(list_transform(generate_series(1, len(t) - 1),
+                             i -> {{'l': t[i], 'r': t[i + 1]}})) AS p
+            FROM (SELECT n, string_split(trim(seq), ' ') AS t FROM w{r - 1})
+            WHERE len(t) >= 2)
+        GROUP BY p.l, p.r
+    ),
+    b{r} AS (
+        SELECT l, r FROM p{r}
+        ORDER BY pair_count DESC, l, r LIMIT 1
+    ),
+    w{r} AS (
+        SELECT w, n, replace(replace(seq, ' ' || l || ' ' || r || ' ',
+                                     ' ' || l || r || ' '),
+                             ' ' || l || ' ' || r || ' ',
+                             ' ' || l || r || ' ') AS seq
+        FROM w{r - 1} CROSS JOIN b{r}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT w AS word, n, trim(seq) AS encoded,
+           CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_tokens
+    FROM w{rounds} ORDER BY n DESC, w LIMIT {k}
+    """
+    )
+
+
+@register("bpe_apply_encode", oracle=_bpe_apply_oracle(5))
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+    from .round3 import _docs_words
+
+    wx = (
+        _docs_words(spark, sf_dir)
+        .select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = bpe.bpe_learn_merges(wx, "w", "n", n_merges=5).collect()  # O(model)
+    enc = wx.select("w", "n", bpe.spell(F.col("w")).alias("seq"))
+    for m in sorted(merges, key=lambda r: r["merge_rank"]):
+        pat = F.lit(f" {m['left_sym']} {m['right_sym']} ")
+        rep = F.lit(f" {m['left_sym']}{m['right_sym']} ")
+        enc = enc.withColumn(
+            "seq", F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
+        )
+    return (
+        enc.select(
+            F.col("w").alias("word"),
+            F.col("n").cast("long").alias("n"),
+            F.trim(F.col("seq")).alias("encoded"),
+            F.size(F.split(F.trim(F.col("seq")), " ")).cast("long").alias("n_tokens"),
+        )
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
