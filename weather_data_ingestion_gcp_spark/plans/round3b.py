@@ -1698,3 +1698,165 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM quality score (the KenLM-lite upgrade of
+# doc_unigram_logprob): t = -ln(0.7·p_bi + 0.3·p_uni) per transition,
+# add-one smoothed, each term ROUND'd to nano-nats BEFORE the per-doc sum
+# (order-free BIGINT). Interpolation constants are e-notation literals
+# (7e-1/3e-1 — DuckDB parses bare decimals as DECIMAL and drifts). The
+# bigram model relation is vocab²-bounded but sparse (observed bigrams
+# only) and joins by key — no cross join of the vocabulary ever forms.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_bigram_interp_logprob",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   w -> w <> '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> {'a': ws[i], 'b': ws[i + 1]})) AS p
+        FROM ws WHERE len(ws) >= 2
+    ),
+    wx AS (SELECT doc_id, unnest(ws) AS w FROM ws),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM wx GROUP BY w),
+    bi AS (SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM bg GROUP BY p.a, p.b),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wx),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(ROUND(-ln(7e-1 * (bi.c2 + 1e0) / (ua.c1 + tot.v)
+                              + 3e-1 * (ub.c1 + 1e0) / (tot.n + tot.v))
+                          * 1000000000, 0) AS BIGINT) AS t_nano
+        FROM bg
+        JOIN uni ua ON ua.w = bg.p.a
+        JOIN uni ub ON ub.w = bg.p.b
+        JOIN bi ON bi.a = bg.p.a AND bi.b = bg.p.b
+        CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(FLOOR(SUM(t_nano) / (COUNT(*) * 1000000.0)) AS BIGINT)
+             AS nll_avg_milli
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .round3 import _docs_words
+
+    ws = _docs_words(spark, sf_dir).select("doc_id", "ws").filter(F.size("ws") >= 2)
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    wx = _docs_words(spark, sf_dir).select("doc_id", F.explode("ws").alias("w"))
+    uni = wx.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    bi = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    tot = wx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("w").cast("long").alias("v"),
+    )
+    t_nano = F.round(
+        -F.log(
+            F.expr("7e-1") * (F.col("c2") + F.expr("1e0")) / (F.col("c1_a") + F.col("v"))
+            + F.expr("3e-1") * (F.col("c1_b") + F.expr("1e0")) / (F.col("n") + F.col("v"))
+        )
+        * 1000000000,
+        0,
+    ).cast("long")
+    return (
+        bg.join(F.broadcast(uni.select(F.col("w").alias("a"), F.col("c1").alias("c1_a"))), "a")
+        .join(F.broadcast(uni.select(F.col("w").alias("b"), F.col("c1").alias("c1_b"))), "b")
+        .join(bi, ["a", "b"])
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", t_nano.alias("t_nano"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.floor(F.sum("t_nano") / (F.count(F.lit(1)) * 1000000.0))
+            .cast("long")
+            .alias("nll_avg_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card summary — the ONE-row corpus overview a dataset release
+# ships (docs/tokens/langs/sources, duplication, length stats, dominant
+# language share). Every number comes from two scans (docs, tokens) of
+# conditional/distinct aggregates; ratios are FLOOR'd ppm/milli BIGINTs.
+# ---------------------------------------------------------------------------
+@register(
+    "dataset_card_summary",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> w <> '')) AS n_words
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           CAST(FLOOR((COUNT(*) - COUNT(DISTINCT fp)) * 1000000.0 / COUNT(*))
+                AS BIGINT) AS dup_ppm,
+           CAST(FLOOR(SUM(n_words) * 1000.0 / COUNT(*)) AS BIGINT)
+             AS mean_words_milli,
+           CAST(MIN(n_words) AS BIGINT) AS min_words,
+           CAST(MAX(n_words) AS BIGINT) AS max_words,
+           CAST(FLOOR(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      * 1000000.0 / COUNT(*)) AS BIGINT) AS en_share_ppm
+    FROM t
+    """,
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias(
+            "fp"
+        ),
+        F.size(text.words(F.col("text"))).alias("n_words"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_exact_dups"),
+        F.floor(
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            * F.lit(1000000.0)
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+        F.floor(F.sum("n_words") * F.lit(1000.0) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_words_milli"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+        F.floor(
+            F.sum((F.col("lang") == "en").cast("long"))
+            * F.lit(1000000.0)
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("en_share_ppm"),
+    )
