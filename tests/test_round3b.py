@@ -403,3 +403,15 @@ def test_passage_rewrite_keeps_first_occurrence_only(spark, tmp_path):
     # doc 2's rebuilt text is just its (unique) tail passage
     assert got[2]["clean_md5"] == hashlib.md5(b"other ending").hexdigest()
     assert got[1]["clean_md5"] == hashlib.md5(f"{w20} {tail}".encode()).hexdigest()
+
+
+def test_zorder_interleave_locality(spark):
+    # the interleave of (u, d) = (3, 0) -> bits of u at even positions
+    from pyspark.sql import functions as F
+    from weather_data_ingestion_gcp_spark.plans.round3b import _sql_interleave8
+
+    df = spark.createDataFrame([(3, 0), (0, 3), (255, 255)], "u long, d long")
+    got = [r["z"] for r in df.select(F.expr(_sql_interleave8("u", "d")).alias("z")).collect()]
+    assert got[0] == 0b101          # u bits at even positions: 1+4
+    assert got[1] == 0b1010         # d bits at odd positions: 2+8
+    assert got[2] == 0xFFFF         # all 16 bits set

@@ -1860,3 +1860,68 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("en_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering keys (the OPTIMIZE ZORDER primitive): interleave the
+# bits of (user_id, day) so rows near each other in EITHER dimension land
+# in the same file bucket — the write-layout op that lets zonemap
+# data-skipping prune on BOTH columns instead of one. The query computes
+# the 8+8-bit interleave in pure integer arithmetic (identical on both
+# engines), buckets rows by the top byte of the z-key (≈ a target file),
+# and reports each bucket's (user, day) bounding box — the zonemap a
+# scan would skip on. Narrow per-bucket spans on both dimensions ARE the
+# proof the layout works; a single-column sort gives narrow spans on one
+# dimension only.
+# ---------------------------------------------------------------------------
+def _sql_interleave8(a: str, b: str) -> str:
+    """Interleave the low 8 bits of a (even positions) and b (odd)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_layout_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id % 256 AS u,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) % 256 AS d
+        FROM events
+    ),
+    z AS (
+        SELECT u, d, {_sql_interleave8('u', 'd')} AS zkey FROM t
+    )
+    SELECT zkey // 256 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(u) AS BIGINT) AS u_min, CAST(MAX(u) AS BIGINT) AS u_max,
+           CAST(MIN(d) AS BIGINT) AS d_min, CAST(MAX(d) AS BIGINT) AS d_max,
+           CAST(MAX(u) - MIN(u) AS BIGINT) AS u_span,
+           CAST(MAX(d) - MIN(d) AS BIGINT) AS d_span
+    FROM z GROUP BY bucket ORDER BY bucket
+    """,
+)
+def zorder_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        (F.col("user_id") % 256).alias("u"),
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) % 256"
+        ).alias("d"),
+    )
+    z = t.withColumn("zkey", F.expr(_sql_interleave8("u", "d")))
+    return (
+        z.groupBy(F.expr("zkey div 256").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+            (F.max("u") - F.min("u")).alias("u_span"),
+            (F.max("d") - F.min("d")).alias("d_span"),
+        )
+        .orderBy("bucket")
+    )
