@@ -1587,9 +1587,9 @@ def _lsh_recall_oracle() -> str:
     tot AS (SELECT COUNT(*) AS n_true FROM exact_pairs)
     SELECT CAST(tot.n_true AS BIGINT) AS n_true_pairs,
            CAST(hit.n_hit AS BIGINT) AS n_lsh_found,
-           CAST(FLOOR(hit.n_hit * 1000000.0 / tot.n_true) AS BIGINT)
+           CAST(FLOOR(hit.n_hit * 1000000.0 / NULLIF(tot.n_true, 0)) AS BIGINT)
              AS recall_ppm,
-           hit.n_hit * 1000000.0 / tot.n_true >= 900000 AS recall_ok
+           hit.n_hit * 1000000.0 / NULLIF(tot.n_true, 0) >= 900000 AS recall_ok
     FROM hit, tot
     """
 
@@ -1612,15 +1612,14 @@ def lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hit")
     )
     tot = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    denom = F.nullif(F.col("n_true"), F.lit(0))
     return hit.crossJoin(tot).select(
         F.col("n_true").cast("long").alias("n_true_pairs"),
         F.col("n_hit").cast("long").alias("n_lsh_found"),
-        F.floor(F.col("n_hit") * F.lit(1000000.0) / F.col("n_true"))
+        F.floor(F.col("n_hit") * F.lit(1000000.0) / denom)
         .cast("long")
         .alias("recall_ppm"),
-        (F.col("n_hit") * F.lit(1000000.0) / F.col("n_true") >= 900000).alias(
-            "recall_ok"
-        ),
+        (F.col("n_hit") * F.lit(1000000.0) / denom >= 900000).alias("recall_ok"),
     )
 
 
@@ -1821,14 +1820,15 @@ def doc_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
-           CAST(FLOOR((COUNT(*) - COUNT(DISTINCT fp)) * 1000000.0 / COUNT(*))
-                AS BIGINT) AS dup_ppm,
-           CAST(FLOOR(SUM(n_words) * 1000.0 / COUNT(*)) AS BIGINT)
+           CAST(FLOOR((COUNT(*) - COUNT(DISTINCT fp)) * 1000000.0
+                      / NULLIF(COUNT(*), 0)) AS BIGINT) AS dup_ppm,
+           CAST(FLOOR(SUM(n_words) * 1000.0 / NULLIF(COUNT(*), 0)) AS BIGINT)
              AS mean_words_milli,
            CAST(MIN(n_words) AS BIGINT) AS min_words,
            CAST(MAX(n_words) AS BIGINT) AS max_words,
            CAST(FLOOR(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                      * 1000000.0 / COUNT(*)) AS BIGINT) AS en_share_ppm
+                      * 1000000.0 / NULLIF(COUNT(*), 0)) AS BIGINT)
+             AS en_share_ppm
     FROM t
     """,
 )
@@ -1852,11 +1852,13 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             (F.count(F.lit(1)) - F.countDistinct("fp"))
             * F.lit(1000000.0)
-            / F.count(F.lit(1))
+            / F.nullif(F.count(F.lit(1)), F.lit(0))
         )
         .cast("long")
         .alias("dup_ppm"),
-        F.floor(F.sum("n_words") * F.lit(1000.0) / F.count(F.lit(1)))
+        F.floor(
+            F.sum("n_words") * F.lit(1000.0) / F.nullif(F.count(F.lit(1)), F.lit(0))
+        )
         .cast("long")
         .alias("mean_words_milli"),
         F.min("n_words").cast("long").alias("min_words"),
@@ -1864,7 +1866,7 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.sum((F.col("lang") == "en").cast("long"))
             * F.lit(1000000.0)
-            / F.count(F.lit(1))
+            / F.nullif(F.count(F.lit(1)), F.lit(0))
         )
         .cast("long")
         .alias("en_share_ppm"),
