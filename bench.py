@@ -82,9 +82,12 @@ def main() -> int:
         "sf": sf_val,
     }
     print(json.dumps(full))
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+    if not only:  # subset runs must not clobber the full-suite record
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(

@@ -173,6 +173,8 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "graph_pagerank_neardup",  # 1-row node-count scalar broadcast per round
     "kmv_join_cardinality",  # 1-row sketch-estimate scalar cross joins
     "pca_power_iteration",  # 1-row n / max|y| scalar broadcasts per round
+    "doc_bigram_interp_logprob",  # 1-row (n, v) corpus-totals scalar broadcast
+    "lsh_recall_contract",  # two 1-row count aggregates cross-joined
 }
 
 

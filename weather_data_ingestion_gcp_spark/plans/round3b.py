@@ -657,8 +657,14 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.sum("c").alias("inflow"))
         )
-        scores = (
-            nodes.crossJoin(F.broadcast(n_docs))
+        # persist per-round scores: without it the final plan nests every
+        # round's join chain (~2.4k-line tree, planning time dominates);
+        # the persisted relation is O(nodes) — executor-cached and
+        # spillable at any corpus size, never driver-side. The previous
+        # round's (cached) scores ARE the node set, so no per-round
+        # re-scan of the documents table is needed.
+        scores = dedup.cache_pairs_frame(
+            scores.select("doc_id", "n")
             .join(inflow, "doc_id", "left")
             .select(
                 "doc_id",

@@ -46,6 +46,12 @@ SCALE_CONFS: dict[str, str] = {
     # are cluster-scale numbers and deliberately left at their defaults —
     # tests that pin the injected plan shape lower them explicitly.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Let AQE re-plan (coalesce tiny shuffle partitions) when materializing
+    # CACHED plans too — off by default, which forces every persisted
+    # relation to keep full shuffle-partition fan-out; the iterative
+    # operators (PageRank/PCA rounds, CC) persist small per-round state and
+    # would otherwise schedule shuffle.partitions tasks per round.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
