@@ -1942,3 +1942,239 @@ def zorder_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup pairs: |A∩B| / |A| over shingle sets — the
+# ASYMMETRIC complement of Jaccard. A short document wholly quoted inside
+# a long one has tiny Jaccard (the union is dominated by the long doc)
+# but containment ≈ 1; quote-inclusion and boilerplate-wrapping dupes are
+# exactly what symmetric measures miss. Candidates ride the SAME banded
+# LSH equi-join as the Jaccard path (a contained doc shares its minhash
+# bands with its container with high probability); the verify step just
+# divides by |A| instead of the union. Emitted per ORDERED pair (small
+# side first), FLOOR'd ppm.
+# ---------------------------------------------------------------------------
+def _containment_oracle() -> str:
+    from .llm_ops import _SQL_SHINGLES3
+
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES3}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (SELECT id_a, id_b FROM ({ORACLE["dedup_minhash_lsh"]})),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(FLOOR(i.n_inter * 1000000.0
+                      / LEAST(na.n, nb.n)) AS BIGINT) AS containment_ppm,
+           CAST(LEAST(na.n, nb.n) AS BIGINT) AS small_size,
+           CAST(GREATEST(na.n, nb.n) AS BIGINT) AS large_size
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE i.n_inter * 1000000.0 / LEAST(na.n, nb.n) >= 800000
+    ORDER BY id_a, id_b
+    """
+
+
+@register("containment_near_dup", oracle=_containment_oracle())
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, "doc_id", "text", n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = dedup.cache_pairs_frame(
+        dedup.minhash_near_duplicates(
+            d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
+            threshold=0.5,
+        ).select("id_a", "id_b")
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    small = F.least(F.col("n_a"), F.col("n_b"))
+    cont = F.col("n_inter") * F.lit(1000000.0) / small
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cont >= 800000)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cont).cast("long").alias("containment_ppm"),
+            small.cast("long").alias("small_size"),
+            F.greatest(F.col("n_a"), F.col("n_b")).cast("long").alias("large_size"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust z-scores via median absolute deviation: per event type, the
+# exact median (rank-based, same integer-rank discipline as the winsorize
+# thresholds) and MAD = median(|x - median|); each value's robust score
+# is FLOOR'd milli-units of 0.6745·|x-med|/MAD. Medians of BIGINT cents
+# at integer ranks — no interpolation ulp exposure; only the final scale
+# chain is a shared IEEE expression. Per-type output keeps the report
+# small (value rows stay distributed).
+# ---------------------------------------------------------------------------
+@register(
+    "robust_mad_outlier_counts",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+    ),
+    med AS (
+        SELECT event_type, c AS median_cents FROM (
+            SELECT event_type, c,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM v)
+        WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT v.event_type, v.c, ABS(v.c - m.median_cents) AS ad,
+               m.median_cents
+        FROM v JOIN med m ON m.event_type = v.event_type
+    ),
+    mad AS (
+        SELECT event_type, ad AS mad_cents FROM (
+            SELECT event_type, ad,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev)
+        WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(MAX(d.median_cents) AS BIGINT) AS median_cents,
+           CAST(MAX(m.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN 6745e-4 * d.ad / NULLIF(m.mad_cents, 0) > 3e0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def robust_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import _cents
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", _cents().alias("c"))
+
+    def exact_median(df, col, out):
+        w_rank = Window.partitionBy("event_type").orderBy(col)
+        w_all = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w_rank))
+            .withColumn("n", F.count(F.lit(1)).over(w_all))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = exact_median(v, "c", "median_cents")
+    dev = v.join(med, "event_type").select(
+        "event_type",
+        "c",
+        F.abs(F.col("c") - F.col("median_cents")).alias("ad"),
+        "median_cents",
+    )
+    mad = exact_median(dev.select("event_type", F.col("ad").alias("c")), "c", "mad_cents")
+    score_gt3 = (
+        F.expr("6745e-4") * F.col("ad") / F.nullif(F.col("mad_cents"), F.lit(0))
+        > F.expr("3e0")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("median_cents").cast("long").alias("median_cents"),
+            F.max("mad_cents").cast("long").alias("mad_cents"),
+            F.sum(score_gt3.cast("long")).alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary): classic user
+# value-tiering — per user: days since last purchase, purchase count,
+# exact cents total, quintile scores via NTILE with the (value, user_id)
+# deterministic tiebreak, and the composite segment label. One user
+# aggregate + three small windows over the per-user relation.
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_user_segments",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(DATE '2024-02-01' - MAX(CAST(ts AS DATE)) AS BIGINT)
+                 AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+        FROM p
+    )
+    SELECT CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import _cents
+
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(datediff(DATE '2024-02-01', MAX(CAST(ts AS DATE))) AS BIGINT)").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(_cents()).cast("long").alias("monetary_cents"),
+        )
+    )
+    scored = p.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.col("user_id"))).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary_cents", "user_id")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("monetary_cents").cast("long").alias("segment_cents"),
+            F.min("user_id").cast("long").alias("sample_user"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
