@@ -2178,3 +2178,84 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations: INTERSECT ALL / EXCEPT ALL keep per-row
+# multiplicity (min / truncated difference of duplicate counts) — the
+# bag semantics reconciliation jobs need (e.g. "how many event rows per
+# user survive in both snapshots"), distinct from the set-semantics entry
+# (`set_operations`). Count-only output keeps the compare stable.
+# ---------------------------------------------------------------------------
+@register(
+    "set_operations_all",
+    oracle="""
+    SELECT 'clicks_intersect_all_views' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT ALL
+       SELECT user_id FROM events WHERE event_type = 'view')
+    UNION ALL
+    SELECT 'clicks_except_all_purchases' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       EXCEPT ALL
+       SELECT user_id FROM events WHERE event_type = 'purchase')
+    ORDER BY op
+    """,
+)
+def set_operations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id")
+    ia = clicks.intersectAll(views).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("clicks_intersect_all_views").alias("op"), F.col("n").cast("long")
+    )
+    ea = clicks.exceptAll(purchases).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("clicks_except_all_purchases").alias("op"), F.col("n").cast("long")
+    )
+    return ia.unionAll(ea).orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Higher-order-function breadth, part 2: EXISTS / FORALL predicates and
+# ZIP_WITH over the embedding arrays — the remaining JVM-side array
+# lambdas beyond transform/filter/aggregate (array_higher_order_breadth).
+# All comparisons are against exact float literals, so booleans and the
+# integer zip result hash-match.
+# ---------------------------------------------------------------------------
+@register(
+    "array_hof_breadth_2",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) = 64 AS right_dim,
+           list_has_any(list_transform(embedding, v -> v > 0.5), [TRUE])
+             AS any_gt_half,
+           NOT list_has_any(list_transform(embedding, v -> NOT (v > -1.0)), [TRUE])
+             AS all_gt_neg1,
+           CAST(list_sum(list_transform(
+               list_zip(embedding, list_reverse(embedding)),
+               p -> CASE WHEN CAST(p[1] AS DOUBLE) > CAST(p[2] AS DOUBLE)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_fwd_gt_rev
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def array_hof_breadth_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        (F.size(e) == 64).alias("right_dim"),
+        F.exists(e, lambda v: v > 0.5).alias("any_gt_half"),
+        F.forall(e, lambda v: v > -1.0).alias("all_gt_neg1"),
+        F.aggregate(
+            F.zip_with(
+                e,
+                F.reverse(e),
+                lambda a, b: F.when(
+                    a.cast("double") > b.cast("double"), F.lit(1)
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_fwd_gt_rev"),
+    ).orderBy("vec_id")
