@@ -2259,3 +2259,101 @@ def array_hof_breadth_2(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("n_fwd_gt_rev"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END PRETRAINING DATA BUILD — the whole curation pipeline as ONE
+# oracle-checked query: length gate -> near-dup clusters (minhash ->
+# connected components) -> keep the best member per cluster (most words,
+# doc_id tiebreak) -> leakage-safe 80/20 split hashed on the cluster id
+# -> token-budget shard packing within (split, source) -> per-shard
+# manifest. Every stage is an already-verified operator; this entry
+# proves they COMPOSE exactly (the oracle chains the recursive-CTE
+# closure, the hex-bucket split, and the running-sum pack verbatim).
+# Scale shape: the only corpus-wide shuffles are the dedup stages'
+# digest relations and one (split, source)-partitioned window; document
+# text never moves after tokenization.
+# ---------------------------------------------------------------------------
+def _pretrain_build_oracle() -> str:
+    from .datapipe import _sql_hex4_to_int
+
+    bucket = _sql_hex4_to_int("k.component")
+    return rf"""
+    SELECT split, source, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM (
+        SELECT k.doc_id, k.source, k.n_words,
+               CASE WHEN {bucket} % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+               COALESCE(SUM(k.n_words) OVER (
+                   PARTITION BY CASE WHEN {bucket} % 100 < 80
+                                     THEN 'train' ELSE 'test' END, k.source
+                   ORDER BY k.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // {_SHARD_TOKENS} AS shard
+        FROM (
+            SELECT g.doc_id, g.source, g.n_words, c.component,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                                      ORDER BY g.n_words DESC, g.doc_id) AS rn
+            FROM (
+                SELECT doc_id, source,
+                       len({_SQL_WORDS}) AS n_words
+                FROM documents
+                WHERE len({_SQL_WORDS}) >= 10
+            ) g
+            JOIN ({ORACLE["dedup_clusters"]}) c ON c.doc_id = g.doc_id
+        ) k
+        WHERE k.rn = 1
+    )
+    GROUP BY split, source, shard
+    ORDER BY split, source, shard
+    """
+
+
+@register("pretrain_data_build", oracle=_pretrain_build_oracle())
+def pretrain_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup, graph, sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.select(
+        "doc_id", "source", F.size(text.words(F.col("text"))).alias("n_words")
+    ).filter(F.col("n_words") >= 10)
+    pairs = dedup.cache_pairs_frame(
+        dedup.minhash_near_duplicates(
+            d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
+            threshold=0.5,
+        ).select("id_a", "id_b")
+    )
+    comp = graph.connected_components(d.select("doc_id"), pairs)
+    w_keep = Window.partitionBy("component").orderBy(
+        F.desc("n_words"), F.col("doc_id")
+    )
+    kept = (
+        gated.join(comp, "doc_id")
+        .withColumn("rn", F.row_number().over(w_keep))
+        .filter(F.col("rn") == 1)
+    )
+    split = F.when(
+        sampling.hash_bucket(F.col("component")) % 100 < 80, F.lit("train")
+    ).otherwise(F.lit("test"))
+    kept = kept.withColumn("split", split)
+    w_pack = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = kept.withColumn(
+        "cum_before", F.coalesce(F.sum("n_words").over(w_pack), F.lit(0))
+    ).withColumn("shard", F.expr(f"cum_before div {_SHARD_TOKENS}"))
+    return (
+        packed.groupBy("split", "source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("split", "source", "shard")
+    )
