@@ -2357,3 +2357,47 @@ def pretrain_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-anonymity audit: group sizes over the (event_type, day) quasi-
+# identifier — groups with fewer than k distinct users are re-
+# identification risks a release gate must flag (the privacy complement
+# of the PII scrubber). One hash aggregate on the quasi-identifier plus
+# a one-row summary; k = 5.
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY event_type, d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_groups,
+           CAST(SUM(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           CAST(MIN(n_users) AS BIGINT) AS min_group_users,
+           SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    risky = (F.col("n_users") < 5).cast("long")
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(risky).cast("long").alias("n_risky_groups"),
+        F.sum(F.when(F.col("n_users") < 5, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("n_users").cast("long").alias("min_group_users"),
+        (F.sum(risky) == 0).alias("k_anonymous"),
+    )
