@@ -2401,3 +2401,229 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_users").cast("long").alias("min_group_users"),
         (F.sum(risky) == 0).alias("k_anonymous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source syndication matrix: verified near-dup pairs rolled up by
+# (source_a, source_b) — which sources copy from each other, the signal
+# that reweights a crawl mix. One broadcast join of the (cached) pairs
+# against the doc->source map; unordered source pairs canonicalized
+# lexically so the matrix is upper-triangular.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_source_syndication",
+    oracle=f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({ORACLE["dedup_minhash_lsh"]})),
+    m AS (
+        SELECT LEAST(da.source, db.source) AS source_lo,
+               GREATEST(da.source, db.source) AS source_hi
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT source_lo, source_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM m GROUP BY source_lo, source_hi
+    ORDER BY source_lo, source_hi
+    """,
+)
+def dedup_source_syndication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.cache_pairs_frame(
+        dedup.minhash_near_duplicates(
+            d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
+            threshold=0.5,
+        ).select("id_a", "id_b")
+    )
+    src = d.select("doc_id", "source")
+    m = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+    )
+    return (
+        m.groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard-ESTIMATE accuracy contract: the fraction of agreeing
+# minhash components estimates Jaccard (E[match] = J per hash); this
+# entry computes the estimate AND the exact value per verified pair and
+# pins |estimate − exact| <= 0.375 (3/8 — with 8 hashes the estimate is
+# k/8-quantized, so 3 mismatched hashes of slack; the binomial bound at
+# J >= 0.5 makes larger deviations vanishingly rare and every SF has
+# been checked). All md5 arithmetic — the estimates THEMSELVES
+# hash-match, the sketch-accuracy claim is measured, not assumed.
+# ---------------------------------------------------------------------------
+def _minhash_estimate_oracle() -> str:
+    from .llm_ops import _SQL_SHINGLES3
+
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES3}),
+    sig AS (
+        SELECT doc_id, s.seed,
+               MIN(md5(shingle || '|' || CAST(s.seed AS VARCHAR))) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    pairs AS (SELECT id_a, id_b, jaccard FROM ({ORACLE["dedup_minhash_lsh"]})),
+    agree AS (
+        SELECT p.id_a, p.id_b, p.jaccard,
+               SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS n_agree
+        FROM pairs p
+        JOIN sig a ON a.doc_id = p.id_a
+        JOIN sig b ON b.doc_id = p.id_b AND b.seed = a.seed
+        GROUP BY p.id_a, p.id_b, p.jaccard
+    )
+    SELECT id_a, id_b,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           ROUND(n_agree / 8e0, 6) AS jaccard_est,
+           jaccard AS jaccard_exact,
+           ABS(n_agree / 8e0 - jaccard) <= 375e-3 AS within_bound
+    FROM agree ORDER BY id_a, id_b
+    """
+
+
+@register("minhash_estimate_contract", oracle=_minhash_estimate_oracle())
+def minhash_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, "doc_id", "text", n=3)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", "shingle", F.lit(str(s))))).alias(f"h{s}")
+        for s in range(8)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_exact"))
+    wa = wide.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(8)])
+    wb = wide.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(8)])
+    n_agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("long") for s in range(8)
+    )
+    est = F.col("n_agree") / F.expr("8e0")
+    return (
+        pairs.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("n_agree", n_agree)
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            F.round(est, 6).alias("jaccard_est"),
+            F.col("jaccard_exact").alias("jaccard_exact"),
+            (F.abs(est - F.col("jaccard_exact")) <= F.expr("375e-3")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train→test LM evaluation (leakage-aware): the unigram model is fit on
+# the 80% hash-split train docs ONLY, then scores the held-out 20% —
+# the evaluation-hygiene shape every data-quality model run needs
+# (doc_unigram_logprob fits on everything; this one cannot leak). OOV
+# test words take the add-one unseen mass (c = 0). Same nano-nat
+# quantization-before-sum discipline; the model relation is train-vocab
+# sized and joins by word (broadcast at test SF, shuffle join at scale).
+# ---------------------------------------------------------------------------
+def _split_lm_oracle() -> str:
+    from .datapipe import _sql_hex4_to_int
+
+    bucket = _sql_hex4_to_int("doc_id")
+    return rf"""
+    WITH wx AS (
+        SELECT doc_id,
+               CASE WHEN {bucket} % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ),
+    model AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wx
+        WHERE split = 'train' GROUP BY w
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        FROM wx WHERE split = 'train'
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CASE WHEN m.c IS NULL THEN 1 ELSE 0 END AS oov,
+               CAST(ROUND(-ln((COALESCE(m.c, 0) + 1e0) / (tot.n + tot.v))
+                          * 1000000000, 0) AS BIGINT) AS t_nano
+        FROM (SELECT doc_id, w FROM wx WHERE split = 'test') t
+        LEFT JOIN model m ON m.w = t.w
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(FLOOR(SUM(t_nano) / (COUNT(*) * 1000000.0)) AS BIGINT)
+             AS nll_avg_milli
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("lm_eval_train_test_split", oracle=_split_lm_oracle())
+def lm_eval_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    wx = d.select(
+        "doc_id",
+        F.when(sampling.hash_bucket(F.col("doc_id")) % 100 < 80, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        F.explode(text.words(F.col("text"))).alias("w"),
+    )
+    train = wx.filter(F.col("split") == "train")
+    model = train.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("w").cast("long").alias("v"),
+    )
+    t_nano = F.round(
+        -F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.expr("1e0"))
+            / (F.col("n") + F.col("v"))
+        )
+        * 1000000000,
+        0,
+    ).cast("long")
+    return (
+        wx.filter(F.col("split") == "test")
+        .join(F.broadcast(model), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("c").isNull().cast("long").alias("oov"),
+            t_nano.alias("t_nano"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            F.floor(F.sum("t_nano") / (F.count(F.lit(1)) * 1000000.0))
+            .cast("long")
+            .alias("nll_avg_milli"),
+        )
+        .orderBy("doc_id")
+    )
