@@ -175,6 +175,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "pca_power_iteration",  # 1-row n / max|y| scalar broadcasts per round
     "doc_bigram_interp_logprob",  # 1-row (n, v) corpus-totals scalar broadcast
     "lsh_recall_contract",  # two 1-row count aggregates cross-joined
+    "lm_eval_train_test_split",  # 1-row (n, v) train-totals scalar broadcast
 }
 
 
