@@ -2627,3 +2627,60 @@ def lm_eval_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top user-journey paths: each user-day's first three event types (by
+# (ts, event_id) — the deterministic tiebreak every ordering in this repo
+# uses) concatenated into a path string, rolled up to the most common
+# journeys. The path-analysis complement of the strict funnel
+# (funnel_view_click_purchase): the funnel asks "did V->C->P happen",
+# paths ask "what DID happen". One (user, day)-partitioned window + one
+# hash aggregate; top-20 via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "journey_top_paths",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id, d,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id, d
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days
+    FROM paths GROUP BY path
+    ORDER BY n_user_days DESC, path LIMIT 20
+    """,
+)
+def journey_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    r = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    # ordered concat without an ordered string_agg: sort (rn, type)
+    # structs per group, then join — JVM-side array lambdas
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+            lambda s: s.getField("event_type"),
+        ),
+        ">",
+    )
+    paths = r.groupBy("user_id", "d").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), "path")
+        .limit(20)
+    )
