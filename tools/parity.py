@@ -14,6 +14,9 @@ import time
 
 import duckdb
 
+sys.path.insert(0, "/root/repo")
+from weather_data_ingestion_gcp_spark.plans.registry import type_class  # noqa: E402
+
 
 def normalize_cell(v) -> str:
     import datetime
@@ -66,6 +69,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             failures.append(name)
@@ -75,12 +79,28 @@ def main() -> int:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
+            d_types = {
+                r[0]: r[1]
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            }
             rel = con.execute(oracles[name])
             d_cols = [d[0] for d in rel.description]
             d_rows = rel.fetchall()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(ex).__name__}: {ex}")
+            continue
+        # Type-exact check: the driver hashes Spark and DuckDB results
+        # independently, so a logical-type *class* mismatch (decimal128 vs
+        # int64) is a red row even with identical values. Mirror it here.
+        type_mismatch = [
+            (c, s_types[c], d_types[c])
+            for c in s_cols
+            if c in d_types and type_class(s_types[c]) != type_class(d_types[c])
+        ]
+        if type_mismatch:
+            failures.append(name)
+            print(f"FAIL  {name}: type-class mismatch (col, spark, duckdb): {type_mismatch}")
             continue
         sc, sr = rowset(s_cols, s_rows)
         dc, dr = rowset(d_cols, d_rows)

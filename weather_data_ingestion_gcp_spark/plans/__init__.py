@@ -15,78 +15,79 @@ from . import round3b  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50
-# registry entries each round, so ordering is evidence allocation: rounds 1-2
-# spent both windows on the reference-surface queries (green since round 1)
-# while the entire LLM-pipeline block sat past position 50, never receiving a
-# driver row. This window front-loads the never-checked block — dedup,
-# similarity/ANN, text analysis, sampling, multimodal, temporal joins, SCD2 —
-# plus sessionize_events to prove the round-3 integer-cents fix. The
-# remaining never-checked entries (TPC-H extras, breadth suites, sketches)
-# rotate into the window next round. Pinned by tests/test_registry_contract
-# so a new registration cannot silently evict driver coverage.
+# registry entries each round, so ordering is evidence allocation. Rotation
+# history: r1-r2 reference-surface queries (green), r3 the LLM-pipeline block
+# (49/50 green; sessionize_events red on a DuckDB-HUGEINT oracle type, fixed
+# this round). Round 4 window = the two never-green entries re-proven
+# (sessionize_events after the CAST-to-BIGINT oracle fix;
+# array_higher_order_breadth after the r01 driver-canonicalizer array fix)
+# plus 48 never-driver-checked entries: the four latent HUGEINT-oracle fixes
+# (source_unigram_kl, bpe_learn_merges, rolling_7d_user_value,
+# pretrain_data_build), all 13 unchecked TPC-H shapes, the function-breadth
+# suites, sketches, graph, and the round-3b text/similarity block. The 43
+# still-unchecked entries rotate in round 5. Pinned by
+# tests/test_registry_contract so a new registration cannot silently evict
+# driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
+    # never-green entries, re-proven after their fixes
     "sessionize_events",
-    # exact + near-duplicate detection
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_keep_best_quality",
-    "dedup_simhash_hamming",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    # decontamination + end-to-end curation
-    "decontaminate_ngram_exact",
-    "decontaminate_test_split",
-    "curation_pipeline_keep",
-    # similarity search / embeddings
-    "similarity_cosine_topk",
-    "similarity_ann_rp_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_kmeans",
-    "similarity_mmr_diverse",
-    "embedding_quantize_int8",
-    # lexical retrieval + text statistics
-    "bm25_lexical_topk",
-    "text_tfidf_top_terms",
-    "inverted_index_bigrams",
-    "text_winnow_fingerprints",
-    "word_pair_pmi",
-    "bpe_char_pair_counts",
-    # language ID / quality / tokenization
-    "text_langid_scores",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_entropy_quality",
-    "text_normalize_clean",
-    "html_strip_markup",
-    "url_extract_normalize",
-    "pii_scrub_counts",
-    "quality_percentile_gate",
-    "vocab_oov_rate",
-    "boilerplate_prefix_groups",
-    # chunking / packing
-    "chunk_documents_overlap",
-    "sequence_pack_offsets",
-    # sampling / dataset mixing
-    "sample_hash_bernoulli",
-    "sample_stratified_quota",
-    "sample_weighted_topk",
-    "train_test_split_stats",
-    "dataset_mix_by_lang",
-    # multimodal plumbing
-    "multimodal_decode_meta",
-    "multimodal_feature_extract",
-    "multimodal_frame_offsets",
-    # temporal joins + slowly-changing dimensions
-    "asof_join_clicks_views",
-    "interval_join_views_clicks",
-    "range_join_price_bands",
-    "scd2_customer_history",
+    "array_higher_order_breadth",
+    # latent HUGEINT-oracle fixes (same class as sessionize_events)
+    "source_unigram_kl",
+    "bpe_learn_merges",
+    "rolling_7d_user_value",
+    "pretrain_data_build",
+    # TPC-H shapes never driver-checked
+    "tpch_q2_max_acctbal_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_case_sum",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    # windows / set ops / function-breadth suites
+    "grouping_sets_priority",
+    "ordered_listagg_by_type",
+    "window_running_analytics",
+    "window_value_functions_breadth",
+    "set_operations_all",
+    "array_hof_breadth_2",
+    "map_function_breadth",
+    "try_cast_breadth",
+    "bitwise_function_breadth",
+    "conditional_null_breadth",
+    "regexp_function_breadth",
+    "json_function_breadth",
+    "stats_aggregate_breadth",
+    # sketches
+    "countmin_heavy_hitters",
+    "heavy_hitters_mg",
+    "kmv_join_cardinality",
+    # graph over the near-dup edge relation
+    "graph_pagerank_neardup",
+    "graph_triangle_counts",
+    # round-3b text / similarity block
+    "ppjoin_prefix_similarity",
+    "pca_power_iteration",
+    "bpe_apply_encode",
+    "winnow_overlap_pairs",
+    "containment_near_dup",
+    "passage_exact_dedup",
+    "passage_dedup_rewrite",
+    "embedding_outlier_scores",
+    "hard_negative_topk",
+    "dedup_semantic_prune",
+    "minhash_estimate_contract",
+    "lm_eval_train_test_split",
+    "dataset_card_summary",
 ]
-
 
 def _apply_driver_window() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -477,10 +477,10 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN persrc ps ON ps.source = st.source AND ps.w = cp.w
     )
     SELECT source, ns AS n_words,
-           SUM(CAST(ROUND(((cs + 1.0) / (ns + v))
+           CAST(SUM(CAST(ROUND(((cs + 1.0) / (ns + v))
                           * ln(((cs + 1.0) / (ns + v))
                                / ((c + 1.0) / (n + v))) * 1000000000, 0)
-                    AS BIGINT)) AS kl_nano
+                    AS BIGINT)) AS BIGINT) AS kl_nano
     FROM grid CROSS JOIN tot
     GROUP BY source, ns ORDER BY source
     """,
@@ -574,7 +574,7 @@ def _bpe_oracle(n_rounds: int) -> str:
     for r in range(1, n_rounds + 1):
         parts.append(
             f"""p{r} AS (
-        SELECT p.l AS l, p.r AS r, SUM(n) AS pair_count FROM (
+        SELECT p.l AS l, p.r AS r, CAST(SUM(n) AS BIGINT) AS pair_count FROM (
             SELECT n, unnest(list_transform(generate_series(1, len(t) - 1),
                              i -> {{'l': t[i], 'r': t[i + 1]}})) AS p
             FROM (SELECT n, string_split(trim(seq), ' ') AS t FROM w{r - 1})
@@ -897,11 +897,11 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
            ) / 100.0 AS rolling_7d_value,
-           SUM(n_events) OVER (
+           CAST(SUM(n_events) OVER (
                PARTITION BY user_id
                ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) AS rolling_7d_events
+           ) AS BIGINT) AS rolling_7d_events
     FROM daily ORDER BY user_id, day
     """,
 )

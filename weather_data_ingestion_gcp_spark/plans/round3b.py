@@ -2287,12 +2287,12 @@ def _pretrain_build_oracle() -> str:
     FROM (
         SELECT k.doc_id, k.source, k.n_words,
                CASE WHEN {bucket} % 100 < 80 THEN 'train' ELSE 'test' END AS split,
-               COALESCE(SUM(k.n_words) OVER (
+               CAST(COALESCE(SUM(k.n_words) OVER (
                    PARTITION BY CASE WHEN {bucket} % 100 < 80
                                      THEN 'train' ELSE 'test' END, k.source
                    ORDER BY k.doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 // {_SHARD_TOKENS} AS shard
+                 // {_SHARD_TOKENS} AS BIGINT) AS shard
         FROM (
             SELECT g.doc_id, g.source, g.n_words, c.component,
                    ROW_NUMBER() OVER (PARTITION BY c.component
