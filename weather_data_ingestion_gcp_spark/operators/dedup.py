@@ -276,18 +276,7 @@ def minhash_near_duplicates(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         _SHINGLE_CACHE.append(sh)
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", "shingle", F.lit(str(s))))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("_n_sh"))
-    stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
-    sig = wide.selectExpr(
-        "doc_id", f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"
-    )
-    sizes = wide.select("doc_id", F.col("_n_sh").alias("n"))
-    bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
-    pairs = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
+    wide = minhash_wide_signatures(sh, num_hashes=num_hashes)
     # NOTE: the verified-pairs output is deliberately NOT session-cached
     # here. An A/B at sf0.1 showed a global CacheManager entry for every
     # pairs plan slows the REST of the suite by ~15% (plan-matching
@@ -296,22 +285,74 @@ def minhash_near_duplicates(
     # relation several times in ONE plan (PageRank's per-round joins,
     # triangle counting's three-way self-join) persist the returned
     # frame themselves via cache_pairs_frame().
-    return verify_jaccard(pairs, sh, sizes=sizes).filter(
+    return verified_pairs_from_wide(
+        wide,
+        sh,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def minhash_wide_signatures(shingle_df: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """One wide aggregate per doc: the ``num_hashes`` minhash columns
+    ``h0..h{k-1}`` PLUS the per-doc shingle count ``_n_sh`` — the single
+    groupBy the whole MinHash pipeline hangs off. Consumers that need
+    both the LSH pairs AND the raw signature columns (the estimate
+    contract query) persist THIS frame and derive everything from it —
+    O(docs x num_hashes x 32B), far below corpus size, so persisting it
+    is safe at the 100 TB design point."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", "shingle", F.lit(str(s))))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return shingle_df.groupBy("doc_id").agg(
+        *aggs, F.count(F.lit(1)).alias("_n_sh")
+    )
+
+
+def verified_pairs_from_wide(
+    wide: DataFrame,
+    shingle_df: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs + exact-Jaccard verify, derived from an
+    existing ``minhash_wide_signatures`` frame (pass a persisted one to
+    compute the signature aggregate exactly once across multiple
+    consumers)."""
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    sig = wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"
+    )
+    sizes = wide.select("doc_id", F.col("_n_sh").alias("n"))
+    bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
+    pairs = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
+    return verify_jaccard(pairs, shingle_df, sizes=sizes).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist any sub-corpus-sized relation MEMORY_AND_DISK and register
+    the handle in the shingle-cache registry so
+    ``release_shingle_caches()`` frees it with everything else."""
+    from pyspark.storagelevel import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE.append(out)
+    return out
 
 
 def cache_pairs_frame(pairs: DataFrame) -> DataFrame:
     """Persist a verified-pairs relation for a consumer that scans it
     multiple times within one plan (graph analytics). The relation is
     O(near-duplicate pairs) — far below corpus size, safe at the 100 TB
-    design point. The handle joins the shingle-cache registry so
-    ``release_shingle_caches()`` frees it with everything else."""
-    from pyspark.storagelevel import StorageLevel
-
-    out = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    _SHINGLE_CACHE.append(out)
-    return out
+    design point."""
+    return persist_tracked(pairs)
 
 
 # ---------------------------------------------------------------------------

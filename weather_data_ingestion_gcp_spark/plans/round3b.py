@@ -2502,14 +2502,16 @@ def minhash_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(d, "doc_id", "text", n=3)
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", "shingle", F.lit(str(s))))).alias(f"h{s}")
-        for s in range(8)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    # ONE persisted signature aggregate feeds BOTH the LSH-pairs pipeline
+    # and the per-pair agreement columns (round 3 ran the identical
+    # groupBy twice — the suite's most expensive query at 9.5s/sf0.1).
+    # The shingle plan is canonically identical to the suite-wide shingle
+    # cache, so the CacheManager shares one tokenization across every
+    # dedup query; wide is O(docs x 8 x 32B), safe to persist at scale.
+    sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=3))
+    wide = dedup.persist_tracked(dedup.minhash_wide_signatures(sh, num_hashes=8))
+    pairs = dedup.verified_pairs_from_wide(
+        wide, sh, num_hashes=8, rows_per_band=2, threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_exact"))
     wa = wide.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(8)])
     wb = wide.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(8)])
