@@ -29,12 +29,21 @@ from pyspark.sql import functions as F
 
 from .operators.rollup import daily_rollup
 from .schemas import LOG_SCHEMA, WEATHER_SCHEMA
+from .sources.connectors import ParquetTableStorage, TableStorage
 
 
 class WeatherWarehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    """Jobs depend only on the ``TableStorage`` seam — the default is the
+    partitioned-parquet binding, and a BigQuery-backed implementation
+    (the reference's actual substrate, Load-gcs-to-bq/main.py:71-84)
+    slots in via the ``storage`` argument without touching this class
+    (see sources/connectors.py)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 storage: TableStorage | None = None):
         self.spark = spark
         self.root = root
+        self.storage = storage or ParquetTableStorage(spark, root)
         self.hourly_path = os.path.join(root, "hourly")
         self.daily_path = os.path.join(root, "daily")
         self.logs_path = os.path.join(root, "logs")
@@ -44,13 +53,13 @@ class WeatherWarehouse:
     def append_hourly(self, batch: DataFrame) -> None:
         """S8: append-load into the raw table (WRITE_APPEND,
         Load-gcs-to-bq/main.py:77), day-partitioned."""
-        batch.write.mode("append").partitionBy("dt").parquet(self.hourly_path)
+        self.storage.append(batch, "hourly", ["dt"])
 
     def read_hourly(self) -> DataFrame:
-        if not self._exists(self.hourly_path):
+        if not self.storage.exists("hourly"):
             return self.spark.createDataFrame([], WEATHER_SCHEMA)
         # dt is the partition column — Spark matches it by name in the schema
-        return self.spark.read.schema(WEATHER_SCHEMA).parquet(self.hourly_path)
+        return self.storage.read(self.spark, "hourly", schema=WEATHER_SCHEMA)
 
     # -- daily layer ----------------------------------------------------------
 
@@ -64,19 +73,15 @@ class WeatherWarehouse:
           partitions — the delete+insert upsert without a DELETE-capable
           format (sp_...update...sql:2-36).
         """
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         hourly = self.read_hourly()
-        if dates is not None and self._exists(self.daily_path):
+        if dates is not None and self.storage.exists("daily"):
             hourly = hourly.filter(F.col("dt").isin(list(dates)))
         out = daily_rollup(hourly).withColumn("part_month", F.trunc("dt", "month"))
-        (
-            out.write.mode("overwrite")
-            .partitionBy("part_month", "dt")  # dynamic overwrite: only written days replaced
-            .parquet(self.daily_path)
-        )
+        # dynamic overwrite: only the written (month, dt) days are replaced
+        self.storage.overwrite_partitions(out, "daily", ["part_month", "dt"])
 
     def read_daily(self) -> DataFrame:
-        return self.spark.read.parquet(self.daily_path).drop("part_month")
+        return self.storage.read(self.spark, "daily").drop("part_month")
 
     # -- retention ------------------------------------------------------------
 
@@ -90,16 +95,11 @@ class WeatherWarehouse:
         """
         today = today or dt.date.today()
         cutoff = today - dt.timedelta(days=retention_days)
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
         dropped = []
         hourly = self.read_hourly()
         old = [r.dt for r in hourly.select("dt").distinct().collect() if r.dt <= cutoff]
         for day in old:
-            p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.hourly_path, f"dt={day}"))
-            fs = p.getFileSystem(conf)
-            if fs.exists(p):
-                fs.delete(p, True)
+            if self.storage.drop_partition("hourly", f"dt={day}"):
                 dropped.append(str(day))
         return dropped
 
@@ -110,16 +110,10 @@ class WeatherWarehouse:
         partition in one pass: repartition by dt clusters each day into one
         task, dynamic partition overwrite swaps only the rewritten days —
         concurrent readers of other days are untouched."""
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         hourly = self.read_hourly()
         if dates is not None:
             hourly = hourly.filter(F.col("dt").isin(list(dates)))
-        (
-            hourly.repartition("dt")
-            .write.mode("overwrite")
-            .partitionBy("dt")
-            .parquet(self.hourly_path)
-        )
+        self.storage.overwrite_partitions(hourly.repartition("dt"), "hourly", ["dt"])
 
     # -- log sink ---------------------------------------------------------------
 
@@ -135,14 +129,12 @@ class WeatherWarehouse:
         )
         base.update(fields)
         row_df = self.spark.createDataFrame([Row(**base)], LOG_SCHEMA)
-        (
-            row_df.write.mode("append")
-            .partitionBy("log_type", "message_type")
-            .json(self.logs_path)
+        self.storage.append(
+            row_df, "logs", ["log_type", "message_type"], fmt="json"
         )
 
     def read_logs(self) -> DataFrame:
-        return self.spark.read.schema(LOG_SCHEMA).json(self.logs_path)
+        return self.storage.read(self.spark, "logs", schema=LOG_SCHEMA, fmt="json")
 
     # -- the load+transform entry point (main_gcs analog) ---------------------
 
@@ -188,10 +180,3 @@ class WeatherWarehouse:
         finally:
             batch.unpersist()
 
-    # -- helpers -----------------------------------------------------------------
-
-    def _exists(self, path: str) -> bool:
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(p))

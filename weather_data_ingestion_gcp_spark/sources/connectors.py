@@ -1,0 +1,162 @@
+"""Storage connector seam — the substrate the warehouse jobs write through.
+
+The reference talks to two managed substrates: a GCS bucket for landed
+NDJSON objects (Load-Data-From-API/main.py:145-152 ``upload_file_to_gcs``,
+bucket ensure at main.py:139-143) and BigQuery tables for the warehouse
+(Load-gcs-to-bq/main.py:71-84 ``client.load_table_from_uri`` +
+WRITE_APPEND). This engine replaces both with Spark-native equivalents —
+a directory the Structured-Streaming file source watches, and a
+partitioned parquet warehouse — but the replacement is ARCHITECTURAL,
+not hard-coded: jobs depend on the two small interfaces below, and the
+local-filesystem implementations are just the default bindings.
+
+Swapping substrates is a constructor argument:
+
+- **Object store**: any Hadoop-FS URI scheme works unchanged (``gs://``,
+  ``s3a://``, ``abfss://`` …) because ``ObjectStore`` deals in URIs and
+  the Spark file source/sink resolves the scheme through the Hadoop
+  connector on the classpath. ``LocalDirObjectStore`` binds it to a
+  plain directory for this sandbox.
+- **Table storage**: ``ParquetTableStorage`` implements the warehouse
+  contract (append, dynamic-partition overwrite, metadata-only partition
+  drop, existence probe) on parquet directories. A BigQuery binding
+  would implement the same five methods over the public
+  ``spark-bigquery-connector`` (``df.write.format("bigquery")
+  .option("table", …).mode("append")``; partition drop via a
+  ``DELETE WHERE _PARTITIONDATE = …`` passthrough) — the jobs layer
+  would not change. Not shipped here: no cloud in this environment, and
+  the connector jar is not on the classpath.
+"""
+
+from __future__ import annotations
+
+import abc
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ObjectStore(abc.ABC):
+    """Where landed files live. URI-oriented: implementations return
+    paths/URIs that Spark's readers resolve via Hadoop-FS."""
+
+    @abc.abstractmethod
+    def ensure(self) -> None:
+        """Create the bucket/container/directory if absent (the
+        reference's create-bucket-on-first-use, main.py:139-143)."""
+
+    @abc.abstractmethod
+    def uri(self, name: str = "") -> str:
+        """Absolute URI/path for an object name (empty = the root)."""
+
+    @abc.abstractmethod
+    def put(self, name: str, data: str) -> str:
+        """Atomically write one object (the reference's
+        ``blob.upload_from_filename``, main.py:145-152) and return its
+        URI. Atomic means a reader (the streaming file source) never
+        observes a partial object — native for real object stores,
+        tmp-file + rename for the local binding."""
+
+
+class LocalDirObjectStore(ObjectStore):
+    """Default binding: a local directory is the bucket."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def ensure(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+
+    def uri(self, name: str = "") -> str:
+        return os.path.join(self.root, name) if name else self.root
+
+    def put(self, name: str, data: str) -> str:
+        self.ensure()
+        path = self.uri(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.rename(tmp, path)  # readers never see partial files
+        return path
+
+
+class TableStorage(abc.ABC):
+    """The five storage operations the warehouse jobs need. Table names
+    are logical (``hourly``, ``daily``, ``logs``); implementations map
+    them to physical locations/datasets."""
+
+    @abc.abstractmethod
+    def exists(self, table: str) -> bool: ...
+
+    @abc.abstractmethod
+    def append(self, df: DataFrame, table: str, partition_by: list[str],
+               fmt: str = "parquet") -> None: ...
+
+    @abc.abstractmethod
+    def overwrite_partitions(self, df: DataFrame, table: str,
+                             partition_by: list[str]) -> None:
+        """Replace exactly the partitions present in ``df`` (the
+        delete+insert upsert of sp_...update...sql:2-36)."""
+
+    @abc.abstractmethod
+    def read(self, spark: SparkSession, table: str, schema=None,
+             fmt: str = "parquet") -> DataFrame: ...
+
+    @abc.abstractmethod
+    def drop_partition(self, table: str, spec: str) -> bool:
+        """Metadata-only drop of one partition (``dt=2024-01-01``);
+        returns whether it existed. The S13 retention DELETE."""
+
+
+class ParquetTableStorage(TableStorage):
+    """Default binding: one partitioned parquet (or json, for the log
+    sink) directory per table under a warehouse root."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path(table))
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str],
+               fmt: str = "parquet") -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format(fmt).save(self.path(table))
+
+    def overwrite_partitions(self, df: DataFrame, table: str,
+                             partition_by: list[str]) -> None:
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(self.path(table))
+        )
+
+    def read(self, spark: SparkSession, table: str, schema=None,
+             fmt: str = "parquet") -> DataFrame:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.format(fmt).load(self.path(table))
+
+    def drop_partition(self, table: str, spec: str) -> bool:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self.path(table), spec)
+        )
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+            return True
+        return False

@@ -24,12 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.clean import clean_weather
 from ..schemas import RAW_API_SCHEMA, WEATHER_SCHEMA
+from .connectors import LocalDirObjectStore, ObjectStore
 
 
 def write_landing_file(
     spark: SparkSession,
     cleaned: DataFrame,
-    landing_dir: str,
+    landing_dir: "str | ObjectStore",
     stamp: str | None = None,
 ) -> str:
     """Land a cleaned batch as ONE NDJSON file, named like the reference's
@@ -39,20 +40,23 @@ def write_landing_file(
     and gives the streaming file source its per-file exactly-once unit.
     (At 100 TB ingest this becomes one file per task via a normal
     ``df.write.json``; the single-file path is the low-rate API-poll shape.)
+
+    ``landing_dir`` may be an ``ObjectStore`` (the substrate seam — a
+    GCS/S3 binding lands the same object with the same atomicity
+    contract); a plain directory string binds the local default.
     """
-    os.makedirs(landing_dir, exist_ok=True)
+    store = (
+        landing_dir
+        if isinstance(landing_dir, ObjectStore)
+        else LocalDirObjectStore(landing_dir)
+    )
     stamp = stamp or time.strftime("%Y%m%d-%H:%M:%S")
     # the reference's names carry ":" (GCS-legal); Hadoop Path URIs reject
     # it, so the physical file uses a sanitized stamp
     stamp = stamp.replace(":", "")
     name = f"hourly-weather-data-json-{stamp}-{uuid.uuid4().hex[:8]}.json"
-    path = os.path.join(landing_dir, name)
     rows = cleaned.toJSON().collect()  # single observation batches: tiny
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("\n".join(rows) + ("\n" if rows else ""))
-    os.rename(tmp, path)  # atomic: the file source never sees partial files
-    return path
+    return store.put(name, "\n".join(rows) + ("\n" if rows else ""))
 
 
 def ingest_once(
