@@ -73,6 +73,9 @@ DRIVER_WINDOW = [
     # graph over the near-dup edge relation
     "graph_pagerank_neardup",
     "graph_triangle_counts",
+    # runs right after the graph block: shares its shingle + verified-pairs
+    # caches while they are hottest (in-suite cost is position-dependent)
+    "minhash_estimate_contract",
     # round-3b text / similarity block
     "ppjoin_prefix_similarity",
     "pca_power_iteration",
@@ -84,7 +87,6 @@ DRIVER_WINDOW = [
     "embedding_outlier_scores",
     "hard_negative_topk",
     "dedup_semantic_prune",
-    "minhash_estimate_contract",
     "lm_eval_train_test_split",
     "dataset_card_summary",
 ]
