@@ -716,3 +716,36 @@ def test_extract_urls_normalizes(spark):
     hosts = sorted(r.host for r in rows)
     assert hosts == ["a.org", "example.com"]
     assert all(r.doc_id == 1 for r in rows)
+
+
+def test_bloom_xl_no_false_negatives_and_prunes(spark):
+    """Packed-bitset bloom: every build key survives the prune (no false
+    negatives — the decontamination prefilter's correctness invariant),
+    non-members are mostly pruned, and bit-63 words (negative BIGINT
+    two's-complement) round-trip."""
+    from weather_data_ingestion_gcp_spark.operators import sketch
+
+    build = spark.range(3000).select(
+        F.concat(F.lit("gram-"), F.col("id")).alias("k")
+    )
+    words = sketch.bloom_bitset_words(build, "k")
+    assert len(words) == sketch.BLOOM_XL_M >> 6
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
+    probe = spark.range(10000).select(
+        F.col("id"), F.concat(F.lit("gram-"), F.col("id")).alias("k")
+    )
+    kept = sketch.bloom_xl_prune(probe, "k", words)
+    assert kept.filter(F.col("id") < 3000).count() == 3000
+    fp = kept.filter(F.col("id") >= 3000).count()
+    assert fp < 700, f"false-positive rate implausibly high: {fp}/7000"
+
+
+def test_bloom_xl_empty_build_prunes_everything(spark):
+    from weather_data_ingestion_gcp_spark.operators import sketch
+
+    build = spark.range(0).select(F.col("id").cast("string").alias("k"))
+    words = sketch.bloom_bitset_words(build, "k")
+    probe = spark.range(100).select(
+        F.col("id"), F.col("id").cast("string").alias("k")
+    )
+    assert sketch.bloom_xl_prune(probe, "k", words).count() == 0

@@ -465,3 +465,37 @@ def test_shard_packing_window_is_partitioned(spark):
     seg = body[body.index(win[0]):]
     head = seg[:1200]
     assert "partitionBy=[source" in head.replace(" ", "") or "hashpartitioning(source" in head.replace("Exchange ", "Exchange")
+
+
+def test_bloom_prefilter_prunes_before_join(spark):
+    """decontaminate_bloom_prefilter's whole point is WHERE the bloom
+    test sits: the shiftright bit-arithmetic filter must be evaluated on
+    the train-gram side BELOW the shingle equi-join (map-side prune —
+    the oracle can't see this, only the plan can), and the bitset must
+    ride a broadcast, never a shuffle."""
+    df = QUERIES["decontaminate_bloom_prefilter"](spark, SF)
+    plan = _plan(df)
+    assert "shiftright" in plan, "bloom bit test missing from the plan"
+    assert "CartesianProduct" not in plan
+    # the bitset is a 1-row broadcast relation
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in plan or "BroadcastExchange" in plan
+    # the bloom filter must appear BELOW the gram equi-join: find the
+    # first join over 'shingle' and assert a shiftright Filter occurs
+    # later in the operator listing (deeper in the tree = printed after)
+    lines = plan.splitlines()
+    join_at = min(
+        i for i, ln in enumerate(lines)
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+        or ("BroadcastHashJoin" in ln and "shingle" in ln)
+    )
+    bloom_at = max(i for i, ln in enumerate(lines) if "shiftright" in ln)
+    assert bloom_at > join_at, "bloom prune is not under the equi-join"
+
+
+def test_hll_contract_partial_aggregation(spark):
+    """approx_count_distinct must partial-aggregate (merge HLL registers
+    map-side) so the exchange carries fixed-size sketch buffers, not
+    user_id sets."""
+    df = QUERIES["hll_distinct_contract"](spark, SF)
+    plan = _plan(df)
+    assert "partial_approx_count_distinct" in plan

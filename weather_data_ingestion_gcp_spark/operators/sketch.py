@@ -185,3 +185,72 @@ def mg_heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
         .where(F.col("exact_count") * k > F.col("n_total"))
         .select(key_col, "exact_count", "n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# packed-bitset bloom (the broadcast map-side prefilter)
+# ---------------------------------------------------------------------------
+
+#: the prefilter bloom is wider than the 16-bit demo sketch above:
+#: m = 2^20 bits keeps the false-positive rate ~1% at ~100k build keys
+#: (kn/m = 0.38 -> (1 - e^-0.38)^4), and the packed bitset is m/64 longs
+#: = 128 KB — a bounded driver collect and broadcast no matter how large
+#: the build side grows. Positions come from four disjoint 5-hex-char
+#: (20-bit) md5 slices, same cross-engine portability contract as above.
+BLOOM_XL_K = 4
+BLOOM_XL_M = 1 << 20
+
+
+def bloom_xl_positions(key: Column) -> list[Column]:
+    fp = F.md5(key)
+    return [
+        F.conv(F.substring(fp, 5 * j + 1, 5), 16, 10).cast("long")
+        for j in range(BLOOM_XL_K)
+    ]
+
+
+def bloom_bitset_words(df: DataFrame, key_col: str) -> list[int]:
+    """Fold the build side's lit positions into a packed ``m/64``-long
+    bitset on the driver. The collect is O(m) = 128 KB, NOT O(build
+    keys): the distinct-positions aggregate collapses any build
+    cardinality to at most m rows first. No false negatives by
+    construction (identical md5 arithmetic on build and probe)."""
+    pos = (
+        df.select(
+            F.explode(F.array(*bloom_xl_positions(F.col(key_col)))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_XL_M >> 6)
+    for r in pos:
+        p = r["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    # Spark BIGINT is signed; bit 63 set means the Python int overflows
+    # the long range — re-encode two's-complement
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_xl_prune(
+    df: DataFrame, key_col: str, words: list[int], bits_col: str = "_bf"
+) -> DataFrame:
+    """Map-side prune: keep only rows whose key has ALL k bloom bits lit.
+
+    The bitset rides a 1-row broadcast (the scalar-broadcast pattern —
+    never a shuffle), and the membership test is pure codegen bit
+    arithmetic (array subscript + shiftright + mask) evaluated per row
+    before any downstream exchange: the pruned relation is what shuffles,
+    not the input."""
+    spark = df.sparkSession
+    bits = spark.createDataFrame([(words,)], f"{bits_col} array<bigint>")
+    out = df.crossJoin(F.broadcast(bits))
+    pcols = []
+    for j, pos in enumerate(bloom_xl_positions(F.col(key_col))):
+        out = out.withColumn(f"_bfp{j}", pos)
+        pcols.append(f"_bfp{j}")
+    cond = " AND ".join(
+        f"((shiftright(element_at({bits_col}, CAST({p} DIV 64 AS INT) + 1),"
+        f" CAST({p} % 64 AS INT)) & 1) = 1)"
+        for p in pcols
+    )
+    return out.filter(F.expr(cond)).drop(bits_col, *pcols)
