@@ -1083,8 +1083,15 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("c") * F.col("x")).alias("y"))
             .coalesce(1)
         )
-        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mabs"))
-        x = y.crossJoin(F.broadcast(mx)).select(
+        # renorm via a global window instead of a per-round scalar
+        # broadcast: y is ALWAYS d rows (dimension-sized, never
+        # data-sized), so the empty-frame window is bounded by design and
+        # saves one broadcast-exchange job per power round
+        from pyspark.sql.window import Window as _W
+
+        x = y.withColumn(
+            "mabs", F.max(F.abs(F.col("y"))).over(_W.partitionBy())
+        ).select(
             "j",
             (
                 F.when(F.col("y") < 0, F.lit(-1)).otherwise(F.lit(1))
