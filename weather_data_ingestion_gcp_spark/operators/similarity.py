@@ -598,12 +598,24 @@ def semantic_dedup_prune(
     vb = v.select(
         F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    dup = (
+    from .dedup import persist_tracked
+
+    # referenced 3x below (both partner sides + the dropped set); without
+    # a persist each reference re-runs the band join AND the Arrow cosine
+    # verify. The relation is O(verified near-dup pairs) — bounded far
+    # below corpus size, safe to persist at scale.
+    # verify with the JVM fold, not the Arrow UDF: band_bits=4 keeps the
+    # bucket space coarse (16/band), so the candidate set is large
+    # (~465k pairs at sf0.1 for 2k vectors) while dim is small — the
+    # Arrow round-trip of both vectors per pair dominates (measured 2x:
+    # 6.2s -> 3.0s at sf0.1). _dot is bitwise-equal by construction, so
+    # the oracle is unaffected.
+    dup = persist_tracked(
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .where(
             F.round(
-                dot_pandas(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             )
             >= tau
         )
