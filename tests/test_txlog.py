@@ -122,3 +122,54 @@ def test_warehouse_runs_on_txlog_binding(spark, tmp_path):
     with pytest.raises(Exception):
         # hourly table now empty: active file set is gone
         storage.table("hourly").read(spark).count()
+
+
+def test_idempotent_txn_append_survives_checkpoint(spark, tmp_path):
+    """The exactly-once contract: a replayed (app_id, batch_id) append is
+    a no-op, including after a checkpoint fold (the txn map rides the
+    checkpoint entry, Delta's setTransaction semantics)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(_df(spark, 10), txn=("q1", 0))
+    t.append(_df(spark, 10), txn=("q1", 0))  # replay — skipped
+    assert t.read(spark).count() == 10
+    t.checkpoint()
+    t.append(_df(spark, 10), txn=("q1", 0))  # replay after fold — skipped
+    assert t.read(spark).count() == 10
+    t.append(_df(spark, 7, offset=50), txn=("q1", 1))  # new batch lands
+    assert t.read(spark).count() == 17
+    assert t.committed_txns() == {"q1": 1}
+
+
+def test_streaming_foreach_batch_sink_exactly_once(spark, tmp_path):
+    """Drive a real file-source stream into the txlog table via the
+    foreachBatch appender, then re-invoke the appender with the last
+    batch (exactly what Structured Streaming does when restarting from a
+    checkpoint whose sink write never acknowledged) — the table must not
+    double-count."""
+    from weather_data_ingestion_gcp_spark.sources.landing import (
+        stream_landing,
+        write_landing_file,
+    )
+    from weather_data_ingestion_gcp_spark.sources.txlog import (
+        foreach_batch_appender,
+    )
+
+    landing = str(tmp_path / "landing")
+    df = spark.createDataFrame(hourly_rows(days=2), WEATHER_SCHEMA)
+    write_landing_file(spark, df, landing, stamp="20220701-23:00:05")
+
+    t = TxLogTable(str(tmp_path / "t"))
+    sink = foreach_batch_appender(t, "ingest-q")
+    q = (
+        stream_landing(spark, landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = t.read(spark).count()
+    assert n == df.count()
+    # post-crash replay of the already-committed batch
+    sink(spark.createDataFrame(hourly_rows(days=2), WEATHER_SCHEMA), 0)
+    assert t.read(spark).count() == n

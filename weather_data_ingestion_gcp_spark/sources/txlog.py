@@ -135,9 +135,26 @@ class TxLogTable:
                 rel.append(f"{stage}/{name}")
         return rel
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        """Append; ``txn=(app_id, txn_version)`` makes it IDEMPOTENT: a
+        commit carrying an (app_id, version) pair the log has already
+        recorded is skipped (Delta's txnAppId/txnVersion protocol) —
+        which is exactly what a foreachBatch streaming sink needs to be
+        exactly-once across batch replays after a crash: pass the
+        checkpointed batch_id as txn_version and a stable query name as
+        app_id."""
+        if txn is not None:
+            app, ver = txn
+            seen = self.committed_txns()
+            if seen.get(app, -1) >= ver:
+                # replayed batch — already in (streaming batch ids are
+                # monotonically increasing per query, Delta's assumption)
+                return self.version()
         files = self._write_data_files(df)
-        return self._try_commit({"op": "append", "add": files})
+        entry: dict = {"op": "append", "add": files}
+        if txn is not None:
+            entry["txn"] = [txn[0], txn[1]]
+        return self._try_commit(entry)
 
     def overwrite(self, df: DataFrame) -> int:
         snapshot = self.active_files()
@@ -174,11 +191,28 @@ class TxLogTable:
             }
         )
 
+    def committed_txns(self) -> dict[str, int]:
+        """app_id -> highest committed txn_version, surviving checkpoint
+        folds (Delta's setTransaction map)."""
+        txns: dict[str, int] = {}
+        for c in self.history():
+            if c.get("op") == "checkpoint":
+                txns.update(c.get("txns", {}))
+            t = c.get("txn")
+            if t:
+                txns[t[0]] = max(txns.get(t[0], -1), t[1])
+        return txns
+
     def checkpoint(self) -> int:
         """Fold the log into one snapshot entry so replay is O(1) from
-        here (Delta's parquet-checkpoint analog, JSON-simple)."""
+        here (Delta's parquet-checkpoint analog, JSON-simple). Carries
+        the txn map forward so idempotent appends survive the fold."""
         return self._try_commit(
-            {"op": "checkpoint", "files": self.active_files()}
+            {
+                "op": "checkpoint",
+                "files": self.active_files(),
+                "txns": self.committed_txns(),
+            }
         )
 
     def vacuum(self) -> list[str]:
@@ -213,6 +247,18 @@ class TxLogTable:
 
     def exists(self) -> bool:
         return self.version() >= 0
+
+
+def foreach_batch_appender(table: TxLogTable, app_id: str):
+    """An exactly-once foreachBatch sink: Structured Streaming replays
+    the last uncommitted batch after a crash, and the (app_id, batch_id)
+    txn key makes the replayed append a no-op — the Delta streaming-sink
+    recipe on the txlog table."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, txn=(app_id, int(batch_id)))
+
+    return _append
 
 
 class TxLogTableStorage:
