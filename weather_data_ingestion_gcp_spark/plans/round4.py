@@ -109,3 +109,147 @@ def hll_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15
         ).alias("within_bound"),
     ).orderBy("event_type")
+
+
+@register(
+    "dataset_mix_temperature",
+    oracle=r"""
+    WITH src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000, 0)
+                    AS BIGINT) AS q
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(q) AS BIGINT) AS qt FROM src)
+    SELECT source, n_docs,
+           ROUND(CAST(q AS DOUBLE) / qt, 6) AS mix_weight,
+           CAST((q * 1000000) // qt AS BIGINT) AS quota_ppm
+    FROM src CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-T5 / Pile
+    recipe at T=2): sampling weight proportional to n_docs^(1/2), so
+    small sources are up-weighted relative to proportional mixing
+    without dominating. sqrt is IEEE-correctly-rounded in both engines;
+    the per-source score quantizes to integer micro-units BEFORE the
+    total sum (the repo-wide exact-accumulation discipline), so the
+    normalization divides two exact BIGINTs and the hash can't drift
+    with accumulation order. quota_ppm floors the per-source share of a
+    million-document budget — what a mixing job actually consumes. The
+    1-row total rides a scalar broadcast; source cardinality is
+    dimension-sized at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn(
+        "q",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000000, 0).cast("long"),
+    )
+    tot = src.agg(F.sum("q").cast("long").alias("qt"))
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("q").cast("double") / F.col("qt"), 6).alias("mix_weight"),
+            F.expr("(q * 1000000) div qt").cast("long").alias("quota_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "packing_padding_efficiency",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    w -> w <> '')) AS BIGINT) AS n_words
+        FROM documents
+    ),
+    seq AS (
+        SELECT 'sequential' AS method, doc_id // 32 AS batch, n_words
+        FROM docs
+    ),
+    buck AS (
+        SELECT 'length_bucketed' AS method,
+               (n_words // 16) * 1000000
+                 + (ROW_NUMBER() OVER (PARTITION BY n_words // 16
+                                       ORDER BY doc_id) - 1) // 32 AS batch,
+               n_words
+        FROM docs
+    ),
+    unioned AS (SELECT * FROM seq UNION ALL SELECT * FROM buck),
+    per_batch AS (
+        SELECT method, batch, COUNT(*) AS n_docs, MAX(n_words) AS mx,
+               SUM(n_words) AS toks
+        FROM unioned GROUP BY method, batch
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(toks) AS BIGINT) AS real_tokens,
+           CAST(SUM(n_docs * mx - toks) AS BIGINT) AS padded_tokens,
+           CAST((SUM(toks) * 1000) // SUM(n_docs * mx) AS BIGINT)
+             AS utilization_milli
+    FROM per_batch GROUP BY method ORDER BY method
+    """,
+)
+def packing_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste of fixed-size training batches, sequential vs
+    length-bucketed: each batch pads every sequence to its max length,
+    so utilization = real/padded+real. Sequential batching groups by
+    arrival order (doc_id div 32 — deterministic, no sort); bucketed
+    batching first groups docs into n_words-div-16 length buckets and
+    batches WITHIN each bucket — the scale-safe form of sort-by-length
+    (per-bucket windows partition the work; there is never a global
+    sort, which is exactly how production batchers do it). All integer
+    arithmetic; the report is the two-row method comparison a pipeline
+    uses to justify bucketed batching."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
+        .cast("long")
+        .alias("n_words"),
+    )
+    seq = docs.select(
+        F.lit("sequential").alias("method"),
+        F.expr("doc_id div 32").alias("batch"),
+        "n_words",
+    )
+    w = Window.partitionBy(F.expr("n_words div 16")).orderBy("doc_id")
+    buck = docs.select(
+        F.lit("length_bucketed").alias("method"),
+        (
+            F.expr("(n_words div 16) * 1000000")
+            + F.expr("cast(row_number() over (partition by (n_words div 16) order by doc_id) - 1 as bigint) div 32")
+        ).alias("batch"),
+        "n_words",
+    )
+    per_batch = (
+        seq.unionAll(buck)
+        .groupBy("method", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_words").alias("mx"),
+            F.sum("n_words").alias("toks"),
+        )
+    )
+    return (
+        per_batch.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("toks").cast("long").alias("real_tokens"),
+            F.sum(F.col("n_docs") * F.col("mx") - F.col("toks"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.expr("(sum(toks) * 1000) div sum(n_docs * mx)")
+            .cast("long")
+            .alias("utilization_milli"),
+        )
+        .orderBy("method")
+    )
