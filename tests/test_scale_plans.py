@@ -177,6 +177,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "lsh_recall_contract",  # two 1-row count aggregates cross-joined
     "lm_eval_train_test_split",  # 1-row (n, v) train-totals scalar broadcast
     "decontaminate_bloom_prefilter",  # 1-row packed-bitset (128 KB) broadcast
+    "dataset_mix_temperature",  # 1-row quantized-total scalar broadcast
 }
 
 
