@@ -173,3 +173,29 @@ def test_streaming_foreach_batch_sink_exactly_once(spark, tmp_path):
     # post-crash replay of the already-committed batch
     sink(spark.createDataFrame(hourly_rows(days=2), WEATHER_SCHEMA), 0)
     assert t.read(spark).count() == n
+
+
+def test_merge_updates_matched_inserts_new_rewrites_only_touched(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(_df(spark, 10))                 # ids 0-9, files A
+    t.append(_df(spark, 10, offset=1000))    # ids 1000-1009, files B
+    src = spark.range(5, 15).select(F.col("id"), F.lit(99).alias("k"))
+    before = set(t.active_files())
+    v = t.merge(spark, src, on=["id"])
+    after = set(t.active_files())
+    # B untouched (no key overlap), A rewritten
+    assert before & after, "files without matches must carry forward"
+    out = t.read(spark)
+    assert out.count() == 25  # 10 + 10 - 5 replaced + 10 source
+    assert out.filter("id BETWEEN 5 AND 14 AND k = 99").count() == 10
+    assert out.filter("id < 5 AND k != 99").count() == 5
+    # single-commit atomicity: one version for the whole merge
+    assert t.history()[-1]["op"] == "merge" and t.version() == v
+    # time travel pre-merge
+    assert t.read(spark, version=v - 1).count() == 20
+
+
+def test_merge_into_empty_table_is_append(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.merge(spark, _df(spark, 7), on=["id"])
+    assert t.read(spark).count() == 7

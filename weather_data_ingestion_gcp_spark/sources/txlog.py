@@ -163,25 +163,44 @@ class TxLogTable:
             {"op": "overwrite", "add": files, "remove": snapshot}
         )
 
+    def _touched_files(self, matched: DataFrame) -> list[str]:
+        """Table-relative paths of the files containing ``matched`` rows
+        — ONE distributed job via input_file_name(), never a per-file
+        driver loop. The collect is bounded by the snapshot's file count."""
+        rows = (
+            matched.select(F.input_file_name().alias("f")).distinct().collect()
+        )
+        prefix = os.path.abspath(self.root) + os.sep
+        out = []
+        for r in rows:
+            p = r["f"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            p = os.path.abspath(p)
+            if p.startswith(prefix):
+                out.append(p[len(prefix):])
+        return sorted(out)
+
     def delete_where(self, spark: SparkSession, predicate: str) -> int:
         """Row-level DELETE: rewrite only the files that contain matching
-        rows. Per-file match detection is one filtered count over each
-        candidate file (parquet stats prune it to a footer read when the
-        predicate misses the file's min/max range); untouched files are
-        carried forward without rewrite."""
+        rows. Match detection is ONE job over the snapshot (predicate +
+        input_file_name, parquet stats pruning applies); untouched files
+        carry forward without rewrite."""
         snapshot = self.active_files()
-        touched, kept_new = [], []
-        for rel in snapshot:
-            full = os.path.join(self.root, rel)
-            part = spark.read.parquet(full)
-            if part.filter(predicate).limit(1).count() == 0:
-                continue  # file has no matching rows — untouched
-            touched.append(rel)
-            survivors = part.filter(f"NOT ({predicate})")
-            if survivors.limit(1).count() > 0:
-                kept_new.extend(self._write_data_files(survivors))
+        if not snapshot:
+            return self.version()
+        scan = self.read(spark)
+        touched = self._touched_files(scan.filter(predicate))
         if not touched:
             return self.version()  # no-op delete: nothing to commit
+        survivors = (
+            spark.read.parquet(
+                *(os.path.join(self.root, f) for f in touched)
+            ).filter(f"NOT ({predicate})")
+        )
+        kept_new = []
+        if survivors.limit(1).count() > 0:
+            kept_new = self._write_data_files(survivors)
         return self._try_commit(
             {
                 "op": "delete",
@@ -189,6 +208,32 @@ class TxLogTable:
                 "add": kept_new,
                 "remove": touched,
             }
+        )
+
+    def merge(self, spark: SparkSession, source: DataFrame,
+              on: list[str]) -> int:
+        """Row-level MERGE, source-as-truth semantics (WHEN MATCHED
+        UPDATE SET * / WHEN NOT MATCHED INSERT *): target rows whose
+        ``on`` keys appear in the source are replaced, everything else
+        in the source is inserted. Only the files containing matched
+        rows are rewritten (same input_file_name detection as DELETE);
+        the whole operation is one commit, so readers see the old or the
+        new table, never a half-merge."""
+        if not self.exists():
+            return self.append(source)
+        target = self.read(spark)
+        keys = source.select(*on).distinct()
+        matched = target.join(F.broadcast(keys), on, "left_semi")
+        touched = self._touched_files(matched)
+        add = self._write_data_files(source)
+        if touched:
+            survivors = spark.read.parquet(
+                *(os.path.join(self.root, f) for f in touched)
+            ).join(F.broadcast(keys), on, "left_anti")
+            if survivors.limit(1).count() > 0:
+                add = add + self._write_data_files(survivors)
+        return self._try_commit(
+            {"op": "merge", "on": on, "add": add, "remove": touched}
         )
 
     def committed_txns(self) -> dict[str, int]:
