@@ -153,3 +153,42 @@ def test_session_window_emits_closed_sessions(spark, tmp_path):
     # the 10:00 session (2 events merged by the 30-min gap) closed and emitted;
     # the 15:00 session is still open -> absent from append output
     assert got == {"2024-01-01 10:00:00": (3.0, 2)}
+
+
+def test_streaming_bloom_prune_is_stateless_mapside(spark, tmp_path):
+    """The broadcast-bloom prefilter composes with Structured Streaming
+    unchanged: bloom_xl_prune is a stateless map-side filter (bitset in
+    a broadcast, bit arithmetic per row), so pruning a stream of
+    incoming documents against a static corpus bloom needs no state
+    store and no watermark — the streaming twin of
+    decontaminate_bloom_prefilter's train-side prune."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from weather_data_ingestion_gcp_spark.operators import sketch
+
+    corpus = spark.range(500).select(
+        F.concat(F.lit("doc text "), F.col("id")).alias("text")
+    )
+    words = sketch.bloom_bitset_words(corpus, "text")
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    rows = [{"doc": f"doc text {i}"} for i in range(400, 600)]
+    (src_dir / "batch0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+    stream = spark.readStream.schema("doc string").json(str(src_dir))
+    pruned = sketch.bloom_xl_prune(stream, "doc", words)
+    q = (
+        pruned.writeStream.format("memory")
+        .queryName("bloom_pruned")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc"] for r in spark.sql("SELECT doc FROM bloom_pruned").collect()}
+    member = {f"doc text {i}" for i in range(400, 500)}
+    assert member <= got, "no false negatives on the stream"
+    assert len(got) <= 110, "non-members must be pruned map-side"

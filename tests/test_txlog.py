@@ -199,3 +199,17 @@ def test_merge_into_empty_table_is_append(spark, tmp_path):
     t = TxLogTable(str(tmp_path / "t"))
     t.merge(spark, _df(spark, 7), on=["id"])
     assert t.read(spark).count() == 7
+
+
+def test_schema_evolution_on_read(spark, tmp_path):
+    """Files added after a column was introduced coexist with old files:
+    the snapshot read merges schemas (missing columns null-fill), the
+    txlog analog of Delta's additive schema evolution."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.range(5).select("id"))
+    t.append(spark.range(5, 8).select("id", F.lit("en").alias("lang")))
+    out = spark.read.option("mergeSchema", "true").parquet(
+        *(os.path.join(t.root, f) for f in t.active_files())
+    )
+    assert set(out.columns) == {"id", "lang"}
+    assert out.filter("lang IS NULL").count() == 5
