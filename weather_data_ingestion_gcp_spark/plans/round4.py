@@ -1,12 +1,15 @@
-"""Round-4 additions: the broadcast-bloom decontamination prefilter and
-native-sketch accuracy contracts.
+"""Round-4 additions — training-data pipeline operators (the
+plans/llm_ops.py family):
 
-Both are scale-path operators for the training-data pipeline (the same
-family as plans/llm_ops.py): the bloom entry is the shape that survives
-100 TB — prune the big side map-side against a bounded broadcast bitset
-BEFORE any shuffle — and the HLL entry pins Spark's built-in
-approx_count_distinct against exact counts, the measured-not-assumed
-contract pattern of lsh_recall_contract / minhash_estimate_contract.
+- decontaminate_bloom_prefilter: the 100 TB shape — prune the big side
+  map-side against a bounded broadcast bitset BEFORE any shuffle.
+- hll_distinct_contract: Spark's built-in approx_count_distinct pinned
+  against exact counts (measured-not-assumed, the lsh_recall_contract
+  pattern).
+- dataset_mix_temperature: T=2 source mixing with exact integer
+  normalization.
+- packing_padding_efficiency: sequential vs length-bucketed batch
+  padding waste, per-bucket windows only.
 """
 
 from __future__ import annotations
