@@ -179,7 +179,9 @@ def test_merge_updates_matched_inserts_new_rewrites_only_touched(spark, tmp_path
     t = TxLogTable(str(tmp_path / "t"))
     t.append(_df(spark, 10))                 # ids 0-9, files A
     t.append(_df(spark, 10, offset=1000))    # ids 1000-1009, files B
-    src = spark.range(5, 15).select(F.col("id"), F.lit(99).alias("k"))
+    src = spark.range(5, 15).select(
+        F.col("id"), F.lit(99).cast("long").alias("k")
+    )
     before = set(t.active_files())
     v = t.merge(spark, src, on=["id"])
     after = set(t.active_files())
@@ -213,3 +215,18 @@ def test_schema_evolution_on_read(spark, tmp_path):
     )
     assert set(out.columns) == {"id", "lang"}
     assert out.filter("lang IS NULL").count() == 5
+
+
+def test_schema_type_conflict_rejected_at_write(spark, tmp_path):
+    """The exact bug class the guard exists for: a writer supplying an
+    INT where the table holds BIGINT would poison every later snapshot
+    read (parquet type mismatch at read time, far from the cause) — the
+    commit must be refused instead."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(_df(spark, 5))  # k: bigint
+    bad = spark.range(5).select(F.col("id"), F.lit(1).alias("k"))  # k: int
+    with pytest.raises(ValueError, match="schema type conflict"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="schema type conflict"):
+        t.merge(spark, bad, on=["id"])
+    assert t.read(spark).count() == 5  # table unharmed

@@ -122,6 +122,32 @@ class TxLogTable:
 
     # -- write path ---------------------------------------------------------
 
+    def table_schema(self) -> dict[str, str]:
+        """column -> type string of the latest committed schema (union of
+        additive evolution; empty if the table has no commits)."""
+        cols: dict[str, str] = {}
+        for c in self.history():
+            cols.update(c.get("schema", {}))
+        return cols
+
+    def _check_schema(self, df: DataFrame) -> dict[str, str]:
+        """Reject type CHANGES to existing columns (a mixed-type column
+        across data files breaks every subsequent snapshot read — the
+        failure surfaces at read time, far from the write that caused
+        it). New columns are fine: additive evolution, null-filled on
+        mergeSchema reads."""
+        new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        cur = self.table_schema()
+        conflicts = [
+            (c, cur[c], t) for c, t in new.items() if c in cur and cur[c] != t
+        ]
+        if conflicts:
+            raise ValueError(
+                "schema type conflict with committed table schema "
+                f"(col, table, incoming): {conflicts}"
+            )
+        return new
+
     def _write_data_files(self, df: DataFrame) -> list[str]:
         """Write df as new parquet files under a unique staging dir and
         return their table-relative paths. Staged files are invisible
@@ -150,17 +176,20 @@ class TxLogTable:
                 # replayed batch — already in (streaming batch ids are
                 # monotonically increasing per query, Delta's assumption)
                 return self.version()
+        schema = self._check_schema(df)
         files = self._write_data_files(df)
-        entry: dict = {"op": "append", "add": files}
+        entry: dict = {"op": "append", "add": files, "schema": schema}
         if txn is not None:
             entry["txn"] = [txn[0], txn[1]]
         return self._try_commit(entry)
 
     def overwrite(self, df: DataFrame) -> int:
         snapshot = self.active_files()
+        schema = self._check_schema(df)
         files = self._write_data_files(df)
         return self._try_commit(
-            {"op": "overwrite", "add": files, "remove": snapshot}
+            {"op": "overwrite", "add": files, "remove": snapshot,
+             "schema": schema}
         )
 
     def _touched_files(self, matched: DataFrame) -> list[str]:
@@ -221,6 +250,7 @@ class TxLogTable:
         new table, never a half-merge."""
         if not self.exists():
             return self.append(source)
+        schema = self._check_schema(source)
         target = self.read(spark)
         keys = source.select(*on).distinct()
         matched = target.join(F.broadcast(keys), on, "left_semi")
@@ -233,7 +263,8 @@ class TxLogTable:
             if survivors.limit(1).count() > 0:
                 add = add + self._write_data_files(survivors)
         return self._try_commit(
-            {"op": "merge", "on": on, "add": add, "remove": touched}
+            {"op": "merge", "on": on, "add": add, "remove": touched,
+             "schema": schema}
         )
 
     def committed_txns(self) -> dict[str, int]:
