@@ -230,3 +230,17 @@ def test_schema_type_conflict_rejected_at_write(spark, tmp_path):
     with pytest.raises(ValueError, match="schema type conflict"):
         t.merge(spark, bad, on=["id"])
     assert t.read(spark).count() == 5  # table unharmed
+
+
+def test_compact_bin_packs_atomically(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    for i in range(5):  # five appends -> many small files
+        t.append(_df(spark, 4, offset=i * 100))
+    assert len(t.active_files()) > 2
+    n = t.read(spark).count()
+    v = t.compact(spark, target_files=1)
+    assert len(t.active_files()) == 1
+    assert t.read(spark).count() == n
+    # pre-compaction version still readable (until vacuum)
+    assert t.read(spark, version=v - 1).count() == n
+    assert t.compact(spark, target_files=1) == v  # already compact: no-op

@@ -267,6 +267,23 @@ class TxLogTable:
              "schema": schema}
         )
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Bin-pack the snapshot into ``target_files`` files — the
+        small-file compaction every log-structured table needs (each
+        streaming batch appends its own files; a day of minutely batches
+        is 1440 footer reads per scan until compacted). One atomic
+        commit swaps the whole set; readers never see a half-compacted
+        table, and time travel to pre-compaction versions still works
+        until vacuum()."""
+        snapshot = self.active_files()
+        if len(snapshot) <= target_files:
+            return self.version()
+        df = self.read(spark).coalesce(target_files)
+        files = self._write_data_files(df)
+        return self._try_commit(
+            {"op": "compact", "add": files, "remove": snapshot}
+        )
+
     def committed_txns(self) -> dict[str, int]:
         """app_id -> highest committed txn_version, surviving checkpoint
         folds (Delta's setTransaction map)."""
