@@ -92,13 +92,38 @@ DRIVER_WINDOW = [
     "dataset_card_summary",
 ]
 
+#: Tail adjacency: cache-sharing queries registered in different modules
+#: otherwise end up ~60 suite positions apart, and the shared persisted
+#: relation (8-gram shingles etc.) gets churned by everything in between
+#: (measured: the bloom prefilter at the registry tail re-paid the full
+#: tokenization, 4.6s -> 13.2s in-suite). Each entry runs immediately
+#: AFTER its anchor so the shared cache is hottest. Ordering only — the
+#: driver window (first 50) is unaffected.
+RUN_AFTER = {
+    "decontaminate_bloom_prefilter": "decontaminate_ngram_exact",
+    "hll_distinct_contract": "approx_distinct_users",
+    "dataset_mix_temperature": "dataset_mix_by_lang",
+    "packing_padding_efficiency": "chunk_documents_overlap",
+}
+
+
 def _apply_driver_window() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
     if missing:
         raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
     window = set(DRIVER_WINDOW)
     front = {n: QUERIES[n] for n in DRIVER_WINDOW}
-    rest = {n: fn for n, fn in QUERIES.items() if n not in window}
+    moved = {n: a for n, a in RUN_AFTER.items() if n not in window}
+    rest_names = [
+        n for n in QUERIES if n not in window and n not in moved
+    ]
+    ordered: list[str] = []
+    for n in rest_names:
+        ordered.append(n)
+        ordered.extend(m for m, a in moved.items() if a == n)
+    # anchors inside the window (or missing): append at the tail
+    ordered.extend(m for m in moved if m not in ordered)
+    rest = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(front)
     QUERIES.update(rest)
