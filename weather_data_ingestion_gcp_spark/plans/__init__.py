@@ -104,6 +104,8 @@ RUN_AFTER = {
     "hll_distinct_contract": "approx_distinct_users",
     "dataset_mix_temperature": "dataset_mix_by_lang",
     "packing_padding_efficiency": "chunk_documents_overlap",
+    "neardup_cluster_stats": "dedup_minhash_lsh",
+    "dedup_shrinkage_by_source": "dedup_minhash_lsh",
 }
 
 

@@ -256,3 +256,100 @@ def packing_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+def _cluster_assign_oracle() -> str:
+    from .registry import ORACLE
+
+    # the dedup_clusters oracle (recursive-CTE transitive closure) as a
+    # subquery — same hyperparameters, so the assignment is shared
+    return ORACLE["dedup_clusters"]
+
+
+@register(
+    "neardup_cluster_stats",
+    oracle=f"""
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM ({_cluster_assign_oracle()})
+        GROUP BY component
+    )
+    GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-duplicate graph — the dedup
+    planning signal ("one 10k-doc boilerplate cluster" vs "5k pairs"):
+    how many clusters of each size, and how many documents they hold.
+    Reuses the verified-pairs chain (session-cached) + the same
+    connected-components operator dedup_clusters hash-checks, so the
+    histogram is exact, not sampled. Cluster count is corpus-bounded but
+    the histogram itself is tiny (distinct sizes)."""
+    from ..operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
+        threshold=0.5,
+    )
+    comp = graph.connected_components(
+        d.select("doc_id"), pairs.select("id_a", "id_b")
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "dedup_shrinkage_by_source",
+    oracle=f"""
+    WITH assign AS ({_cluster_assign_oracle()})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(d.text)) AS BIGINT) AS n_exact_unique,
+           CAST(SUM(CASE WHEN a.component = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neardup_kept
+    FROM documents d JOIN assign a ON a.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def dedup_shrinkage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup shrinkage forecast: raw docs, exact-unique docs
+    (distinct content fingerprints), and near-dup survivors (cluster
+    representatives — the component label IS the min doc_id by
+    construction, so kept == (component = doc_id)). The three columns
+    are the before/after counts a curation run reports per source; all
+    reuse relations other dedup queries already cache."""
+    from ..operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
+        threshold=0.5,
+    )
+    comp = graph.connected_components(
+        d.select("doc_id"), pairs.select("id_a", "id_b")
+    )
+    return (
+        d.join(comp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_exact_unique"),
+            F.sum(
+                (F.col("component") == F.col("doc_id")).cast("long")
+            ).cast("long").alias("n_neardup_kept"),
+        )
+        .orderBy("source")
+    )
