@@ -333,3 +333,33 @@ def test_txlog_matches_set_model_under_random_ops(spark, tmp_path_factory, ops):
             continue
         wv = sorted(i for i, c in m.items() for _ in range(c))
         assert read_ids(v) == wv, f"version {v} diverged from model"
+
+
+def test_concurrent_appenders_all_land(spark, tmp_path):
+    """Real threaded writers racing the O_EXCL arbiter: every append
+    lands exactly once under append_with_retry, version numbers are
+    dense, and the final table holds every writer's rows."""
+    import threading
+
+    t = TxLogTable(str(tmp_path / "t"))
+    errs = []
+
+    def writer(w):
+        try:
+            for i in range(3):
+                df = spark.createDataFrame(
+                    [(w * 100 + i, w)], "id long, k long"
+                )
+                t.append_with_retry(df)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.read(spark).count() == 12
+    vs = [c["version"] for c in t.history()]
+    assert vs == list(range(12)), "versions must be dense, none lost"

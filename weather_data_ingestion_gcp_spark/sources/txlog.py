@@ -161,6 +161,36 @@ class TxLogTable:
                 rel.append(f"{stage}/{name}")
         return rel
 
+    def append_with_retry(self, df: DataFrame,
+                          txn: tuple[str, int] | None = None,
+                          max_retries: int = 20) -> int:
+        """Concurrent-writer append: stage once, then race for a version
+        number, retrying on CommitConflict with a fresh snapshot read.
+        Appends never conflict semantically (no files removed), so the
+        retry is always safe — this is the loop every multi-writer
+        caller should use. DELETE/MERGE losers must instead re-read and
+        re-derive their file rewrites before retrying (their remove set
+        may be stale), which is why they surface CommitConflict raw."""
+        if txn is not None:
+            app, ver = txn
+            if self.committed_txns().get(app, -1) >= ver:
+                return self.version()
+        schema = self._check_schema(df)
+        files = self._write_data_files(df)
+        entry: dict = {"op": "append", "add": files, "schema": schema}
+        if txn is not None:
+            entry["txn"] = [txn[0], txn[1]]
+        for _ in range(max_retries):
+            try:
+                return self._try_commit(dict(entry))
+            except CommitConflict:
+                if txn is not None and (
+                    self.committed_txns().get(txn[0], -1) >= txn[1]
+                ):
+                    return self.version()  # another worker landed our txn
+                time.sleep(0.01)
+        raise CommitConflict(f"append lost {max_retries} version races")
+
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Append; ``txn=(app_id, txn_version)`` makes it IDEMPOTENT: a
         commit carrying an (app_id, version) pair the log has already
