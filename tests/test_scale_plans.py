@@ -178,6 +178,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "lm_eval_train_test_split",  # 1-row (n, v) train-totals scalar broadcast
     "decontaminate_bloom_prefilter",  # 1-row packed-bitset (128 KB) broadcast
     "dataset_mix_temperature",  # 1-row quantized-total scalar broadcast
+    "join_skew_profile",  # 1-row top10-total scalar broadcast
 }
 
 

@@ -353,3 +353,61 @@ def dedup_shrinkage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "join_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    top10 AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS t
+        FROM (SELECT c FROM counts ORDER BY c DESC, user_id LIMIT 10)
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           CAST((MAX(c) * 1000 * COUNT(*)) // SUM(c) AS BIGINT)
+             AS skew_factor_milli,
+           CAST(((SELECT t FROM top10) * 1000000) // SUM(c) AS BIGINT)
+             AS top10_share_ppm
+    FROM counts
+    """,
+)
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis for the events.user_id join/agg key — the
+    profile you run BEFORE choosing between a plain shuffle join, AQE
+    skew splitting, and explicit salting: total rows, distinct keys,
+    the heaviest key, skew factor (max/mean, milli-units) and the
+    top-10 keys' share (ppm). One keys-sized aggregate + a
+    TakeOrderedAndProject top-10 — no full sort, all integer-exact. At
+    100 TB the counts relation is keys-sized and the profile costs one
+    partial-aggregated scan."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top10 = (
+        counts.orderBy(F.col("c").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("c").cast("long").alias("t"))
+    )
+    return (
+        counts.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+            F.expr("(max(c) * 1000 * count(*)) div sum(c)")
+            .cast("long")
+            .alias("skew_factor_milli"),
+            F.sum("c").cast("long").alias("_n"),
+        )
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            "skew_factor_milli",
+            F.expr("(t * 1000000) div _n").cast("long").alias("top10_share_ppm"),
+        )
+    )
