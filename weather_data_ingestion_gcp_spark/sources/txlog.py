@@ -278,7 +278,10 @@ class TxLogTable:
         rows are rewritten (same input_file_name detection as DELETE);
         the whole operation is one commit, so readers see the old or the
         new table, never a half-merge."""
-        if not self.exists():
+        if not self.exists() or not self.active_files():
+            # no table, or a table whose rows were all deleted (the log
+            # exists but the active file set is empty — found by the
+            # model-based property test): nothing can match, pure insert
             return self.append(source)
         schema = self._check_schema(source)
         target = self.read(spark)
