@@ -25,8 +25,9 @@ from . import round4  # noqa: F401,E402
 # plus 48 never-driver-checked entries: the four latent HUGEINT-oracle fixes
 # (source_unigram_kl, bpe_learn_merges, rolling_7d_user_value,
 # pretrain_data_build), all 13 unchecked TPC-H shapes, the function-breadth
-# suites, sketches, graph, and the round-3b text/similarity block. The 43
-# still-unchecked entries rotate in round 5. Pinned by
+# suites, sketches, graph, and the round-3b text/similarity block. The 50
+# still-unchecked entries (43 from round 3 + the 7 round-4 additions)
+# rotate in round 5 — exact list in COVERAGE.md. Pinned by
 # tests/test_registry_contract so a new registration cannot silently evict
 # driver coverage.
 # ---------------------------------------------------------------------------
