@@ -749,3 +749,22 @@ def test_bloom_xl_empty_build_prunes_everything(spark):
         F.col("id"), F.col("id").cast("string").alias("k")
     )
     assert sketch.bloom_xl_prune(probe, "k", words).count() == 0
+
+
+def test_wav_header_parse_roundtrip(spark):
+    """Audio container metadata: deterministic WAVE payloads parse back
+    to their construction parameters; corrupt bytes quarantine as
+    format='error' rows instead of failing the Arrow batch."""
+    from weather_data_ingestion_gcp_spark.operators import multimodal as mm
+
+    rows = [(i, mm.make_wav_payload(i)) for i in range(6)]
+    rows.append((99, b"not a wav at all"))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mm.audio_metadata(media).collect()}
+    for i in range(6):
+        r = out[i]
+        assert (r["sample_rate"], r["channels"], r["bits_per_sample"]) == (16000, 1, 16)
+        assert r["n_samples"] == 100 + (i % 50)
+        assert r["duration_ms"] == ((100 + (i % 50)) * 1000) // 16000
+        assert r["format"] == "wav"
+    assert out[99]["format"] == "error" and out[99]["sample_rate"] is None

@@ -220,3 +220,95 @@ def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("byte_len") - 1, F.lit(0)), F.lit(every_n_bytes))
         ).alias("frame_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio containers — same pure-bytes discipline as the image parsers
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, sample_rate int, channels int, "
+    "bits_per_sample int, n_samples bigint, duration_ms bigint, format string"
+)
+
+
+def _parse_wav_header(p: bytes) -> tuple[int, int, int, int, int, str]:
+    """(sample_rate, channels, bits, n_samples, duration_ms, format) from
+    real RIFF/WAVE bytes, per the public WAVE spec: 'RIFF' + size +
+    'WAVE', then a chunk walk — 'fmt ' carries channels/rate/bits at
+    fixed little-endian offsets, 'data''s size gives the sample count.
+    Chunk sizes pad to even offsets (RIFF rule). Raises ValueError on
+    anything else — corrupt media surfaces per-row, as with images."""
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    i = 12
+    fmt = None
+    data_len = None
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        size = struct.unpack("<I", p[i + 4 : i + 8])[0]
+        body = p[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = struct.unpack("<H", body[2:4])[0]
+            rate = struct.unpack("<I", body[4:8])[0]
+            bits = struct.unpack("<H", body[14:16])[0]
+            fmt = (rate, channels, bits)
+        elif cid == b"data":
+            data_len = size
+        i += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data_len is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    rate, channels, bits = fmt
+    if rate <= 0 or channels <= 0 or bits <= 0:
+        raise ValueError("wav: degenerate fmt chunk")
+    n_samples = data_len // (channels * max(1, bits // 8))
+    duration_ms = (n_samples * 1000) // rate
+    return rate, channels, bits, n_samples, duration_ms, "wav"
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Per-payload audio container metadata over Arrow batches — the
+    audio member of the decode family (images: decode_metadata). Bad
+    payloads yield nulled metadata rows with format='error' rather than
+    failing the batch (quarantine-not-crash, like the pipeline's
+    corrupt-NDJSON handling)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    rate, ch, bits, n, ms, fmt = _parse_wav_header(b)
+                    out.append((doc_id, len(b), rate, ch, bits, n, ms, fmt))
+                except ValueError:
+                    out.append(
+                        (doc_id, len(b), None, None, None, None, None, "error")
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "byte_len", "sample_rate", "channels",
+                    "bits_per_sample", "n_samples", "duration_ms", "format",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, AUDIO_META_SCHEMA
+    )
+
+
+def make_wav_payload(
+    doc_id: int, rate: int = 16000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Deterministic valid WAVE bytes for tests/fixtures: a doc_id-seeded
+    sample count so every payload differs but reproducibly."""
+    n = 100 + (doc_id % 50)
+    data = bytes((doc_id + i) % 256 for i in range(n * channels * (bits // 8)))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * channels * (bits // 8), channels * (bits // 8), bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
