@@ -57,6 +57,78 @@ def test_row_level_delete_rewrites_only_touched_files(spark, tmp_path):
     assert t.read(spark, version=v - 1).count() == 60
 
 
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: remove rows where the predicate is TRUE —
+    not rows where it is NULL. A NULL-dt row sharing a data file with a
+    dropped date must survive the rewrite (NOT(NULL)=NULL would
+    otherwise filter it out of the survivor set)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, None)],
+        "id bigint, dt string",
+    ).coalesce(1)  # one file: matching + NULL-evaluating rows together
+    t.append(df)
+    t.delete_where(spark, "dt = '2024-01-01'")
+    remaining = {r["id"] for r in t.read(spark).collect()}
+    assert remaining == {2, 3}, "NULL-predicate row must not be deleted"
+
+
+def test_overwrite_partitions_handles_backslash_values(spark, tmp_path):
+    """Partition values containing backslashes (even trailing ones) must
+    produce a valid delete predicate — Spark SQL string literals treat
+    backslash as an escape character."""
+    storage = TxLogTableStorage(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a\\"), (2, "b\\'x")], "id bigint, k string"
+    )
+    storage.append(df, "t", ["k"])
+    # replace partition "a\" with a new row; "b\'x" must be untouched
+    df2 = spark.createDataFrame([(10, "a\\")], "id bigint, k string")
+    storage.overwrite_partitions(df2, "t", ["k"])
+    rows = {(r["id"], r["k"]) for r in storage.read(spark, "t").collect()}
+    assert rows == {(10, "a\\"), (2, "b\\'x")}
+
+
+def test_replace_where_is_one_atomic_commit(spark, tmp_path):
+    """overwrite_partitions lands as ONE commit (Delta's replaceWhere):
+    every historical version shows either the old rows or the new rows
+    for the replaced key — never a version with the partition missing."""
+    t = TxLogTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id bigint, k string"
+    ).coalesce(1)
+    t.append(df)
+    v_before = t.version()
+    new = spark.createDataFrame([(10, "x")], "id bigint, k string")
+    v_after = t.replace_where(spark, "k <=> 'x'", new)
+    assert v_after == v_before + 1, "replace_where must be a single commit"
+    assert [c["op"] for c in t.history()][-1] == "replace_where"
+    rows = {(r["id"], r["k"]) for r in t.read(spark).collect()}
+    assert rows == {(10, "x"), (2, "y")}
+    # every readable version contains k='x' rows — no half-state window
+    for v in range(t.version() + 1):
+        ks = {r["k"] for r in t.read(spark, version=v).collect()}
+        assert "x" in ks and "y" in ks
+
+
+def test_crashed_writer_leaves_no_torn_commit(spark, tmp_path):
+    """Crash-recovery: commit bodies are staged to a tmp file and
+    published with an atomic link, so a writer that dies mid-commit
+    leaves only an ignorable tmp file — snapshot reads and later
+    commits are unaffected (snapshot isolation holds)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(_df(spark, 10))
+    # simulate a writer that crashed after staging its commit body but
+    # before publishing: a tmp file (possibly truncated JSON) in _log
+    with open(os.path.join(t.log_dir, "tmp-deadbeef"), "w") as f:
+        f.write('{"version": 1, "op": "app')  # torn
+    assert t.version() == 0  # replay ignores non-version files
+    assert t.read(spark).count() == 10
+    v = t.append(_df(spark, 5, offset=100))  # next commit lands normally
+    assert v == 1
+    assert t.read(spark).count() == 15
+
+
 def test_delete_no_match_is_noop_commit(spark, tmp_path):
     t = TxLogTable(str(tmp_path / "t"))
     t.append(_df(spark, 10))
@@ -93,11 +165,31 @@ def test_checkpoint_and_vacuum(spark, tmp_path):
     t.delete_where(spark, "id < 5")
     t.checkpoint()
     n_before = t.read(spark).count()
-    removed = t.vacuum()
+    # default retention (7 days): freshly rewritten-away files are
+    # younger than the window, so nothing is deleted — the guard that
+    # protects files a concurrent writer has staged but not committed
+    assert t.vacuum() == []
+    removed = t.vacuum(retention_seconds=0)
     assert removed, "the rewritten-away files should be vacuumed"
     assert t.read(spark).count() == n_before  # live data intact
     # active set replays identically from the checkpoint entry
     assert t.read(spark).filter("id < 5").count() == 0
+
+
+def test_vacuum_retention_spares_staged_uncommitted_files(spark, tmp_path):
+    """The interleaving vacuum's retention window exists for: a writer
+    stages data files BEFORE committing (write-then-publish), so staged
+    files are unreferenced at vacuum time; deleting them would corrupt
+    the commit that is about to land."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(_df(spark, 10))
+    staged = t._write_data_files(_df(spark, 5, offset=100))  # not committed
+    assert t.vacuum() == []  # default retention: staged files survive
+    for rel in staged:
+        assert os.path.exists(os.path.join(t.root, rel))
+    # the in-flight writer can still land its commit on the staged files
+    t._try_commit({"op": "append", "add": staged})
+    assert t.read(spark).count() == 15
 
 
 def test_warehouse_runs_on_txlog_binding(spark, tmp_path):
@@ -119,9 +211,19 @@ def test_warehouse_runs_on_txlog_binding(spark, tmp_path):
         retention_days=0, today=days[-1] + dt.timedelta(days=1)
     )
     assert sorted(dropped) == [str(d) for d in days]
-    with pytest.raises(Exception):
-        # hourly table now empty: active file set is gone
+    # hourly table now empty (active file set gone): the seam read
+    # behaves like the parquet binding — an empty schema-typed frame,
+    # so jobs code runs identically on both bindings
+    empty = wh.read_hourly()
+    assert empty.count() == 0
+    assert empty.schema == WEATHER_SCHEMA
+    # the raw table API (no schema to synthesize from) still raises
+    with pytest.raises(FileNotFoundError):
         storage.table("hourly").read(spark).count()
+    # and a schema-less seam read reconstructs types from the log
+    seam_empty = storage.read(spark, "hourly")
+    assert seam_empty.count() == 0
+    assert set(seam_empty.columns) == set(empty.columns)
 
 
 def test_idempotent_txn_append_survives_checkpoint(spark, tmp_path):

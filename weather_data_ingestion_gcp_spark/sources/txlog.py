@@ -60,7 +60,11 @@ def _sql_lit(v) -> str:
         return f"DATE '{v}'"
     if isinstance(v, (int, float)):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # backslash must be escaped FIRST (Spark SQL string literals treat \
+    # as an escape by default; a trailing backslash would otherwise turn
+    # the closing quote into \' and re-open the literal)
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return "'" + s + "'"
 
 
 class TxLogTable:
@@ -92,18 +96,29 @@ class TxLogTable:
             return json.load(f)
 
     def _try_commit(self, entry: dict) -> int:
-        """Atomically publish the next version. O_EXCL creation is the
-        arbiter: exactly one writer wins a version number."""
+        """Atomically publish the next version. The commit body is fully
+        written to a private tmp file FIRST; ``os.link`` onto the version
+        path is the arbiter (it fails with EEXIST if another writer won,
+        and it is atomic — a crash at any point leaves either no commit
+        or a complete one, never a torn JSON that would poison every
+        subsequent log replay). Orphaned tmp files from crashed writers
+        are invisible: ``_versions`` only matches 10-digit ``.json``
+        names."""
         os.makedirs(self.log_dir, exist_ok=True)
         v = self.version() + 1
         path = os.path.join(self.log_dir, f"{v:010d}.json")
         entry = {"version": v, "ts": time.time(), **entry}
+        tmp = os.path.join(self.log_dir, f"tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError as exc:
             raise CommitConflict(f"version {v} already committed") from exc
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
+        finally:
+            os.unlink(tmp)
         return v
 
     def active_files(self, version: int | None = None) -> list[str]:
@@ -255,7 +270,12 @@ class TxLogTable:
         survivors = (
             spark.read.parquet(
                 *(os.path.join(self.root, f) for f in touched)
-            ).filter(f"NOT ({predicate})")
+            )
+            # SQL DELETE semantics: remove only rows where the predicate
+            # is TRUE. NOT(NULL) is NULL (filtered out), so a bare
+            # NOT(pred) would silently delete NULL-evaluating rows that
+            # share a file with true matches.
+            .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         )
         kept_new = []
         if survivors.limit(1).count() > 0:
@@ -300,6 +320,42 @@ class TxLogTable:
              "schema": schema}
         )
 
+    def replace_where(self, spark: SparkSession, predicate: str,
+                      df: DataFrame) -> int:
+        """Atomic delete-matching-rows + insert-df as ONE commit
+        (Delta's ``replaceWhere``). A reader always sees the old or the
+        new table — never a window where the replaced rows are missing —
+        and a crash mid-operation leaves the old table intact, because
+        staged files are invisible until the single commit publishes
+        them. Same file-grained rewrite as delete_where: only files
+        containing matching rows are rewritten."""
+        schema = self._check_schema(df)
+        add = self._write_data_files(df)
+        touched: list[str] = []
+        if self.active_files():
+            scan = self.read(spark)
+            touched = self._touched_files(scan.filter(predicate))
+            if touched:
+                survivors = (
+                    spark.read.parquet(
+                        *(os.path.join(self.root, f) for f in touched)
+                    )
+                    # keep rows where the predicate is not TRUE (SQL
+                    # DELETE semantics; see delete_where)
+                    .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+                )
+                if survivors.limit(1).count() > 0:
+                    add = add + self._write_data_files(survivors)
+        return self._try_commit(
+            {
+                "op": "replace_where",
+                "predicate": predicate,
+                "add": add,
+                "remove": touched,
+                "schema": schema,
+            }
+        )
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Bin-pack the snapshot into ``target_files`` files — the
         small-file compaction every log-structured table needs (each
@@ -341,10 +397,25 @@ class TxLogTable:
             }
         )
 
-    def vacuum(self) -> list[str]:
-        """Delete data files no longer referenced by the LATEST version.
-        (Time travel before the current version dies with them — run on
-        retention cadence, like Delta's VACUUM.)"""
+    #: Default vacuum retention: 7 days, mirroring Delta's default. The
+    #: guard is what makes vacuum safe to run next to live writers: a
+    #: concurrent writer stages files BEFORE committing (write-then-
+    #: publish), so a freshly staged file is by definition unreferenced —
+    #: deleting it would corrupt the in-flight commit that is about to
+    #: reference it. Age-gating on mtime excludes anything recent enough
+    #: to belong to an in-flight writer (and preserves recent time travel).
+    VACUUM_RETENTION_SECONDS = 7 * 24 * 3600
+
+    def vacuum(self, retention_seconds: float | None = None) -> list[str]:
+        """Delete data files no longer referenced by the LATEST version
+        AND older than the retention window (mtime-based). Time travel
+        to versions whose files age out dies with them — run on
+        retention cadence, like Delta's VACUUM. Pass
+        ``retention_seconds=0`` only when no writer can be in flight
+        (tests, single-writer maintenance windows)."""
+        if retention_seconds is None:
+            retention_seconds = self.VACUUM_RETENTION_SECONDS
+        cutoff = time.time() - retention_seconds
         live = set(self.active_files())
         removed = []
         for entry in os.listdir(self.root):
@@ -353,8 +424,13 @@ class TxLogTable:
                 continue
             for name in os.listdir(full):
                 rel = f"{entry}/{name}"
-                if name.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(self.root, rel))
+                path = os.path.join(self.root, rel)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in live
+                    and os.path.getmtime(path) <= cutoff
+                ):
+                    os.remove(path)
                     removed.append(rel)
             if not os.listdir(full):
                 os.rmdir(full)
@@ -414,10 +490,12 @@ class TxLogTableStorage:
         if not t.exists():
             t.append(df)
             return
-        # delete+insert at row grain: remove the partitions present in
-        # df, then append the replacement rows — one commit each, same
-        # net semantics as dynamic partition overwrite. The key-list
-        # collect is bounded: distinct partition tuples in the batch.
+        # replace-where at row grain, ONE commit: the partitions present
+        # in df are deleted and the replacement rows inserted atomically
+        # (same net semantics as dynamic partition overwrite; readers
+        # never observe the partitions missing, and a crash leaves the
+        # old table — the guarantee merge() gives). The key-list collect
+        # is bounded: distinct partition tuples in the batch.
         keys = df.select(*partition_by).distinct().collect()
         pred = " OR ".join(
             "(" + " AND ".join(
@@ -426,12 +504,25 @@ class TxLogTableStorage:
             for r in keys
         )
         if pred:
-            t.delete_where(self.spark, pred)
-        t.append(df)
+            t.replace_where(self.spark, pred, df)
+        else:
+            t.append(df)
 
     def read(self, spark: SparkSession, table: str, schema=None,
              fmt: str = "parquet") -> DataFrame:
-        return self.table(table).read(spark)
+        t = self.table(table)
+        if t.exists() and not t.active_files():
+            # all rows deleted (e.g. full retention cleanup): behave like
+            # the parquet binding — an empty, schema-typed DataFrame, not
+            # a FileNotFoundError. The committed schema survives in the
+            # log even when no data files do.
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            cols = t.table_schema()
+            if cols:
+                ddl = ", ".join(f"`{c}` {typ}" for c, typ in cols.items())
+                return spark.createDataFrame([], ddl)
+        return t.read(spark)
 
     def drop_partition(self, table: str, spec: str) -> bool:
         col, _, val = spec.partition("=")
