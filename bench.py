@@ -63,8 +63,24 @@ def main() -> int:
         if gc_every and (i + 1) % gc_every == 0:
             spark._jvm.System.gc()
 
+    # Self-triage: in-suite per-query numbers are position-dependent (the
+    # first consumer of a shared persisted relation pays the whole block's
+    # build; GC lands on arbitrary victims), so a raw round-over-round
+    # diff flags false regressions whenever the registry order changes.
+    # Re-run the top-10 most expensive queries ISOLATED-WARM (caches hot,
+    # nothing else in flight) and record both numbers — the warm figure is
+    # the honest per-query cost, the in-suite figure the honest total.
+    top10_names = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
+    isolated_warm: dict[str, float] = {}
+    for name in top10_names:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).toArrow().num_rows
+        isolated_warm[name] = round(time.time() - t0, 3)
+        print(f"# warm {name}: {isolated_warm[name]:.2f}s", file=sys.stderr)
+
     # the dedup block persists shared shingle relations; release them once
-    # the suite is done rather than leaving the session to LRU eviction
+    # the suite (and the warm re-runs that rely on them) is done rather
+    # than leaving the session to LRU eviction
     from weather_data_ingestion_gcp_spark.operators.dedup import release_shingle_caches
 
     release_shingle_caches()
@@ -79,6 +95,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "isolated_warm": isolated_warm,
         "sf": sf_val,
     }
     print(json.dumps(full))
@@ -88,7 +105,7 @@ def main() -> int:
         )
         with open(full_path, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
-    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    top10 = {n: timings[n] for n in top10_names}
     print(
         json.dumps(
             {
@@ -96,6 +113,7 @@ def main() -> int:
                 "value": full["value"],
                 "unit": "sec",
                 "queries": top10,
+                "isolated_warm": isolated_warm,
                 "sf": sf_val,
                 "n_queries": len(timings),
             }

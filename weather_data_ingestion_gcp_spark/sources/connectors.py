@@ -34,6 +34,7 @@ import abc
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ObjectStore(abc.ABC):
@@ -160,3 +161,144 @@ class ParquetTableStorage(TableStorage):
             fs.delete(p, True)
             return True
         return False
+
+
+class BigQueryTableStorage(TableStorage):
+    """The warehouse contract over the public spark-bigquery-connector
+    (the substrate the reference actually writes to:
+    Load-gcs-to-bq/main.py:71-84 ``load_table_from_uri`` + WRITE_APPEND;
+    partition-scoped delete+insert in sp_...update...sql:2-36; row DELETE
+    by date in Cleanup-job/sp_...sql:2).
+
+    Mapping of the five seam methods onto public connector/API surface:
+
+    - ``append`` -> ``df.write.format("bigquery").option("table",
+      "<project>.<dataset>.<table>").mode("append")`` with the Storage
+      Write API (``writeMethod=direct`` — no staging bucket needed).
+      Date-typed partition columns become BigQuery DAY column
+      partitioning (``partitionField``/``partitionType``); non-date
+      partition_by columns become ``clusteredFields`` (BigQuery cannot
+      column-partition on strings — the reference's log table is in
+      practice ingestion-time partitioned).
+    - ``overwrite_partitions`` -> one connector write per distinct day
+      with ``datePartition=YYYYMMDD`` + ``mode("overwrite")`` — the
+      connector's documented single-partition replace. Each day lands
+      atomically (BigQuery job-level atomicity per partition); cross-day
+      atomicity matches the reference's stored procedure, which also
+      replaces day by day.
+    - ``read`` -> ``spark.read.format("bigquery").option("table", …)``;
+      BigQuery's catalog schema is authoritative, so a passed ``schema``
+      is not re-applied.
+    - ``exists`` / ``drop_partition`` -> the connector has no DDL
+      surface; these go through an injected ``client`` with the
+      ``google.cloud.bigquery.Client`` shape (``get_table``,
+      ``delete_table``). ``drop_partition`` deletes the partition
+      decorator ``table$YYYYMMDD`` — BigQuery's metadata-only partition
+      drop, the exact analog of the parquet binding's directory delete.
+      Without a client, ``exists`` falls back to a read probe.
+
+    ``format_name`` exists so the identical invocation chain can be
+    exercised against a registered stand-in Python data source where the
+    real connector jar / GCP credentials are unavailable (the contract
+    test does exactly that); production code leaves it ``"bigquery"``.
+    """
+
+    def __init__(self, spark: SparkSession, project: str, dataset: str,
+                 format_name: str = "bigquery", client=None,
+                 write_method: str = "direct"):
+        self.spark = spark
+        self.project = project
+        self.dataset = dataset
+        self.format_name = format_name
+        self.client = client
+        self.write_method = write_method
+
+    def table_ref(self, table: str) -> str:
+        return f"{self.project}.{self.dataset}.{table}"
+
+    @staticmethod
+    def _yyyymmdd(day) -> str:
+        s = str(day)
+        digits = s.replace("-", "")
+        if len(digits) != 8 or not digits.isdigit():
+            raise ValueError(f"not a DAY partition value: {day!r}")
+        return digits
+
+    def _writer(self, df: DataFrame, table: str):
+        return (
+            df.write.format(self.format_name)
+            .option("table", self.table_ref(table))
+            .option("writeMethod", self.write_method)
+        )
+
+    def exists(self, table: str) -> bool:
+        if self.client is not None:
+            try:
+                self.client.get_table(self.table_ref(table))
+                return True
+            except Exception:
+                return False
+        try:  # no client: a schema probe is the cheapest read-side check
+            self.read(self.spark, table).schema
+            return True
+        except Exception:
+            return False
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str],
+               fmt: str = "parquet") -> None:
+        # fmt is a file-format concept; BigQuery stores rows natively.
+        w = self._writer(df, table).mode("append")
+        if partition_by:
+            part_col = partition_by[-1]
+            part_type = dict(
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ).get(part_col)
+            if part_type == "date":
+                w = (
+                    w.option("partitionField", part_col)
+                    .option("partitionType", "DAY")
+                )
+            else:
+                w = w.option("clusteredFields", ",".join(partition_by))
+        w.save()
+
+    def overwrite_partitions(self, df: DataFrame, table: str,
+                             partition_by: list[str]) -> None:
+        if not self.exists(table):
+            self.append(df, table, partition_by)
+            return
+        part_col = partition_by[-1]
+        # bounded collect: distinct days in the batch (the same key-list
+        # the txlog binding derives)
+        days = [r[0] for r in df.select(part_col).distinct().collect()]
+        for d in sorted(days, key=str):
+            (
+                self._writer(
+                    df.filter(F.col(part_col) == F.lit(d)), table
+                )
+                .option("datePartition", self._yyyymmdd(d))
+                .mode("overwrite")
+                .save()
+            )
+
+    def read(self, spark: SparkSession, table: str, schema=None,
+             fmt: str = "parquet") -> DataFrame:
+        return (
+            spark.read.format(self.format_name)
+            .option("table", self.table_ref(table))
+            .load()
+        )
+
+    def drop_partition(self, table: str, spec: str) -> bool:
+        if self.client is None:
+            raise NotImplementedError(
+                "partition drop needs a bigquery.Client (the connector "
+                "has no DDL surface)"
+            )
+        _col, _, val = spec.partition("=")
+        ref = f"{self.table_ref(table)}${self._yyyymmdd(val)}"
+        try:
+            self.client.delete_table(ref)
+            return True
+        except Exception:
+            return False
