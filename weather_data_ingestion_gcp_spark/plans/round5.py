@@ -1,0 +1,189 @@
+"""Round-5 additions: downstream consumers that make the round-4
+diagnosis queries load-bearing.
+
+``dataset_mix_temperature`` and ``join_skew_profile`` were leaf reports:
+correct, but nothing consumed their output. Each gets one composed
+consumer here — the mix quotas drive an actual per-source subsample, and
+the skew profile drives the salt-count choice of a salted aggregation —
+so a regression in either diagnosis now breaks a hash-checked consumer,
+not just its own oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datapipe import _sql_hex4_to_int
+from .registry import ORACLE, load_table, register
+from .round4 import dataset_mix_temperature, join_skew_profile
+
+
+# ---------------------------------------------------------------------------
+# Temperature-mix application: quotas -> keep rates -> actual subsample.
+# The standard recipe for realizing target shares w_s from source sizes
+# n_s by subsampling: keep rate r_s = C * w_s / n_s with C = min_s
+# (n_s / w_s), so the scarcest source keeps everything and every other
+# source is downsampled to match the target composition. All arithmetic
+# is integer (ppm units) so both engines floor identically, and
+# membership is the same 4-hex-digit md5 bucket every sampler in this
+# repo uses (deterministic, partition-invariant, nested across rate
+# changes).
+# ---------------------------------------------------------------------------
+
+
+def _mix_apply_oracle() -> str:
+    return f"""
+    WITH mix AS ({ORACLE["dataset_mix_temperature"]}),
+    cal AS (
+        SELECT CAST(MIN(n_docs * 1000000 // quota_ppm) AS BIGINT) AS c
+        FROM mix
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               CAST((quota_ppm * (SELECT c FROM cal)) // n_docs AS BIGINT)
+                 AS keep_ppm
+        FROM mix
+    ),
+    kept AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {_sql_hex4_to_int('d.doc_id')} * 1000000 < r.keep_ppm * 65536
+        GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(SUM(n_kept) AS BIGINT) AS tk FROM kept)
+    SELECT r.source, r.n_docs, r.keep_ppm,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST((COALESCE(k.n_kept, 0) * 1000000) // (SELECT tk FROM tot)
+                AS BIGINT) AS achieved_share_ppm
+    FROM rates r LEFT JOIN kept k USING (source)
+    ORDER BY source
+    """
+
+
+@register("mix_apply_temperature", oracle=_mix_apply_oracle())
+def mix_apply_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applies the ``dataset_mix_temperature`` quotas as an actual
+    per-source subsample and reports target-vs-achieved composition.
+
+    Composes the registered diagnosis query verbatim (its quota_ppm
+    column IS the target share), calibrates keep rates so the scarcest
+    source keeps 100%, and filters the documents table on the
+    deterministic doc_id hash bucket. The rates relation is
+    dimension-sized and broadcast; the only corpus-scale work is one
+    map-side filter + one partial-aggregated count — the exact shape a
+    100 TB mixing job runs before writing shards. quota_ppm is bounded
+    away from zero for any source with >= 1 doc at realistic source
+    counts (share < 1 ppm would floor to 0 and is rejected by the
+    calibration MIN's divide)."""
+    mix = dataset_mix_temperature(spark, sf_dir)
+    cal = mix.agg(
+        F.min(F.expr("n_docs * 1000000 div quota_ppm")).cast("long").alias("c")
+    )
+    rates = (
+        mix.crossJoin(F.broadcast(cal))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(quota_ppm * c) div n_docs").cast("long").alias("keep_ppm"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    kept = (
+        d.join(F.broadcast(rates.select("source", "keep_ppm")), "source")
+        .where(bucket * F.lit(1000000) < F.col("keep_ppm") * F.lit(65536))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    tot = kept.agg(F.sum("n_kept").cast("long").alias("tk"))
+    return (
+        rates.join(kept, "source", "left")
+        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "keep_ppm",
+            "n_kept",
+            F.expr("(n_kept * 1000000) div tk")
+            .cast("long")
+            .alias("achieved_share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-adaptive salted aggregation: the profile chooses the salt count.
+# Thresholds double per step — a skew factor of k means the hottest key
+# holds k partitions' worth of rows, so ~k-way splitting levels it; the
+# CASE ladder is the integer-exact form both engines state identically.
+# ---------------------------------------------------------------------------
+
+_SALT_LADDER_SQL = """
+    CASE WHEN skew_factor_milli >= 8000 THEN 16
+         WHEN skew_factor_milli >= 4000 THEN 8
+         WHEN skew_factor_milli >= 2000 THEN 4
+         WHEN skew_factor_milli >= 1250 THEN 2
+         ELSE 1 END
+"""
+
+
+def _salts_from_profile(skew_factor_milli: int) -> int:
+    # mirror of _SALT_LADDER_SQL, applied driver-side to the 1-row profile
+    for threshold, salts in ((8000, 16), (4000, 8), (2000, 4), (1250, 2)):
+        if skew_factor_milli >= threshold:
+            return salts
+    return 1
+
+
+def _skew_adaptive_oracle() -> str:
+    return f"""
+    WITH prof AS ({ORACLE["join_skew_profile"]}),
+    chosen AS (SELECT {_SALT_LADDER_SQL} AS n FROM prof),
+    counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST((SELECT n FROM chosen) AS BIGINT) AS salts_used
+    FROM counts ORDER BY n_events DESC, user_id LIMIT 10
+    """
+
+
+@register("skew_adaptive_salted_agg", oracle=_skew_adaptive_oracle())
+def skew_adaptive_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest event users via a salted two-stage aggregation
+    whose salt count is CHOSEN from the measured ``join_skew_profile``
+    (the profile is finally load-bearing: mis-measuring skew changes
+    salts_used and fails the hash check).
+
+    The profile collect is ONE row — bounded plan-choice driver work,
+    the same class as AQE's runtime statistics. The aggregation itself
+    runs as groupBy(user_id, salt) partials then a keys-sized merge:
+    semantically identical to the plain groupBy (the oracle states the
+    plain form), physically resistant to a single pathological key that
+    AQE cannot subdivide inside one aggregation group. Salting must
+    change NOTHING about the result — that invariant is what the
+    cross-engine hash proves."""
+    prof = join_skew_profile(spark, sf_dir).collect()
+    skew = prof[0]["skew_factor_milli"] if prof else None
+    salts = _salts_from_profile(skew) if skew is not None else 1
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(salts))
+    )
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    merged = partial.groupBy("user_id").agg(
+        F.sum("_c").cast("long").alias("n_events")
+    )
+    return (
+        merged.orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
+        .withColumn("salts_used", F.lit(salts).cast("long"))
+    )
