@@ -179,6 +179,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "decontaminate_bloom_prefilter",  # 1-row packed-bitset (128 KB) broadcast
     "dataset_mix_temperature",  # 1-row quantized-total scalar broadcast
     "join_skew_profile",  # 1-row top10-total scalar broadcast
+    "mix_apply_temperature",  # 1-row calibration + 1-row kept-total scalar broadcasts
 }
 
 

@@ -365,6 +365,7 @@ from hypothesis import strategies as st
             st.tuples(st.just("append"), st.integers(0, 4), st.integers(1, 6)),
             st.tuples(st.just("delete"), st.integers(0, 40), st.just(0)),
             st.tuples(st.just("merge"), st.integers(0, 4), st.integers(1, 6)),
+            st.tuples(st.just("replace"), st.integers(0, 4), st.integers(1, 6)),
             st.tuples(st.just("compact"), st.just(0), st.just(0)),
             st.tuples(st.just("checkpoint"), st.just(0), st.just(0)),
         ),
@@ -409,6 +410,14 @@ def test_txlog_matches_set_model_under_random_ops(spark, tmp_path_factory, ops):
             t.merge(spark, df, on=["id"])
             for i in ids:
                 model[i] = 1  # source-as-truth: replaces all copies
+        elif op == "replace":
+            df, ids = mk(a, b)
+            lo, hi = a * 10, a * 10 + b
+            t.replace_where(spark, f"id >= {lo} AND id < {hi}", df)
+            # delete-matching + insert as one commit
+            model = {i: c for i, c in model.items() if not (lo <= i < hi)}
+            for i in ids:
+                model[i] = model.get(i, 0) + 1
         elif op == "compact":
             t.compact(spark, target_files=1)
         elif op == "checkpoint":
