@@ -503,3 +503,33 @@ def test_hll_contract_partial_aggregation(spark):
     df = QUERIES["hll_distinct_contract"](spark, SF)
     plan = _plan(df)
     assert "partial_approx_count_distinct" in plan
+
+
+def test_mix_apply_rates_join_is_broadcast(spark):
+    """The per-source keep-rate relation is dimension-sized and must ride
+    a broadcast hash join onto the corpus scan — never a shuffle of the
+    documents table against a 20-row rates side."""
+    df = QUERIES["mix_apply_temperature"](spark, SF)
+    plan = _plan(df)
+    # the corpus scan joins the rates dimension as BuildRight broadcast
+    assert "BroadcastHashJoin" in plan
+    # the only other joins are 1-row scalar broadcasts and the keys-sized
+    # rates<->kept diagnostic join (20 rows a side; AQE converts its
+    # initial SMJ to broadcast at runtime) — the corpus never shuffles
+    # beyond its partial-aggregated per-source count
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "documents" in ln
+    ]
+    assert doc_scans, "documents scan missing from plan"
+
+
+def test_skew_adaptive_agg_is_two_stage(spark):
+    """The salted aggregation must partial-aggregate on (user_id, salt)
+    before the exchange — the whole point of salting an agg is that the
+    shuffle carries per-salt partials, not raw events."""
+    df = QUERIES["skew_adaptive_salted_agg"](spark, SF)
+    plan = _plan(df)
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
