@@ -187,3 +187,84 @@ def skew_adaptive_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("salts_used", F.lit(salts).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS from exact integer sums — the regression-aggregate
+# family (regr_slope/regr_intercept/corr) with the repo's exact-
+# accumulation discipline: x and y are integers, so the five sufficient
+# statistics (n, Σx, Σy, Σxy, Σx²[, Σy²]) are EXACT BIGINTs and both
+# engines derive slope/intercept/r² from identical operands — no
+# float-accumulation-order drift, unlike the built-in regr_* aggregates
+# whose double partials are order-dependent. r²'s cross term would
+# overflow BIGINT squared, so the final arithmetic is double over exact
+# integer differences (IEEE-deterministic given identical operands).
+# ---------------------------------------------------------------------------
+
+_SQL_WORDCOUNT = (
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))"
+)
+
+
+@register(
+    "regression_words_chars",
+    oracle=f"""
+    WITH xy AS (
+        SELECT lang, n_chars AS x, CAST({_SQL_WORDCOUNT} AS BIGINT) AS y
+        FROM documents
+    ),
+    s AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM xy GROUP BY lang
+    )
+    SELECT lang, n AS n_docs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+             AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s ORDER BY lang
+    """,
+)
+def regression_words_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OLS of word count on character count (the data-card
+    regression every corpus report carries: chars-per-word structure and
+    its fit quality). One partial-aggregated pass accumulating the five
+    exact integer moments; slope/intercept/r² are closed-form over
+    those BIGINTs, so the result is partition-invariant and hash-stable
+    at any scale — the 100 TB-safe form of regr_slope/regr_intercept."""
+    d = load_table(spark, sf_dir, "documents")
+    y = (
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
+        .cast("long")
+    )
+    xy = d.select("lang", F.col("n_chars").alias("x"), y.alias("y"))
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    cov = F.expr("cast(n * sxy - sx * sy as double)")
+    vx = F.expr("cast(n * sxx - sx * sx as double)")
+    vy = F.expr("cast(n * syy - sy * sy as double)")
+    slope = cov / vx
+    return s.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+    ).orderBy("lang")
