@@ -73,6 +73,11 @@ def main() -> int:
     top10_names = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
     isolated_warm: dict[str, float] = {}
     for name in top10_names:
+        # by suite end the heap carries 200 queries of debt; collect it
+        # BEFORE the measurement so the warm number reflects the query,
+        # not a GC pause landing on it (observed: a 4.4s query measured
+        # 10.9s warm purely from end-of-suite heap pressure)
+        spark._jvm.System.gc()
         t0 = time.time()
         QUERIES[name](spark, sf_dir).toArrow().num_rows
         isolated_warm[name] = round(time.time() - t0, 3)
