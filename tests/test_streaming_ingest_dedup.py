@@ -1,0 +1,74 @@
+"""Streaming exactly-once deduplicating ingest
+(streaming/ingest_dedup.py): the reference's landing->raw loop
+(Load-gcs-to-bq/main.py:71-84) at streaming grain with the two
+guarantees it lacks — no double-append on redelivery, no duplicate keys
+in the raw table."""
+
+from __future__ import annotations
+
+import os
+
+from weather_data_ingestion_gcp_spark.sources.txlog import TxLogTable
+from weather_data_ingestion_gcp_spark.streaming.ingest_dedup import (
+    dedup_ingest_sink,
+)
+
+_SCHEMA = "doc_id long, text string"
+
+
+def _land(landing: str, name: str, rows: list[tuple[int, str]]) -> None:
+    os.makedirs(landing, exist_ok=True)
+    tmp = os.path.join(landing, name + ".tmp")
+    with open(tmp, "w") as f:
+        for i, t in rows:
+            f.write('{"doc_id": %d, "text": "%s"}\n' % (i, t))
+    os.rename(tmp, os.path.join(landing, name))
+
+
+def _run_stream(spark, landing: str, ckpt: str, sink) -> None:
+    q = (
+        spark.readStream.schema(_SCHEMA)
+        .json(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_dedup_ingest_exactly_once(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxLogTable(str(tmp_path / "docs"))
+    sink = dedup_ingest_sink(t, "ingest-docs", ["doc_id"])
+
+    # batch 0: in-batch duplicate (doc 2 twice) collapses to one row
+    _land(landing, "a.json", [(1, "alpha"), (2, "beta"), (2, "beta"), (3, "gamma")])
+    _run_stream(spark, landing, ckpt, sink)
+    assert sorted(
+        r["doc_id"] for r in t.read(spark).collect()
+    ) == [1, 2, 3]
+
+    # batch 1: cross-batch duplicate (doc 3) must not land again
+    _land(landing, "b.json", [(3, "gamma"), (4, "delta")])
+    _run_stream(spark, landing, ckpt, sink)
+    assert sorted(
+        r["doc_id"] for r in t.read(spark).collect()
+    ) == [1, 2, 3, 4]
+
+    # crash replay of batch 1: the txn key makes the append a no-op
+    replay = spark.createDataFrame([(3, "gamma"), (4, "delta")], _SCHEMA)
+    sink(replay, 1)
+    assert sorted(
+        r["doc_id"] for r in t.read(spark).collect()
+    ) == [1, 2, 3, 4]
+
+    # a genuinely new batch: only the unseen key lands
+    nxt = spark.createDataFrame([(4, "delta"), (5, "epsilon")], _SCHEMA)
+    sink(nxt, 2)
+    assert sorted(
+        r["doc_id"] for r in t.read(spark).collect()
+    ) == [1, 2, 3, 4, 5]
+    # the table's row count equals its distinct-key count (no dup ever)
+    assert t.read(spark).count() == t.read(spark).select("doc_id").distinct().count()

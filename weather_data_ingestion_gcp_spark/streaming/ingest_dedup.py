@@ -1,0 +1,60 @@
+"""Streaming exactly-once DEDUPLICATING ingest onto the txlog table.
+
+The streaming-grain form of the batch ``incremental_ingest_dedup`` query
+(plans/datapipe.py): each micro-batch of incoming documents is deduped
+in-batch, anti-joined against the already-ingested table, and appended
+under an (app_id, batch_id) transaction key — so the composition is
+exactly-once even across crash replays (the replayed batch re-runs its
+dedup against the SAME pre-append snapshot semantics: its append is a
+txn no-op, and its anti-join sees its own rows already landed, keeping
+the result identical either way).
+
+This is the reference's ingestion loop (landing file -> raw table,
+Load-gcs-to-bq/main.py:71-84) upgraded with the two guarantees the
+reference lacks: no double-append on redelivery (its Pub/Sub
+at-least-once re-runs the load job) and no duplicate keys in the raw
+table.
+
+Scale note: the per-batch anti-join ships only ``key_cols`` (digest- or
+id-sized), never document bodies; at 100 TB the table side of that join
+is served by parquet stats + the key columns alone, and the
+broadcast-bloom prefilter of ``incremental_ingest_dedup`` drops in
+unchanged when the key-distinct relation outgrows a plain anti-join
+(build the bloom from the table keys, verify only maybe-members).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..sources.txlog import TxLogTable
+
+
+def dedup_ingest_sink(table: TxLogTable, app_id: str, key_cols: list[str]):
+    """A ``foreachBatch`` body: exactly-once deduplicating append.
+
+    Per micro-batch:
+
+    1. in-batch exact dedup on ``key_cols`` (first occurrence wins —
+       ``dropDuplicates`` within the batch);
+    2. anti-join against the current table snapshot, so keys already
+       ingested by ANY earlier batch (or an earlier run) never land
+       twice;
+    3. idempotent txn append keyed (app_id, batch_id): a crash-replayed
+       batch is a commit-level no-op (sources/txlog.py append txn
+       protocol), so the sink is exactly-once end-to-end.
+
+    Empty post-dedup batches still commit (an empty append) so the txn
+    map stays monotone per Delta's batch-id assumption.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates(key_cols)
+        if table.exists() and table.active_files():
+            existing = (
+                table.read(batch_df.sparkSession).select(*key_cols).distinct()
+            )
+            fresh = fresh.join(existing, key_cols, "left_anti")
+        table.append(fresh, txn=(app_id, int(batch_id)))
+
+    return _sink
