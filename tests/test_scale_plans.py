@@ -533,3 +533,73 @@ def test_skew_adaptive_agg_is_two_stage(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_skips_files_on_the_second_dimension(spark, tmp_path):
+    """Physical proof of the Z-order layout claim: a predicate on the
+    SECOND dimension (d) prunes z-ordered files via per-file min/max
+    zonemaps, while a single-column (u-sorted) layout keeps every file
+    a candidate. Candidate counting uses the real parquet footer stats
+    per file — exactly what a zonemap/data-skipping scan consults."""
+    import pyarrow.parquet as pq
+
+    e = QUERIES["zorder_layout_buckets"]  # reuse the registered arithmetic
+    del e  # (imported for provenance; the layout is rebuilt below)
+    from weather_data_ingestion_gcp_spark.plans.round3b import _sql_interleave8
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    t = ev.selectExpr(
+        "user_id % 256 AS u",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) % 256 AS d",
+    )
+    z = t.withColumn("zkey", F.expr(_sql_interleave8("u", "d")))
+
+    # 64 files: the z-range of one file then fixes the top 6 occupied
+    # interleave bits — for this table (u 8-bit, d ~5-bit) that pins two
+    # of d's high bits per file, the granularity zonemap skipping needs
+    n_files = 64
+    a_dir, b_dir = str(tmp_path / "by_u"), str(tmp_path / "by_z")
+    (
+        t.repartitionByRange(n_files, "u").sortWithinPartitions("u")
+        .write.parquet(a_dir)
+    )
+    (
+        z.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")
+        .drop("zkey").write.parquet(b_dir)
+    )
+
+    def candidates(d_path, lo, hi, col):
+        """Files whose footer min/max for col intersects [lo, hi]."""
+        import os
+
+        n_total, n_cand = 0, 0
+        for name in os.listdir(d_path):
+            if not name.endswith(".parquet"):
+                continue
+            n_total += 1
+            md = pq.read_metadata(os.path.join(d_path, name))
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                n_cand += 1
+        return n_cand, n_total
+
+    # box predicate on d only: d in [0, 3] (the events table spans ~30
+    # days, so this is ~1/8 of the occupied d space)
+    a_cand, a_total = candidates(a_dir, 0, 3, "d")
+    b_cand, b_total = candidates(b_dir, 0, 3, "d")
+    assert a_total == b_total == n_files
+    # u-sorted layout: every file spans all of d -> zero skipping
+    assert a_cand == a_total
+    # z-ordered layout: interleaved bits bound d per z range -> real
+    # skipping on the SECOND dimension (at least half the files skip)
+    assert b_cand <= b_total // 2, (a_cand, b_cand)
+    # and the first dimension still prunes on BOTH layouts (u in [0, 31])
+    au_cand, _ = candidates(a_dir, 0, 31, "u")
+    bu_cand, _ = candidates(b_dir, 0, 31, "u")
+    assert au_cand <= n_files // 4  # range-partitioned on u: ~1/8
+    assert bu_cand <= b_total // 2
