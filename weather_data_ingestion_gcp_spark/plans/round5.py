@@ -268,3 +268,69 @@ def regression_words_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("intercept"),
         F.round(cov * cov / (vx * vy), 6).alias("r2"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Reproducible global training shuffle, hash-range sharded. A training
+# run needs a deterministic global permutation of the corpus (same seed
+# -> same order on any cluster, any partitioning) WITHOUT a global sort:
+# the shard is the top bits of a seeded hash (terasort's range idea with
+# the hash AS the range key), so the "shuffle" is one partial-aggregated
+# groupBy — no total-order sort, no row_number bottleneck. Each shard's
+# source composition approximates the corpus mix (the well-mixedness a
+# training shuffle exists to provide), which the per-shard
+# distinct-source count makes checkable cross-engine.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = "s42:"
+_N_TRAIN_SHARDS = 16
+
+
+@register(
+    "training_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, n_chars,
+               {_sql_hex4_to_int(f"'{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)")}
+                 AS hv
+        FROM documents
+    )
+    SELECT CAST(hv // {65536 // _N_TRAIN_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(hv) AS BIGINT) AS hv_min,
+           CAST(MAX(hv) AS BIGINT) AS hv_max
+    FROM h GROUP BY shard ORDER BY shard
+    """,
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle + 16-way sharding of the
+    corpus. Re-running with the same seed reproduces the identical
+    shard assignment on any partitioning (pure function of doc_id);
+    changing the seed is a fresh permutation. hv_min/hv_max document
+    the disjoint hash ranges (shards ARE hash ranges); n_sources shows
+    every shard draws from the full source mix."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    width = 65536 // _N_TRAIN_SHARDS
+    return (
+        d.select("source", "n_chars", hv.alias("hv"))
+        .groupBy(F.expr(f"hv div {width}").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("hv").cast("long").alias("hv_min"),
+            F.max("hv").cast("long").alias("hv_max"),
+        )
+        .orderBy("shard")
+    )
