@@ -603,3 +603,48 @@ def test_zorder_layout_skips_files_on_the_second_dimension(spark, tmp_path):
     bu_cand, _ = candidates(b_dir, 0, 31, "u")
     assert au_cand <= n_files // 4  # range-partitioned on u: ~1/8
     assert bu_cand <= b_total // 2
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The OTHER half of the skew story: skew_salted_join_agg pins the
+    explicit salting rewrite; this pins that AQE's runtime replan
+    handles the common case on its own — a hot key holding ~10x the
+    median partition is detected from runtime shuffle statistics and
+    the sort-merge join is split (SortMergeJoin(skew=true)), no salting
+    code required. Thresholds are lowered to fire at test scale; the
+    mechanism is byte-identical at 100 TB."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # hot key 0: 300k rows; 99 cold keys: 300 rows each
+        fact = (
+            spark.range(300000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .unionAll(
+                spark.range(29700).select(
+                    (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = fact.join(dim, "k")
+        assert j.toArrow().num_rows == 329700  # correctness first
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
