@@ -180,6 +180,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "dataset_mix_temperature",  # 1-row quantized-total scalar broadcast
     "join_skew_profile",  # 1-row top10-total scalar broadcast
     "mix_apply_temperature",  # 1-row calibration + 1-row kept-total scalar broadcasts
+    "event_type_daily_corr",  # bounded |days| x |types| grid densification
 }
 
 

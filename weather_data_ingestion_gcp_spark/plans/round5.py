@@ -334,3 +334,100 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix between event-type daily volumes, from
+# exact integer sufficient statistics — the same discipline as
+# regression_words_chars: daily counts are BIGINTs, the five moments
+# are exact, and the only floating arithmetic is the final closed form
+# over identical operands in both engines. sqrt(vx)*sqrt(vy) (not
+# sqrt(vx*vy)) keeps the intermediate inside BIGINT range. The
+# day-by-type grid is densified (missing combinations count 0) so the
+# series align day-for-day.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_daily_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day, event_type
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    grid AS (
+        SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+        FROM days d CROSS JOIN types t
+        LEFT JOIN daily c ON c.day = d.day AND c.event_type = t.event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(a.n) AS BIGINT) AS sx,
+               CAST(SUM(b.n) AS BIGINT) AS sy,
+               CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+               CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+               CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+        FROM grid a JOIN grid b
+          ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_days,
+           ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6)
+             AS pearson_r
+    FROM pairs ORDER BY type_a, type_b
+    """,
+)
+def event_type_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation of event-type daily volumes (the
+    co-movement matrix an anomaly monitor baselines against). The grid
+    and pair relations are dimension-sized (days x types); the only
+    corpus-scale work is the one partial-aggregated daily count. At
+    100 TB the self-join operates on |days| x |types| rows — thousands
+    — regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a = grid.select("day", F.col("event_type").alias("type_a"), F.col("n").alias("xa"))
+    b = grid.select("day", F.col("event_type").alias("type_b"), F.col("n").alias("xb"))
+    pairs = (
+        a.join(b, "day")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("xa").cast("long").alias("sx"),
+            F.sum("xb").cast("long").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.round(
+            F.expr("cast(n_days * sxy - sx * sy as double)")
+            / (
+                F.sqrt(F.expr("cast(n_days * sxx - sx * sx as double)"))
+                * F.sqrt(F.expr("cast(n_days * syy - sy * sy as double)"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")
