@@ -255,3 +255,34 @@ def test_bigquery_binding_partition_routing(spark, bq_storage):
     assert storage.drop_partition("t", "dt=2024-01-02") is True
     assert storage.drop_partition("t", "dt=2024-01-02") is False
     assert {r["id"] for r in storage.read(spark, "t").collect()} == {10}
+
+
+def test_bigquery_binding_edges(spark, bq_storage):
+    storage, root = bq_storage
+    # partition decorator values must be DAY-shaped
+    with pytest.raises(ValueError, match="DAY partition"):
+        storage._yyyymmdd("not-a-day")
+    assert storage._yyyymmdd(dt.date(2024, 1, 2)) == "20240102"
+    assert storage._yyyymmdd("2024-01-02") == "20240102"
+    # exists: client probe is authoritative
+    assert storage.exists("never_written") is False
+    df = spark.createDataFrame([(1, dt.date(2024, 1, 1))], "id bigint, dt date")
+    storage.append(df, "edge_t", ["dt"])
+    assert storage.exists("edge_t") is True
+    # without a client, exists falls back to a read probe
+    from weather_data_ingestion_gcp_spark.sources.connectors import (
+        BigQueryTableStorage,
+    )
+
+    clientless = BigQueryTableStorage(
+        spark, "proj", "ds", format_name="fakebigquery", client=None
+    )
+    assert clientless.exists("edge_t") is True
+    assert clientless.exists("never_written") is False
+    with pytest.raises(NotImplementedError):
+        clientless.drop_partition("edge_t", "dt=2024-01-01")
+    # non-date partition layouts route to clustering (append works, lands
+    # under the unpartitioned key, still readable)
+    logs = spark.createDataFrame([("x", "y", 1)], "a string, b string, v bigint")
+    storage.append(logs, "logs_t", ["a", "b"])
+    assert storage.read(spark, "logs_t").count() == 1
