@@ -286,3 +286,80 @@ def test_bigquery_binding_edges(spark, bq_storage):
     logs = spark.createDataFrame([("x", "y", 1)], "a string, b string, v bigint")
     storage.append(logs, "logs_t", ["a", "b"])
     assert storage.read(spark, "logs_t").count() == 1
+
+
+def test_bigquery_exists_surfaces_transient_errors(spark, bq_storage):
+    """A transient client failure must RAISE, never read as 'table
+    absent' — exists() feeding overwrite_partitions would otherwise
+    silently append instead of replace, duplicating every day in the
+    batch."""
+    storage, root = bq_storage
+
+    class FlakyClient:
+        def get_table(self, ref):
+            raise RuntimeError("503 Service Unavailable")
+
+    from weather_data_ingestion_gcp_spark.sources.connectors import (
+        BigQueryTableStorage,
+    )
+
+    flaky = BigQueryTableStorage(
+        spark, "proj", "ds", format_name="fakebigquery", client=FlakyClient()
+    )
+    with pytest.raises(RuntimeError, match="503"):
+        flaky.exists("t")
+    df = spark.createDataFrame([(1, dt.date(2024, 1, 1))], "id bigint, dt date")
+    with pytest.raises(RuntimeError, match="503"):
+        flaky.overwrite_partitions(df, "t", ["dt"])
+    # absence-shaped errors still read as absent
+    assert storage.exists("definitely_missing") is False
+
+
+def test_bigquery_overwrite_refuses_undoable_layouts(spark, bq_storage):
+    """Layouts BigQuery cannot partition-replace fail LOUDLY (the
+    parquet/txlog bindings can replace them; a silent append here would
+    duplicate rows)."""
+    storage, root = bq_storage
+    logs = spark.createDataFrame([("x", "y", 1)], "a string, b string, v bigint")
+    with pytest.raises(NotImplementedError, match="DAY-partitioned"):
+        storage.overwrite_partitions(logs, "logs_nd", ["a", "b"])
+    # NULL day values cannot be addressed by a datePartition replace
+    storage.append(
+        spark.createDataFrame([(1, dt.date(2024, 1, 1))], "id bigint, dt date"),
+        "t_null", ["dt"],
+    )
+    withnull = spark.createDataFrame(
+        [(2, dt.date(2024, 1, 1)), (3, None)], "id bigint, dt date"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        storage.overwrite_partitions(withnull, "t_null", ["dt"])
+
+
+def test_bigquery_daily_layout_keeps_leading_cluster_columns(spark, bq_storage):
+    """partition_by=['part_month','dt'] must not silently drop the
+    month column from the layout: dt becomes the DAY partition and the
+    leading columns become clustered fields."""
+    storage, root = bq_storage
+
+    captured = {}
+    real_writer = storage._writer
+
+    def capturing_writer(df, table):
+        w = real_writer(df, table)
+        orig_option = w.option
+
+        def option(k, v):
+            captured[k] = v
+            return orig_option(k, v)
+
+        w.option = option
+        return w
+
+    storage._writer = capturing_writer
+    df = spark.createDataFrame(
+        [("2024-01", dt.date(2024, 1, 1), 1)],
+        "part_month string, dt date, v bigint",
+    )
+    storage.append(df, "daily_t", ["part_month", "dt"])
+    assert captured.get("partitionField") == "dt"
+    assert captured.get("clusteredFields") == "part_month"

@@ -72,3 +72,19 @@ def test_streaming_dedup_ingest_exactly_once(spark, tmp_path):
     ) == [1, 2, 3, 4, 5]
     # the table's row count equals its distinct-key count (no dup ever)
     assert t.read(spark).count() == t.read(spark).select("doc_id").distinct().count()
+
+
+def test_in_batch_duplicate_winner_is_deterministic(spark, tmp_path):
+    """Two payloads for one key in a batch: the lexicographically-least
+    row lands, on every partitioning — the value-level half of the
+    exactly-once claim (dropDuplicates alone keeps an arbitrary row)."""
+    t = TxLogTable(str(tmp_path / "docs"))
+    sink = dedup_ingest_sink(t, "q", ["doc_id"])
+    rows = [(1, "zeta"), (1, "alpha"), (2, "beta")]
+    for n_parts, bid in ((1, 0), (8, 1)):
+        batch = spark.createDataFrame(rows, _SCHEMA).repartition(n_parts)
+        sink(batch, bid)
+    got = {(r["doc_id"], r["text"]) for r in t.read(spark).collect()}
+    # batch 1 saw keys 1,2 already present -> no new rows; batch 0's
+    # winner for key 1 must be the least payload regardless of layout
+    assert got == {(1, "alpha"), (2, "beta")}

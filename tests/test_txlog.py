@@ -474,3 +474,18 @@ def test_concurrent_appenders_all_land(spark, tmp_path):
     assert t.read(spark).count() == 12
     vs = [c["version"] for c in t.history()]
     assert vs == list(range(12)), "versions must be dense, none lost"
+
+
+def test_drop_partition_escapes_special_values(spark, tmp_path):
+    """drop_partition goes through _sql_lit + <=>: quote/backslash
+    partition values must neither break parsing nor widen the delete."""
+    storage = TxLogTableStorage(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a\\"), (2, "o'brien"), (3, "plain")], "id bigint, k string"
+    )
+    storage.append(df, "t", ["k"])
+    assert storage.drop_partition("t", "k=a\\") is True
+    assert {r["id"] for r in storage.read(spark, "t").collect()} == {2, 3}
+    assert storage.drop_partition("t", "k=o'brien") is True
+    assert {r["id"] for r in storage.read(spark, "t").collect()} == {3}
+    assert storage.drop_partition("t", "k=never") is False

@@ -178,7 +178,7 @@ def winnow_fingerprints(
     k: int = 8,
     w: int = 4,
     output: str = "summary",
-    cache: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every char k-gram, slide a
@@ -256,14 +256,15 @@ def winnow_fingerprints(
         df = df.repartition(sc.defaultParallelism)
     base = df.select(F.col(id_col).alias("doc_id"), fps_pd(F.col(text_col)).alias("_fps"))
     if cache:
-        # Persist the per-doc fingerprint ARRAYS (pre-explode: one row
-        # per doc, sub-corpus-sized) so every winnow consumer in a
+        # cache=True persists the per-doc fingerprint ARRAYS (pre-
+        # explode: one row per doc) so every winnow consumer in a
         # session — summary entry, overlap pairs, any later caller —
         # shares ONE UDF tokenization pass via CacheManager plan-dedup,
         # the same pattern as the shared shingle relations. Registered
         # in the shingle-cache registry: release_shingle_caches() frees
-        # it. Corpus-scale callers that scan once should pass
-        # cache=False (r4 measured 4.1 s/invocation rebuilt vs ~1 s
+        # it. The DEFAULT is False: a one-shot corpus-scale caller must
+        # not pin a corpus-sized relation for zero reuse; multi-consumer
+        # suites opt in (r4 measured 4.1 s/invocation rebuilt vs ~1 s
         # shared at sf0.1).
         from .dedup import persist_tracked
 

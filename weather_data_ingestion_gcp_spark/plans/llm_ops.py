@@ -1127,7 +1127,9 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     length >= 11 chars yields a common fingerprint. One Arrow-batched
     vectorized pass; no explode, no shuffle until the final orderBy."""
     d = load_table(spark, sf_dir, "documents")
-    return text.winnow_fingerprints(d, "doc_id", "text", k=8, w=4).orderBy("doc_id")
+    return text.winnow_fingerprints(
+        d, "doc_id", "text", k=8, w=4, cache=True
+    ).orderBy("doc_id")
 
 
 @register(

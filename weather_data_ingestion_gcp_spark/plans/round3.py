@@ -729,7 +729,9 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out exactly like the LSH bucket cap, keeping the pair space
     linear in shared content, not quadratic in corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    fps = text.winnow_fingerprints(d, "doc_id", "text", k=8, w=4, output="fps")
+    fps = text.winnow_fingerprints(
+        d, "doc_id", "text", k=8, w=4, output="fps", cache=True
+    )
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -223,15 +223,15 @@ _SQL_WORDCOUNT = (
     )
     SELECT lang, n AS n_docs,
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) AS slope,
            ROUND((CAST(sy AS DOUBLE)
                   - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+                     / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)) * sx) / n, 6)
              AS intercept,
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                  * CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE), 0), 6) AS r2
     FROM s ORDER BY lang
     """,
 )
@@ -256,9 +256,15 @@ def regression_words_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
+    # zero-variance guard: a single-doc (or constant-x) language makes
+    # vx = 0; x/0 is Infinity in Spark but engine-dependent in others —
+    # NULLIF pins the degenerate case to NULL identically everywhere
     cov = F.expr("cast(n * sxy - sx * sy as double)")
-    vx = F.expr("cast(n * sxx - sx * sx as double)")
-    vy = F.expr("cast(n * syy - sy * sy as double)")
+    vx = F.expr("nullif(cast(n * sxx - sx * sx as double), 0d)")
+    vxy = F.expr(
+        "nullif(cast(n * sxx - sx * sx as double)"
+        " * cast(n * syy - sy * sy as double), 0d)"
+    )
     slope = cov / vx
     return s.select(
         "lang",
@@ -266,7 +272,7 @@ def regression_words_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6)
         .alias("intercept"),
-        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+        F.round(cov * cov / vxy, 6).alias("r2"),
     ).orderBy("lang")
 
 
@@ -377,9 +383,9 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT type_a, type_b, n_days,
            ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6)
-             AS pearson_r
+                 / NULLIF(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)), 0),
+                 6) AS pearson_r
     FROM pairs ORDER BY type_a, type_b
     """,
 )
@@ -422,11 +428,13 @@ def event_type_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a",
         "type_b",
         "n_days",
+        # constant-volume series (variance 0) -> NULL in both engines,
+        # never an engine-dependent inf/nan (see regression_words_chars)
         F.round(
             F.expr("cast(n_days * sxy - sx * sy as double)")
-            / (
-                F.sqrt(F.expr("cast(n_days * sxx - sx * sx as double)"))
-                * F.sqrt(F.expr("cast(n_days * syy - sy * sy as double)"))
+            / F.expr(
+                "nullif(sqrt(cast(n_days * sxx - sx * sx as double))"
+                " * sqrt(cast(n_days * syy - sy * sy as double)), 0d)"
             ),
             6,
         ).alias("pearson_r"),

@@ -19,13 +19,17 @@ Swapping substrates is a constructor argument:
   plain directory for this sandbox.
 - **Table storage**: ``ParquetTableStorage`` implements the warehouse
   contract (append, dynamic-partition overwrite, metadata-only partition
-  drop, existence probe) on parquet directories. A BigQuery binding
-  would implement the same five methods over the public
-  ``spark-bigquery-connector`` (``df.write.format("bigquery")
-  .option("table", …).mode("append")``; partition drop via a
-  ``DELETE WHERE _PARTITIONDATE = …`` passthrough) — the jobs layer
-  would not change. Not shipped here: no cloud in this environment, and
-  the connector jar is not on the classpath.
+  drop, existence probe) on parquet directories.
+  ``BigQueryTableStorage`` (below) implements the same five methods
+  over the public ``spark-bigquery-connector`` surface — appends via
+  the Storage Write API, partition replacement via the connector's
+  ``datePartition`` single-partition overwrite, partition drop via
+  ``$YYYYMMDD`` partition-decorator deletes through an injected
+  client — so the jobs layer runs unchanged. No connector jar or GCP
+  credentials exist in this sandbox, so its contract test drives the
+  identical invocation chain against a registered stand-in Python data
+  source implementing the connector subset
+  (``tests/test_bigquery_binding.py``).
 """
 
 from __future__ import annotations
@@ -231,18 +235,36 @@ class BigQueryTableStorage(TableStorage):
             .option("writeMethod", self.write_method)
         )
 
+    @staticmethod
+    def _is_not_found(exc: Exception) -> bool:
+        """Absence-shaped errors only. A transient 503/auth failure must
+        NOT read as 'table absent' — exists() feeding overwrite_partitions
+        would then silently append instead of replace, duplicating rows."""
+        s = str(exc).lower()
+        return any(
+            marker in s
+            for marker in (
+                "not found", "notfound", "404", "does not exist",
+                "no such file", "table_or_view_not_found", "path does not",
+            )
+        ) or isinstance(exc, FileNotFoundError)
+
     def exists(self, table: str) -> bool:
         if self.client is not None:
             try:
                 self.client.get_table(self.table_ref(table))
                 return True
-            except Exception:
-                return False
+            except Exception as exc:
+                if self._is_not_found(exc):
+                    return False
+                raise  # transient/auth errors surface, never read as absence
         try:  # no client: a schema probe is the cheapest read-side check
             self.read(self.spark, table).schema
             return True
-        except Exception:
-            return False
+        except Exception as exc:
+            if self._is_not_found(exc):
+                return False
+            raise
 
     def append(self, df: DataFrame, table: str, partition_by: list[str],
                fmt: str = "parquet") -> None:
@@ -258,19 +280,48 @@ class BigQueryTableStorage(TableStorage):
                     w.option("partitionField", part_col)
                     .option("partitionType", "DAY")
                 )
+                if len(partition_by) > 1:
+                    # BigQuery supports clustering alongside column
+                    # partitioning: the leading layout columns (e.g. the
+                    # daily table's part_month) become clustered fields
+                    # so their pruning grain survives the binding swap
+                    w = w.option(
+                        "clusteredFields", ",".join(partition_by[:-1])
+                    )
             else:
                 w = w.option("clusteredFields", ",".join(partition_by))
         w.save()
 
     def overwrite_partitions(self, df: DataFrame, table: str,
                              partition_by: list[str]) -> None:
+        # BigQuery's single-partition replace only exists for DAY column
+        # partitioning — loudly refuse layouts this substrate cannot
+        # replace at partition grain (the parquet/txlog bindings can;
+        # silently appending here would duplicate rows instead)
+        part_col = partition_by[-1]
+        part_type = dict(
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ).get(part_col)
+        if part_type != "date":
+            raise NotImplementedError(
+                f"BigQuery partition overwrite needs a DAY-partitioned "
+                f"layout; {part_col!r} is {part_type} — use append(), or "
+                f"a DELETE+append through the client"
+            )
         if not self.exists(table):
             self.append(df, table, partition_by)
             return
-        part_col = partition_by[-1]
         # bounded collect: distinct days in the batch (the same key-list
         # the txlog binding derives)
         days = [r[0] for r in df.select(part_col).distinct().collect()]
+        if any(d is None for d in days):
+            # NULL days land in BigQuery's __NULL__ partition, which the
+            # datePartition option cannot address — refuse rather than
+            # replace the wrong partition
+            raise ValueError(
+                f"NULL {part_col} in overwrite batch for {table!r}: the "
+                f"datePartition replace cannot address the NULL partition"
+            )
         for d in sorted(days, key=str):
             (
                 self._writer(

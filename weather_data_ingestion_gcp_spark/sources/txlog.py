@@ -528,5 +528,8 @@ class TxLogTableStorage:
         col, _, val = spec.partition("=")
         t = self.table(table)
         before = t.version()
-        t.delete_where(self.spark, f"{col} = '{val}'")
+        # null-safe comparator + the escaped literal builder: a partition
+        # value containing quotes/backslashes must not break (or widen)
+        # the delete predicate
+        t.delete_where(self.spark, f"{col} <=> {_sql_lit(val)}")
         return t.version() > before

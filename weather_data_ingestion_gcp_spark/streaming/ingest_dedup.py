@@ -35,8 +35,12 @@ def dedup_ingest_sink(table: TxLogTable, app_id: str, key_cols: list[str]):
 
     Per micro-batch:
 
-    1. in-batch exact dedup on ``key_cols`` (first occurrence wins —
-       ``dropDuplicates`` within the batch);
+    1. in-batch exact dedup on ``key_cols``, DETERMINISTIC winner: the
+       lexicographically-least row (by the non-key columns) survives.
+       ``dropDuplicates`` alone keeps a partitioning-dependent row — a
+       crash replay could then land a different payload than the first
+       attempt computed, breaking exactly-once at the VALUE level even
+       though the key set matches;
     2. anti-join against the current table snapshot, so keys already
        ingested by ANY earlier batch (or an earlier run) never land
        twice;
@@ -49,7 +53,21 @@ def dedup_ingest_sink(table: TxLogTable, app_id: str, key_cols: list[str]):
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = batch_df.dropDuplicates(key_cols)
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        others = [c for c in batch_df.columns if c not in key_cols]
+        if others:
+            w = Window.partitionBy(*key_cols).orderBy(
+                *[F.col(c).asc_nulls_first() for c in others]
+            )
+            fresh = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            fresh = batch_df.dropDuplicates(key_cols)
         if table.exists() and table.active_files():
             existing = (
                 table.read(batch_df.sparkSession).select(*key_cols).distinct()
