@@ -489,3 +489,26 @@ def test_drop_partition_escapes_special_values(spark, tmp_path):
     assert storage.drop_partition("t", "k=o'brien") is True
     assert {r["id"] for r in storage.read(spark, "t").collect()} == {3}
     assert storage.drop_partition("t", "k=never") is False
+
+
+def test_sql_lit_roundtrips_adversarial_strings(spark):
+    """_sql_lit must render ANY string so that `k <=> <lit>` matches
+    exactly that string — quotes, backslashes (including trailing),
+    newlines, and SQL-comment lookalikes. This is the property behind
+    both overwrite_partitions and drop_partition predicates."""
+    from weather_data_ingestion_gcp_spark.sources.txlog import _sql_lit
+
+    adversarial = [
+        "plain", "a\\", "\\", "o'brien", "''", "a\\'b", "x\ny",
+        "-- comment", "%wild%", "_u_", "\\\\'", "a;b", "", "日本語\\",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(adversarial)], "id bigint, k string"
+    )
+    for i, s in enumerate(adversarial):
+        got = [r["id"] for r in df.filter(f"k <=> {_sql_lit(s)}").collect()]
+        assert got == [i], f"literal {s!r} matched {got}"
+    # non-string types keep their typed form
+    assert _sql_lit(None) == "NULL"
+    assert _sql_lit(True) == "TRUE"
+    assert _sql_lit(dt.date(2024, 1, 2)) == "DATE '2024-01-02'"
