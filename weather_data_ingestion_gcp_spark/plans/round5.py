@@ -18,6 +18,13 @@ from .datapipe import _sql_hex4_to_int
 from .registry import ORACLE, load_table, register
 from .round4 import dataset_mix_temperature, join_skew_profile
 
+#: DuckDB-side tokenizer — identical split to operators.text.words
+#: (same fragment as plans.round3b._SQL_WORDS; restated to keep this
+#: module import-light)
+_SQL_WORDS_R5 = (
+    r"list_filter(string_split_regex(lower(d.text), '\s+'), w -> w <> '')"
+)
+
 
 # ---------------------------------------------------------------------------
 # Temperature-mix application: quotas -> keep rates -> actual subsample.
@@ -439,3 +446,125 @@ def event_type_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Distinctive vocabulary per source — smoothed log-odds ratio with an
+# informative 0.5 prior and its z-score (Monroe/Colaresi/Quinn,
+# "Fightin' Words", 2008): the corpus-comparison tool that surfaces
+# WHICH words make a source different, with variance-aware ranking
+# (raw log-odds over-ranks rare words; the z divides by the count-based
+# uncertainty). Parity discipline: each ln() quantizes to nano units
+# IMMEDIATELY (the repo's rule for libm-scored rankings), the z is
+# emitted as an exact micro-unit BIGINT, and ties break on the word —
+# the output is all-integer, so the cross-engine hash cannot drift.
+# ---------------------------------------------------------------------------
+
+_DISTINCT_MIN_CORPUS_COUNT = 20
+_DISTINCT_TOP_K = 5
+
+
+@register(
+    "source_distinctive_terms",
+    oracle=rf"""
+    WITH wx AS (
+        SELECT d.source, unnest({_SQL_WORDS_R5}) AS w
+        FROM documents d
+    ),
+    sw AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS y
+        FROM wx GROUP BY source, w
+    ),
+    wtot AS (
+        SELECT w, CAST(SUM(y) AS BIGINT) AS yw FROM sw GROUP BY w
+        HAVING SUM(y) >= {_DISTINCT_MIN_CORPUS_COUNT}
+    ),
+    stot AS (SELECT source, CAST(SUM(y) AS BIGINT) AS ns FROM sw GROUP BY source),
+    tot AS (SELECT CAST(SUM(y) AS BIGINT) AS n FROM sw),
+    scored AS (
+        SELECT s.source, s.w, s.y,
+               CAST(ROUND(ln((s.y + 0.5) / (st.ns - s.y + 0.5))
+                          * 1000000000, 0) AS BIGINT)
+             - CAST(ROUND(ln((wt.yw - s.y + 0.5)
+                             / (t.n - st.ns - (wt.yw - s.y) + 0.5))
+                          * 1000000000, 0) AS BIGINT) AS lo_nano,
+               sqrt(1.0 / (s.y + 0.5) + 1.0 / (wt.yw - s.y + 0.5)) AS sd
+        FROM sw s
+        JOIN wtot wt ON wt.w = s.w
+        JOIN stot st ON st.source = s.source
+        CROSS JOIN tot t
+    ),
+    z AS (
+        SELECT source, w, y,
+               CAST(ROUND(lo_nano / (1000.0 * sd), 0) AS BIGINT) AS z_micro
+        FROM scored
+    ),
+    ranked AS (
+        SELECT source, w, y, z_micro,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY z_micro DESC, w) AS rk
+        FROM z
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rk, w AS word, y AS n_in_source,
+           z_micro
+    FROM ranked WHERE rk <= {_DISTINCT_TOP_K}
+    ORDER BY source, rk
+    """,
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most distinctive words per source by smoothed log-odds
+    z-score. One corpus tokenization pass collapses to the (source,
+    word) count relation; everything after is vocabulary-sized
+    (word-total and source-total dimensions broadcast). At 100 TB the
+    shuffle carries counts, never text, and the min-corpus-count gate
+    bounds the scored vocabulary."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wx = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    sw = wx.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wtot = (
+        sw.groupBy("w")
+        .agg(F.sum("y").cast("long").alias("yw"))
+        .where(F.col("yw") >= _DISTINCT_MIN_CORPUS_COUNT)
+    )
+    stot = sw.groupBy("source").agg(F.sum("y").cast("long").alias("ns"))
+    tot = sw.agg(F.sum("y").cast("long").alias("n"))
+    lo_nano = (
+        F.round(F.log((F.col("y") + 0.5) / (F.col("ns") - F.col("y") + 0.5)) * 1e9, 0).cast("long")
+        - F.round(
+            F.log(
+                (F.col("yw") - F.col("y") + 0.5)
+                / (F.col("n") - F.col("ns") - (F.col("yw") - F.col("y")) + 0.5)
+            )
+            * 1e9,
+            0,
+        ).cast("long")
+    )
+    sd = F.sqrt(1.0 / (F.col("y") + 0.5) + 1.0 / (F.col("yw") - F.col("y") + 0.5))
+    z = (
+        sw.join(F.broadcast(wtot), "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            "y",
+            F.round(lo_nano / (1000.0 * sd), 0).cast("long").alias("z_micro"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(F.col("z_micro").desc(), "w")
+    return (
+        z.withColumn("rk", F.row_number().over(win).cast("long"))
+        .where(F.col("rk") <= _DISTINCT_TOP_K)
+        .select(
+            "source", "rk", F.col("w").alias("word"),
+            F.col("y").alias("n_in_source"), "z_micro",
+        )
+        .orderBy("source", "rk")
+    )
