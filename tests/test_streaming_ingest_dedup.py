@@ -88,3 +88,41 @@ def test_in_batch_duplicate_winner_is_deterministic(spark, tmp_path):
     # batch 1 saw keys 1,2 already present -> no new rows; batch 0's
     # winner for key 1 must be the least payload regardless of layout
     assert got == {(1, "alpha"), (2, "beta")}
+
+
+def test_null_keys_do_not_reland_across_batches(spark, tmp_path):
+    """The anti-join is null-safe: a NULL-keyed row ingested once must
+    not land again in later batches (plain equi anti-join never matches
+    NULL = NULL)."""
+    t = TxLogTable(str(tmp_path / "docs"))
+    sink = dedup_ingest_sink(t, "q", ["doc_id"])
+    sink(spark.createDataFrame([(None, "nokey"), (1, "one")], _SCHEMA), 0)
+    sink(spark.createDataFrame([(None, "nokey"), (2, "two")], _SCHEMA), 1)
+    rows = [(r["doc_id"], r["text"]) for r in t.read(spark).collect()]
+    assert sorted(rows, key=str) == [(1, "one"), (2, "two"), (None, "nokey")]
+
+
+def test_map_typed_payload_still_ingests(spark, tmp_path):
+    """Non-orderable payload columns (maps) fall back to arbitrary-row
+    dedup instead of crashing the window sort."""
+    t = TxLogTable(str(tmp_path / "docs"))
+    sink = dedup_ingest_sink(t, "q", ["doc_id"])
+    df = spark.createDataFrame(
+        [(1, {"a": "x"}), (1, {"a": "y"}), (2, {"b": "z"})],
+        "doc_id long, attrs map<string,string>",
+    )
+    sink(df, 0)
+    assert sorted(r["doc_id"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_rn_payload_column_survives(spark, tmp_path):
+    """A payload column literally named _rn must not be clobbered by the
+    dedup tiebreak machinery."""
+    t = TxLogTable(str(tmp_path / "docs"))
+    sink = dedup_ingest_sink(t, "q", ["doc_id"])
+    df = spark.createDataFrame(
+        [(1, 77, "a"), (1, 99, "b")], "doc_id long, _rn long, text string"
+    )
+    sink(df, 0)
+    row = t.read(spark).collect()[0]
+    assert row["_rn"] == 77 and row["text"] == "a"  # least tuple wins

@@ -23,7 +23,7 @@ from . import round5  # noqa: F401,E402
 # re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green).
 # Round 5 window = the FINAL 50 never-driver-checked entries (43 round-3
 # leftovers + the 7 round-4 registrations), completing a cumulative
-# 200/200 driver verdict over the ROUND-4 registry (the five queries
+# 200/200 driver verdict over the ROUND-4 registry (the six queries
 # registered in round 5 itself are the planned round-6 window — see
 # COVERAGE.md). Ordering inside the window groups
 # shared-cache consumers adjacently (dedup/shingle block first, then text

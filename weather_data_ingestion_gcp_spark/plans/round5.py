@@ -18,12 +18,10 @@ from .datapipe import _sql_hex4_to_int
 from .registry import ORACLE, load_table, register
 from .round4 import dataset_mix_temperature, join_skew_profile
 
-#: DuckDB-side tokenizer — identical split to operators.text.words
-#: (same fragment as plans.round3b._SQL_WORDS; restated to keep this
-#: module import-light)
-_SQL_WORDS_R5 = (
-    r"list_filter(string_split_regex(lower(d.text), '\s+'), w -> w <> '')"
-)
+#: DuckDB-side tokenizer — the single canonical fragment (mirrors
+#: operators.text.words); imported, not restated, so a tokenizer change
+#: cannot silently diverge between consumers
+from .round3b import _SQL_WORDS as _SQL_WORDS_R5  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -468,8 +466,8 @@ _DISTINCT_TOP_K = 5
     "source_distinctive_terms",
     oracle=rf"""
     WITH wx AS (
-        SELECT d.source, unnest({_SQL_WORDS_R5}) AS w
-        FROM documents d
+        SELECT source, unnest({_SQL_WORDS_R5}) AS w
+        FROM documents
     ),
     sw AS (
         SELECT source, w, CAST(COUNT(*) AS BIGINT) AS y

@@ -239,15 +239,24 @@ class BigQueryTableStorage(TableStorage):
     def _is_not_found(exc: Exception) -> bool:
         """Absence-shaped errors only. A transient 503/auth failure must
         NOT read as 'table absent' — exists() feeding overwrite_partitions
-        would then silently append instead of replace, duplicating rows."""
+        would then silently append instead of replace, duplicating rows.
+        The exception TYPE is checked first (google.api_core's NotFound,
+        Python's FileNotFoundError); the message markers are narrow
+        phrases, deliberately NOT bare status codes like '404' which can
+        appear inside request ids / URLs of transient errors."""
+        if isinstance(exc, FileNotFoundError):
+            return True
+        if "notfound" in type(exc).__name__.lower():
+            return True
         s = str(exc).lower()
         return any(
             marker in s
             for marker in (
-                "not found", "notfound", "404", "does not exist",
-                "no such file", "table_or_view_not_found", "path does not",
+                "not found", "does not exist", "no such file",
+                "table_or_view_not_found", "path_not_found",
+                "path does not exist",
             )
-        ) or isinstance(exc, FileNotFoundError)
+        )
 
     def exists(self, table: str) -> bool:
         if self.client is not None:
@@ -311,26 +320,64 @@ class BigQueryTableStorage(TableStorage):
         if not self.exists(table):
             self.append(df, table, partition_by)
             return
-        # bounded collect: distinct days in the batch (the same key-list
-        # the txlog binding derives)
-        days = [r[0] for r in df.select(part_col).distinct().collect()]
-        if any(d is None for d in days):
-            # NULL days land in BigQuery's __NULL__ partition, which the
-            # datePartition option cannot address — refuse rather than
-            # replace the wrong partition
-            raise ValueError(
-                f"NULL {part_col} in overwrite batch for {table!r}: the "
-                f"datePartition replace cannot address the NULL partition"
-            )
-        for d in sorted(days, key=str):
-            (
-                self._writer(
-                    df.filter(F.col(part_col) == F.lit(d)), table
+        # The plan behind df may be arbitrarily expensive and is consumed
+        # once per distinct day below (plus the key collects) — persist
+        # for the duration instead of recomputing it D+2 times
+        df = df.persist()
+        try:
+            # bounded collect: distinct days in the batch (the same
+            # key-list the txlog binding derives)
+            days = [r[0] for r in df.select(part_col).distinct().collect()]
+            if any(d is None for d in days):
+                # NULL days land in BigQuery's __NULL__ partition, which
+                # the datePartition option cannot address — refuse rather
+                # than replace the wrong partition
+                raise ValueError(
+                    f"NULL {part_col} in overwrite batch for {table!r}: "
+                    f"the datePartition replace cannot address the NULL "
+                    f"partition"
                 )
-                .option("datePartition", self._yyyymmdd(d))
-                .mode("overwrite")
-                .save()
-            )
+            if len(partition_by) > 1:
+                # The seam contract is TUPLE-grain (replace exactly the
+                # (leading…, day) combinations in df); BigQuery's
+                # datePartition replace is DAY-grain. If the table holds
+                # leading-column values for these days that the batch
+                # does not carry, a day overwrite would silently delete
+                # them — refuse loudly instead. (Layouts whose leading
+                # columns are derived from the date, like the daily
+                # table's part_month, always pass this check.)
+                lead = partition_by[:-1]
+                table_tuples = {
+                    tuple(r)
+                    for r in self.read(self.spark, table)
+                    .filter(F.col(part_col).isin(days))
+                    .select(*lead, part_col)
+                    .distinct()
+                    .collect()
+                }
+                batch_tuples = {
+                    tuple(r)
+                    for r in df.select(*lead, part_col).distinct().collect()
+                }
+                lost = table_tuples - batch_tuples
+                if lost:
+                    raise ValueError(
+                        f"day-grain overwrite of {table!r} would drop "
+                        f"existing {lead} combinations not present in "
+                        f"the batch: {sorted(lost, key=str)[:5]} — "
+                        f"include those rows or use a row-grained binding"
+                    )
+            for d in sorted(days, key=str):
+                (
+                    self._writer(
+                        df.filter(F.col(part_col) == F.lit(d)), table
+                    )
+                    .option("datePartition", self._yyyymmdd(d))
+                    .mode("overwrite")
+                    .save()
+                )
+        finally:
+            df.unpersist()
 
     def read(self, spark: SparkSession, table: str, schema=None,
              fmt: str = "parquet") -> DataFrame:

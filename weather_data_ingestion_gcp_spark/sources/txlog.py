@@ -528,8 +528,14 @@ class TxLogTableStorage:
         col, _, val = spec.partition("=")
         t = self.table(table)
         before = t.version()
-        # null-safe comparator + the escaped literal builder: a partition
-        # value containing quotes/backslashes must not break (or widen)
-        # the delete predicate
-        t.delete_where(self.spark, f"{col} <=> {_sql_lit(val)}")
+        # Compare the COLUMN'S STRING FORM against the spec value (specs
+        # are inherently strings, like partition directory names). A bare
+        # `col <=> '<val>'` on a typed column would let a malformed value
+        # coerce to NULL and have the null-safe comparator match every
+        # NULL-partition row — widening the delete. CAST-to-string keeps
+        # the comparison string-vs-string, and _sql_lit escapes
+        # quotes/backslashes so adversarial values cannot break parsing.
+        t.delete_where(
+            self.spark, f"CAST({col} AS STRING) <=> {_sql_lit(val)}"
+        )
         return t.version() > before

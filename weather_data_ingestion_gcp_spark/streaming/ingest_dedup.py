@@ -53,26 +53,60 @@ def dedup_ingest_sink(table: TxLogTable, app_id: str, key_cols: list[str]):
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import functools
+
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
         from pyspark.sql.window import Window
 
-        others = [c for c in batch_df.columns if c not in key_cols]
+        def orderable(dt) -> bool:
+            # MapType cannot be sorted; arrays/structs are orderable iff
+            # their element/field types are
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return orderable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(orderable(f.dataType) for f in dt.fields)
+            return True
+
+        others = [
+            f.name
+            for f in batch_df.schema.fields
+            if f.name not in key_cols and orderable(f.dataType)
+        ]
         if others:
+            # tiebreak column name must not collide with a payload column
+            rn = "_rn"
+            while rn in batch_df.columns:
+                rn = "_" + rn
             w = Window.partitionBy(*key_cols).orderBy(
                 *[F.col(c).asc_nulls_first() for c in others]
             )
             fresh = (
-                batch_df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
+                batch_df.withColumn(rn, F.row_number().over(w))
+                .filter(F.col(rn) == 1)
+                .drop(rn)
             )
         else:
+            # no orderable payload column to break ties on: fall back to
+            # the arbitrary-row semantics (keys still exactly-once)
             fresh = batch_df.dropDuplicates(key_cols)
         if table.exists() and table.active_files():
             existing = (
                 table.read(batch_df.sparkSession).select(*key_cols).distinct()
             )
-            fresh = fresh.join(existing, key_cols, "left_anti")
+            # NULL-SAFE anti-join: a plain equi anti-join never matches
+            # NULL = NULL, so a NULL-keyed row would re-land every batch
+            f, e = fresh.alias("f"), existing.alias("e")
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"f.{k}").eqNullSafe(F.col(f"e.{k}"))
+                    for k in key_cols
+                ],
+            )
+            fresh = f.join(e, cond, "left_anti")
         table.append(fresh, txn=(app_id, int(batch_id)))
 
     return _sink
