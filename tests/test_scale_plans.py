@@ -181,6 +181,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "join_skew_profile",  # 1-row top10-total scalar broadcast
     "mix_apply_temperature",  # 1-row calibration + 1-row kept-total scalar broadcasts
     "event_type_daily_corr",  # bounded |days| x |types| grid densification
+    "source_distinctive_terms",  # 1-row corpus-total scalar broadcast
 }
 
 
