@@ -768,3 +768,31 @@ def test_wav_header_parse_roundtrip(spark):
         assert r["duration_ms"] == ((100 + (i % 50)) * 1000) // 16000
         assert r["format"] == "wav"
     assert out[99]["format"] == "error" and out[99]["sample_rate"] is None
+
+
+def test_blocked_jaccard_mega_block_excluded(spark):
+    """The block-size cap (VERDICT r5): a (lang,source)-style block over
+    the cap is dropped BEFORE pair generation — at 100x scale a dominant
+    block grows linearly and its all-pairs relation quadratically, so
+    mega-blocks must route through the banded LSH/PPJoin paths instead.
+    Small blocks still pair; the capped result is a strict subset of the
+    uncapped one."""
+    rows = (
+        # mega block: 5 near-identical docs -> 10 pairs if uncapped
+        [(i, "grp", "the quick brown fox jumps over dog %d" % i) for i in range(5)]
+        # small block: 2 near-dups -> 1 pair, must survive the cap
+        + [(10, "ok", "completely different content about spark engines"),
+           (11, "ok", "completely different content about spark planes")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, blk string, text string")
+    capped = dedup.blocked_jaccard_pairs(
+        df, "doc_id", "text", ["blk"], shingle_n=2, threshold=0.05,
+        max_block_size=3,
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(10, 11)}
+    uncapped = dedup.blocked_jaccard_pairs(
+        df, "doc_id", "text", ["blk"], shingle_n=2, threshold=0.05
+    )
+    un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert got < un and all(a < 5 and b < 5 for a, b in un - got)

@@ -103,8 +103,8 @@ def test_null_keys_do_not_reland_across_batches(spark, tmp_path):
 
 
 def test_map_typed_payload_still_ingests(spark, tmp_path):
-    """Non-orderable payload columns (maps) fall back to arbitrary-row
-    dedup instead of crashing the window sort."""
+    """Non-orderable payload columns (maps) dedup through the JSON-hash
+    tiebreak instead of crashing the window sort."""
     t = TxLogTable(str(tmp_path / "docs"))
     sink = dedup_ingest_sink(t, "q", ["doc_id"])
     df = spark.createDataFrame(
@@ -113,6 +113,31 @@ def test_map_typed_payload_still_ingests(spark, tmp_path):
     )
     sink(df, 0)
     assert sorted(r["doc_id"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_orderable_tie_with_map_difference_is_deterministic(spark, tmp_path):
+    """Two rows that tie on EVERY orderable payload column but differ in
+    a map column must resolve to the same winner on every partitioning —
+    the JSON-hash tiebreak closes the value-level exactly-once gap that
+    row_number over orderable columns alone leaves open."""
+    schema = "doc_id long, text string, attrs map<string,string>"
+    rows = [
+        (1, "same", {"v": "first"}),
+        (1, "same", {"v": "second"}),
+        (2, "other", {"v": "x"}),
+    ]
+    winners = set()
+    for i, n_parts in enumerate((1, 8)):
+        t = TxLogTable(str(tmp_path / f"docs{i}"))
+        sink = dedup_ingest_sink(t, "q", ["doc_id"])
+        order = rows if i == 0 else list(reversed(rows))
+        batch = spark.createDataFrame(order, schema).repartition(n_parts)
+        sink(batch, 0)
+        got = {r["doc_id"]: r["attrs"]["v"] for r in t.read(spark).collect()}
+        assert set(got) == {1, 2}
+        winners.add(got[1])
+    # same winner under both input orders and partitionings
+    assert len(winners) == 1
 
 
 def test_rn_payload_column_survives(spark, tmp_path):

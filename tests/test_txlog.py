@@ -512,3 +512,48 @@ def test_sql_lit_roundtrips_adversarial_strings(spark):
     assert _sql_lit(None) == "NULL"
     assert _sql_lit(True) == "TRUE"
     assert _sql_lit(dt.date(2024, 1, 2)) == "DATE '2024-01-02'"
+
+
+def test_commit_falls_back_when_hard_links_unsupported(spark, tmp_path, monkeypatch):
+    """Substrates without hard-link support (some FUSE / object-store
+    mounts): os.link raising EPERM/ENOTSUP must fall back to the O_EXCL
+    create+write protocol — commits still publish, and a version race
+    still surfaces as CommitConflict."""
+    import os as _os
+
+    from weather_data_ingestion_gcp_spark.sources.txlog import CommitConflict
+
+    real_link = _os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError(1, "Operation not permitted")  # EPERM
+
+    t = TxLogTable(str(tmp_path / "t"))
+    monkeypatch.setattr(_os, "link", no_link)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    t.append(df)
+    t.append(spark.createDataFrame([(3, "c")], "id bigint, v string"))
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3]
+    # torn-commit discipline still holds: every published version is
+    # complete JSON
+    for name in sorted(_os.listdir(t.log_dir)):
+        if name.endswith(".json"):
+            import json as _json
+
+            with open(_os.path.join(t.log_dir, name)) as f:
+                _json.load(f)
+    # race on the same version number -> CommitConflict for the loser
+    stale = t.version()
+    nxt = stale + 1
+    with open(_os.path.join(t.log_dir, f"{nxt:010d}.json"), "w") as f:
+        f.write('{"version": %d, "op": "append", "add": []}' % nxt)
+    orig = t.version
+    t.version = lambda: stale  # this writer read before the other committed
+    try:
+        t._try_commit({"op": "append", "add": []})
+        raise AssertionError("expected CommitConflict")
+    except CommitConflict:
+        pass
+    finally:
+        t.version = orig
+    monkeypatch.setattr(_os, "link", real_link)

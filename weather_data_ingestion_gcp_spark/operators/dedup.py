@@ -483,11 +483,34 @@ def blocked_jaccard_pairs(
     block_cols: list[str],
     shingle_n: int = 2,
     threshold: float = 0.1,
+    max_block_size: int | None = None,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard inside blocking groups. Blocking bounds the
-    pair count (quadratic only within a block); the actual intersection is
-    still computed by shingle equi-join, not nested loops."""
+    """All-pairs n-gram Jaccard inside blocking groups. The actual
+    intersection is computed by shingle equi-join, not nested loops.
+
+    Blocking bounds the pair count only while blocks stay small: at 100x
+    scale a dominant block (e.g. lang=en, source=web) grows linearly with
+    the corpus, so its within-block pair relation grows QUADRATICALLY
+    before the verify join ever sees it. ``max_block_size`` is the same
+    mega-bucket control the LSH path uses (``minhash_lsh_pairs``
+    max_bucket_size): count rows per block first and drop blocks over the
+    cap entirely — documents in a mega-block should be routed through a
+    banded path (LSH / PPJoin prefix filter) instead, where candidates
+    are sub-linear in block size. ``None`` keeps the uncapped behavior
+    for small-cardinality blocking schemes."""
     base = df.select(F.col(id_col).alias("doc_id"), *block_cols)
+    if max_block_size is not None:
+        ok = (
+            base.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_block_size)
+            .select(*block_cols)
+        )
+        # re-select: a USING join moves the key columns first, which would
+        # silently break the positional toDF renames below
+        base = base.join(ok, block_cols, "left_semi").select(
+            "doc_id", *block_cols
+        )
     sh = shingles(df, id_col, text_col, n=shingle_n)
     a = base.toDF("id_a", *block_cols)
     b = base.toDF("id_b", *block_cols)

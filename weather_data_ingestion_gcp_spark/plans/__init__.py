@@ -20,76 +20,89 @@ from . import round5  # noqa: F401,E402
 # registry entries each round, so ordering is evidence allocation. Rotation
 # history: r1-r2 reference-surface queries (green), r3 the LLM-pipeline block
 # (49/50; the one red fixed + re-proven green r4), r4 the never-green
-# re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green).
-# Round 5 window = the FINAL 50 never-driver-checked entries (43 round-3
-# leftovers + the 7 round-4 registrations), completing a cumulative
-# 200/200 driver verdict over the ROUND-4 registry (the six queries
-# registered in round 5 itself are the planned round-6 window — see
-# COVERAGE.md). Ordering inside the window groups
-# shared-cache consumers adjacently (dedup/shingle block first, then text
-# corpus, embeddings, events analytics, governance) so the persisted
-# relations are built once and stay hottest. Pinned by
+# re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green),
+# r5 the final 50 never-checked entries (50/50 green -> cumulative 200/200
+# over the round-4 registry).
+# Round 6 window = the six round-5 registrations (registered after the r5
+# window froze, so never driver-checked — the one evidence gap VERDICT r5
+# names), plus dedup_ngram_jaccard (its oracle CHANGED this round: the
+# block-size cap landed per VERDICT r5 "What's wrong" — the old green is
+# void), plus 43 re-confirmations of the OLDEST green verdicts (r01/r02
+# windows — they predate the registry-contract, shared-cache, and session
+# changes of r3-r5). The ten r01/r02 entries left out are the one-expression
+# scalar/filter queries (base64, uuid, path stem, regex cleanup, literal
+# date filters, dispatch, sql passthrough) — no aggregates, no floats, no
+# caches, each also pinned by unit tests; every riskier class (windows,
+# percentiles, stats breadth, TPC-H joins, sessionize) re-confirms.
+# Ordering: r5 registrations first, then the dedup entry, then the
+# re-confirmations grouped by shared scan (events block, TPC-H block,
+# breadth suites). approx_distinct_users sits LAST so its evicted
+# RUN_AFTER follower (hll_distinct_contract) runs immediately after the
+# window with the shared relation still hot. Pinned by
 # tests/test_registry_contract so a new registration cannot silently evict
 # driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # dedup / shingle-cache block (builds the shared 8-gram shingle +
-    # verified-pairs relations once, at the front of the suite)
-    "dedup_simhash",
-    "neardup_cluster_stats",
-    "dedup_shrinkage_by_source",
-    "decontaminate_bloom_prefilter",
-    "incremental_ingest_dedup",
-    "split_leakage_safe",
-    "dup_inflation_by_source",
-    "lsh_recall_contract",
-    "dedup_source_syndication",
-    # text / corpus analytics block (shares the tokenized corpus)
-    "text_fingerprint",
-    "ngram_bigram_topk",
-    "quality_repetition_signals",
-    "gopher_repetition_flags",
-    "zipf_slope_by_source",
-    "source_vocab_jaccard",
-    "doc_unigram_logprob",
-    "doc_bigram_interp_logprob",
-    "langid_confusion_matrix",
-    "token_fertility_by_lang",
-    "code_markdown_signals",
-    "shard_pack_by_tokens",
-    "packing_padding_efficiency",
-    "dataset_mix_temperature",
-    # embedding block
-    "vector_l2_normalize",
-    "label_centroid_cosine",
-    "pandas_zscore_normalize",
-    # multimodal
-    "multimodal_payload_meta",
-    # events / analytics block
-    "histogram_event_values",
-    "histogram_equidepth_deciles",
-    "table_checksum_by_flag",
-    "gapfill_daily_interpolation",
-    "dau_wau_engagement",
-    "cube_lang_source_stats",
-    "event_anomaly_zscore",
-    "asof_join_nearest_views",
-    "event_transition_matrix",
-    "attribution_last_touch",
-    "attribution_linear_multi_touch",
-    "conversion_wilson_by_day",
-    "cumulative_distinct_users",
-    "journey_top_paths",
-    "rfm_user_segments",
-    "winsorized_robust_stats",
-    "robust_mad_outlier_counts",
-    "join_skew_profile",
-    # data-quality / governance block
-    "dq_expectation_checks",
-    "profile_table_columns",
-    "k_anonymity_audit",
-    "zorder_layout_buckets",
-    "hll_distinct_contract",
+    # round-5 registrations (never driver-checked)
+    "mix_apply_temperature",
+    "skew_adaptive_salted_agg",
+    "regression_words_chars",
+    "training_shuffle_shards",
+    "event_type_daily_corr",
+    "source_distinctive_terms",
+    # oracle changed this round (block-size cap): needs a fresh verdict
+    "dedup_ngram_jaccard",
+    # --- re-confirmations: oldest (r01/r02) verdicts, stale 4 rounds ---
+    # reference-surface core
+    "clean_restructure_events",
+    "daily_rollup_events",
+    "case_over_aggregate",
+    "month_partition_rollup",
+    "broadcast_route_lookup",
+    # events / analytics block (shares the events scan)
+    "sessionize_events",
+    "sliding_window_agg",
+    "tumbling_window_agg",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "pivot_daily_event_values",
+    "unpivot_event_metrics",
+    "window_rank_functions",
+    "window_topk_per_group",
+    "order_limit_topn",
+    "percentile_stats",
+    "approx_percentile_contract",
+    "distinct_exact",
+    "grouping_rollup",
+    "set_operations",
+    # joins
+    "join_inner_agg",
+    "join_left_order_counts",
+    "join_semi",
+    "join_anti",
+    "join_full_outer_activity",
+    "join_null_safe_buckets",
+    "skew_salted_join_agg",
+    "fuzzy_name_pairs",
+    # TPC-H block (shares lineitem/orders scans)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity_avg",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    # breadth suites
+    "string_function_breadth",
+    "datetime_function_breadth",
+    "array_higher_order_breadth",
+    # sketches (approx_distinct_users LAST: anchor for the evicted
+    # hll_distinct_contract, which follows immediately after the window)
+    "bloom_membership_check",
+    "approx_distinct_kmv",
+    "approx_distinct_users",
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules
@@ -128,11 +141,18 @@ def _apply_driver_window() -> None:
     rest_names = [
         n for n in QUERIES if n not in window and n not in moved
     ]
-    ordered: list[str] = []
+    # followers whose anchor is INSIDE the window run first after it —
+    # the shared relation their anchor persisted is hottest right at the
+    # window boundary (ordered by the anchor's window position so a
+    # window-tail anchor's follower is exactly adjacent)
+    ordered: list[str] = sorted(
+        (m for m, a in moved.items() if a in window),
+        key=lambda m: DRIVER_WINDOW.index(moved[m]),
+    )
     for n in rest_names:
         ordered.append(n)
         ordered.extend(m for m, a in moved.items() if a == n)
-    # anchors inside the window (or missing): append at the tail
+    # anchors not registered at all: append at the tail
     ordered.extend(m for m in moved if m not in ordered)
     rest = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()

@@ -435,7 +435,14 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
         FROM words, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
     ),
-    base AS (SELECT doc_id, lang, source FROM documents),
+    ok AS (
+        SELECT lang, source FROM documents
+        GROUP BY lang, source HAVING COUNT(*) <= 100
+    ),
+    base AS (
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN ok USING (lang, source)
+    ),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM base a JOIN base b ON a.lang = b.lang AND a.source = b.source
@@ -458,9 +465,17 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact bigram-Jaccard near-dup pairs, block size capped at
+    100 (mirrored in the oracle's HAVING): a dominant (lang, source)
+    block grows linearly with the corpus, so uncapped all-pairs within
+    it is quadratic at 100x scale — mega-blocks are excluded here and
+    belong to the banded LSH / PPJoin paths instead. The cap binds at
+    sf0.1 (largest block 112 rows), so the exclusion path is exercised
+    by the standard sweep."""
     d = load_table(spark, sf_dir, "documents")
     out = dedup.blocked_jaccard_pairs(
-        d, "doc_id", "text", block_cols=["lang", "source"], shingle_n=2, threshold=0.05
+        d, "doc_id", "text", block_cols=["lang", "source"], shingle_n=2,
+        threshold=0.05, max_block_size=100,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

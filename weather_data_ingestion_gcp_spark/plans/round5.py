@@ -45,9 +45,14 @@ def _mix_apply_oracle() -> str:
         FROM mix
     ),
     rates AS (
+        -- divide-before-multiply (exact via the remainder term): the
+        -- naive quota_ppm * c can reach n_docs * 1e12 and overflow
+        -- BIGINT at very large corpora; this form's intermediates are
+        -- bounded by max(keep_ppm, quota_ppm * (n_docs - 1)) ~ 1e6 * n_docs
         SELECT source, n_docs,
-               CAST((quota_ppm * (SELECT c FROM cal)) // n_docs AS BIGINT)
-                 AS keep_ppm
+               CAST(quota_ppm * ((SELECT c FROM cal) // n_docs)
+                    + (quota_ppm * ((SELECT c FROM cal) % n_docs)) // n_docs
+                 AS BIGINT) AS keep_ppm
         FROM mix
     ),
     kept AS (
@@ -90,7 +95,15 @@ def mix_apply_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.expr("(quota_ppm * c) div n_docs").cast("long").alias("keep_ppm"),
+            # divide-before-multiply, exact via the remainder term:
+            # (q*c) div n == q*(c div n) + (q*(c mod n)) div n for
+            # non-negative integers — intermediates stay <= ~1e6 * n_docs
+            # (BIGINT-safe to n_docs ~ 9e12) where the naive product
+            # could silently wrap in non-ANSI Spark while DuckDB raises
+            F.expr(
+                "quota_ppm * (c div n_docs)"
+                " + (quota_ppm * (c % n_docs)) div n_docs"
+            ).cast("long").alias("keep_ppm"),
         )
     )
     d = load_table(spark, sf_dir, "documents")

@@ -398,5 +398,10 @@ class BigQueryTableStorage(TableStorage):
         try:
             self.client.delete_table(ref)
             return True
-        except Exception:
-            return False
+        except Exception as exc:
+            # mirror exists(): only absence-shaped errors read as "partition
+            # absent" — a transient 503/auth failure must surface, or
+            # cleanup_hourly would silently under-report retention drops
+            if self._is_not_found(exc):
+                return False
+            raise

@@ -32,6 +32,7 @@ so the table relocates with a rename.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import time
@@ -117,6 +118,34 @@ class TxLogTable:
             os.link(tmp, path)
         except FileExistsError as exc:
             raise CommitConflict(f"version {v} already committed") from exc
+        except OSError as exc:
+            if exc.errno not in (
+                errno.EPERM,
+                errno.EACCES,
+                errno.EOPNOTSUPP,
+                getattr(errno, "ENOTSUP", errno.EOPNOTSUPP),
+                errno.EMLINK,
+                errno.EXDEV,
+            ):
+                raise
+            # Substrate without hard-link support (some FUSE / object-store
+            # mounts): fall back to the O_EXCL create+write protocol. Still
+            # an atomic ARBITER (two racing writers cannot both create), but
+            # a crash mid-write can leave a torn JSON at the version path —
+            # the link path stays the default because it closes exactly that
+            # window; this branch only trades it back for substrates where
+            # link() cannot work at all.
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError as exc2:
+                raise CommitConflict(
+                    f"version {v} already committed"
+                ) from exc2
+            with os.fdopen(fd, "w") as out:
+                with open(tmp) as src:
+                    out.write(src.read())
+                out.flush()
+                os.fsync(out.fileno())
         finally:
             os.unlink(tmp)
         return v

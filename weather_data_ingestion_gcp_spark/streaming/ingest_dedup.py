@@ -36,11 +36,13 @@ def dedup_ingest_sink(table: TxLogTable, app_id: str, key_cols: list[str]):
     Per micro-batch:
 
     1. in-batch exact dedup on ``key_cols``, DETERMINISTIC winner: the
-       lexicographically-least row (by the non-key columns) survives.
-       ``dropDuplicates`` alone keeps a partitioning-dependent row — a
-       crash replay could then land a different payload than the first
-       attempt computed, breaking exactly-once at the VALUE level even
-       though the key set matches;
+       lexicographically-least row by the orderable non-key columns, with
+       a JSON-hash tiebreak over any non-orderable columns (maps) so
+       rows that tie on every orderable column still resolve to a stable
+       winner. ``dropDuplicates`` alone keeps a partitioning-dependent
+       row — a crash replay could then land a different payload than the
+       first attempt computed, breaking exactly-once at the VALUE level
+       even though the key set matches;
     2. anti-join against the current table snapshot, so keys already
        ingested by ANY earlier batch (or an earlier run) never land
        twice;
@@ -70,27 +72,43 @@ def dedup_ingest_sink(table: TxLogTable, app_id: str, key_cols: list[str]):
                 return all(orderable(f.dataType) for f in dt.fields)
             return True
 
-        others = [
-            f.name
-            for f in batch_df.schema.fields
-            if f.name not in key_cols and orderable(f.dataType)
-        ]
-        if others:
+        payload = [f for f in batch_df.schema.fields if f.name not in key_cols]
+        others = [f.name for f in payload if orderable(f.dataType)]
+        non_orderable = sorted(
+            f.name for f in payload if not orderable(f.dataType)
+        )
+        order_keys = [F.col(c).asc_nulls_first() for c in others]
+        if non_orderable:
+            # Rows can tie on every ORDERABLE payload column while
+            # differing in a non-orderable one (e.g. a map) — row_number
+            # over the orderable columns alone would then pick a
+            # partitioning-dependent row, and a crash replay could land a
+            # different payload (breaking value-level exactly-once). Final
+            # tiebreak: a hash of the JSON rendering of the non-orderable
+            # columns. Replay recomputes the batch from the same source
+            # bytes through the same plan, so each row re-serializes
+            # identically and the hash-least winner is stable. (Two
+            # SEMANTICALLY equal maps built in different key orders hash
+            # differently — that only changes WHICH duplicate wins, never
+            # the determinism of the choice.)
+            order_keys.append(
+                F.xxhash64(
+                    F.to_json(F.struct(*[F.col(c) for c in non_orderable]))
+                ).asc()
+            )
+        if order_keys:
             # tiebreak column name must not collide with a payload column
             rn = "_rn"
             while rn in batch_df.columns:
                 rn = "_" + rn
-            w = Window.partitionBy(*key_cols).orderBy(
-                *[F.col(c).asc_nulls_first() for c in others]
-            )
+            w = Window.partitionBy(*key_cols).orderBy(*order_keys)
             fresh = (
                 batch_df.withColumn(rn, F.row_number().over(w))
                 .filter(F.col(rn) == 1)
                 .drop(rn)
             )
         else:
-            # no orderable payload column to break ties on: fall back to
-            # the arbitrary-row semantics (keys still exactly-once)
+            # keys-only rows: any row IS the canonical row
             fresh = batch_df.dropDuplicates(key_cols)
         if table.exists() and table.active_files():
             existing = (
