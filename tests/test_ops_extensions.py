@@ -770,17 +770,18 @@ def test_wav_header_parse_roundtrip(spark):
     assert out[99]["format"] == "error" and out[99]["sample_rate"] is None
 
 
-def test_blocked_jaccard_mega_block_excluded(spark):
-    """The block-size cap (VERDICT r5): a (lang,source)-style block over
-    the cap is dropped BEFORE pair generation — at 100x scale a dominant
-    block grows linearly and its all-pairs relation quadratically, so
-    mega-blocks must route through the banded LSH/PPJoin paths instead.
-    Small blocks still pair; the capped result is a strict subset of the
-    uncapped one."""
+def test_blocked_jaccard_mega_block_sub_blocked(spark):
+    """The block-size cap (VERDICT r5): a block over the cap is
+    deterministically hash-split into ceil(n/cap) sub-blocks BEFORE pair
+    generation — at 100x scale a dominant block grows linearly and its
+    all-pairs relation quadratically; sub-blocking bounds total pairs at
+    ~N*cap/2 (linear). Blocks at or under the cap are untouched (one
+    sub-block == uncapped); over-cap blocks lose exactly the
+    cross-sub-block pairs, deterministically (md5-hex4 of doc_id)."""
     rows = (
         # mega block: 5 near-identical docs -> 10 pairs if uncapped
         [(i, "grp", "the quick brown fox jumps over dog %d" % i) for i in range(5)]
-        # small block: 2 near-dups -> 1 pair, must survive the cap
+        # small block (2 <= cap): must behave exactly as uncapped
         + [(10, "ok", "completely different content about spark engines"),
            (11, "ok", "completely different content about spark planes")]
     )
@@ -790,9 +791,12 @@ def test_blocked_jaccard_mega_block_excluded(spark):
         max_block_size=3,
     )
     got = {(r.id_a, r.id_b) for r in capped.collect()}
-    assert got == {(10, 11)}
+    # md5-hex4 % 2 buckets for ids 0..4: {1,2} and {0,3,4} -> only
+    # same-bucket pairs survive in the mega block; small block intact
+    assert got == {(10, 11), (1, 2), (0, 3), (0, 4), (3, 4)}
     uncapped = dedup.blocked_jaccard_pairs(
         df, "doc_id", "text", ["blk"], shingle_n=2, threshold=0.05
     )
     un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    # strict subset: only cross-sub-block mega pairs were dropped
     assert got < un and all(a < 5 and b < 5 for a, b in un - got)

@@ -1,0 +1,105 @@
+"""Empirical 10x scale probe (VERDICT r5 task 3).
+
+Runs a fixed list of the most expensive documents/events/embeddings
+queries at one sf dir, each COLD then WARM (second run, shared caches
+hot), and prints one JSON line. Run it once per SF in SEPARATE processes
+(session-persisted caches must not leak across data scales):
+
+    python tools/scale_probe.py /root/testdata/sf0.1   > /tmp/probe01.json
+    python tools/scale_probe.py .scaleprobe/sf1        > /tmp/probe1.json
+    python tools/scale_probe.py --compare /tmp/probe01.json /tmp/probe1.json
+
+--compare emits the per-query scaling exponent table for BASELINE.md:
+exponent = log(t_sf1 / t_sf0.1) / log(10) on the warm times — 1.0 is
+linear, < 1 sub-linear (fixed overhead or caps binding), > 1
+super-linear (needs a written explanation or a fix).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+PROBE_QUERIES = [
+    # the top-10 isolated-warm from BENCH_FULL r5, all documents/
+    # embeddings-family, plus one events-family representative each for
+    # scan-agg (daily_rollup_events) and window (sessionize_events)
+    "dedup_clusters_star",
+    "graph_pagerank_neardup",
+    "decontaminate_bloom_prefilter",
+    "similarity_ann_ivf_kmeans",
+    "dedup_ngram_jaccard",
+    "decontaminate_ngram_exact",
+    "minhash_estimate_contract",
+    "neardup_cluster_stats",
+    # NOT lsh_recall_contract: its full-corpus PPJoin ground truth is
+    # quadratic under the generator's fixed vocabulary and spilled >80 GB
+    # at sf1 (the probe's first real finding — see BASELINE.md round 6);
+    # the sampled companion is the scale path and is probed instead
+    "lsh_recall_contract_sampled",
+    "bpe_char_pair_counts",
+    "dedup_simhash",
+    "dedup_semantic_prune",
+    "dedup_minhash_lsh",
+    "daily_rollup_events",
+    "sessionize_events",
+]
+
+
+def run(sf_dir: str) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from weather_data_ingestion_gcp_spark.plans import QUERIES
+    from weather_data_ingestion_gcp_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["daily_rollup_events"](spark, sf_dir).collect()  # JVM warm
+
+    out: dict[str, dict] = {}
+    for name in PROBE_QUERIES:
+        fn = QUERIES[name]
+        spark._jvm.System.gc()
+        try:
+            t0 = time.time()
+            n = fn(spark, sf_dir).toArrow().num_rows
+            cold = time.time() - t0
+            t0 = time.time()
+            fn(spark, sf_dir).toArrow()
+            warm = time.time() - t0
+        except Exception as exc:  # a blown query must not kill the probe
+            out[name] = {"error": f"{type(exc).__name__}"}
+            print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+            continue
+        out[name] = {"cold": round(cold, 3), "warm": round(warm, 3), "rows": n}
+        print(f"# {name}: cold {cold:.2f}s warm {warm:.2f}s ({n} rows)",
+              file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "queries": out}))
+    return 0
+
+
+def compare(a_path: str, b_path: str) -> int:
+    a = json.load(open(a_path))
+    b = json.load(open(b_path))
+    print(f"| query | {a['sf_dir']} warm | {b['sf_dir']} warm | exponent | rows 1x -> 10x |")
+    print("|---|---|---|---|---|")
+    for name, qa in a["queries"].items():
+        qb = b["queries"].get(name)
+        if not qb or "warm" not in qa or "warm" not in qb:
+            err = (qa.get("error") or (qb or {}).get("error")) if qb else "missing"
+            print(f"| {name} | — | — | BLOWN ({err}) | — |")
+            continue
+        exp = math.log(max(qb["warm"], 1e-3) / max(qa["warm"], 1e-3)) / math.log(10)
+        print(
+            f"| {name} | {qa['warm']:.2f}s | {qb['warm']:.2f}s "
+            f"| {exp:.2f} | {qa['rows']} -> {qb['rows']} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "--compare":
+        sys.exit(compare(sys.argv[2], sys.argv[3]))
+    sys.exit(run(sys.argv[1]))

@@ -491,26 +491,41 @@ def blocked_jaccard_pairs(
     Blocking bounds the pair count only while blocks stay small: at 100x
     scale a dominant block (e.g. lang=en, source=web) grows linearly with
     the corpus, so its within-block pair relation grows QUADRATICALLY
-    before the verify join ever sees it. ``max_block_size`` is the same
-    mega-bucket control the LSH path uses (``minhash_lsh_pairs``
-    max_bucket_size): count rows per block first and drop blocks over the
-    cap entirely — documents in a mega-block should be routed through a
-    banded path (LSH / PPJoin prefix filter) instead, where candidates
-    are sub-linear in block size. ``None`` keeps the uncapped behavior
-    for small-cardinality blocking schemes."""
+    before the verify join ever sees it. ``max_block_size`` caps that:
+    every block is deterministically hash-split into ceil(n/cap) salted
+    sub-blocks (the repo-standard md5-hex4 bucket of doc_id, so any SQL
+    engine reproduces the split), and pairs are generated within a
+    sub-block only. Blocks at or under the cap get ONE sub-block —
+    identical to uncapped — so the cap only changes behavior where the
+    quadratic would bite. Total pair count is bounded by ~N*cap/2
+    (LINEAR in corpus size at fixed cap), at a known, deterministic
+    recall cost: a pair whose members hash to different sub-blocks is
+    missed — at 100 TB, candidates in mega-blocks belong to the banded
+    paths (LSH / PPJoin) anyway; this keeps the exact path useful and
+    bounded instead of useless. ``None`` keeps uncapped behavior for
+    small-cardinality blocking schemes. Empirical: the sf0.1 -> sf1
+    (10x) probe measured 0 super-linear growth with cap=100 (BASELINE.md
+    round-6 table)."""
     base = df.select(F.col(id_col).alias("doc_id"), *block_cols)
     if max_block_size is not None:
-        ok = (
+        counts = (
             base.groupBy(*block_cols)
             .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_block_size)
-            .select(*block_cols)
         )
+        # integer ceil-div (float division + cast could round at scale)
+        n_sub = F.expr(
+            f"(_bn + {int(max_block_size) - 1}) div {int(max_block_size)}"
+        )
+        hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        salt = F.conv(hex4, 16, 10).cast("long") % n_sub
         # re-select: a USING join moves the key columns first, which would
-        # silently break the positional toDF renames below
-        base = base.join(ok, block_cols, "left_semi").select(
-            "doc_id", *block_cols
+        # silently break the positional toDF renames below. counts is
+        # block-cardinality-sized -> broadcast side of this join.
+        base = (
+            base.join(F.broadcast(counts), block_cols)
+            .select("doc_id", *block_cols, salt.alias("_sub"))
         )
+        block_cols = [*block_cols, "_sub"]
     sh = shingles(df, id_col, text_col, n=shingle_n)
     a = base.toDF("id_a", *block_cols)
     b = base.toDF("id_b", *block_cols)

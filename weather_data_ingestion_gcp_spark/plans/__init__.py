@@ -14,6 +14,7 @@ from . import round3  # noqa: F401,E402
 from . import round3b  # noqa: F401,E402
 from . import round4  # noqa: F401,E402
 from . import round5  # noqa: F401,E402
+from . import round6  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50

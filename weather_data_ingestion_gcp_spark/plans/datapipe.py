@@ -16,23 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sampling, text
-from .registry import load_table, register
+from .registry import load_table, register, _sql_hex4_to_int  # noqa: F401 (re-export)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _sql_hex4_to_int(key_sql: str) -> str:
-    """DuckDB expression: first 4 hex chars of md5(key) as an integer —
-    mirrors sampling.hash_bucket's F.conv(substring(md5(key),1,4),16,10)."""
-    digit = (
-        "(strpos('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), {i}, 1)) - 1)"
-    )
-    terms = [
-        f"{digit.format(k=key_sql, i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
-    ]
-    return "(" + " + ".join(terms) + ")"
+
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, graph, multimodal, similarity, text
+from .registry import _sql_hex4_to_int
 from .registry import load_table, register
 
 # DuckDB fragment: distinct lowercase whitespace tokens, one row per (doc_id, token).
@@ -423,9 +424,14 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+#: DuckDB md5-hex4 bucket of d.doc_id (mirrors sampling.hash_bucket) —
+#: the sub-block salt both engines must compute identically
+_HEX4_DOC = _sql_hex4_to_int("d.doc_id")
+
+
 @register(
     "dedup_ngram_jaccard",
-    oracle=r"""
+    oracle=rf"""
     WITH words AS (
         SELECT doc_id, lang, source,
                list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
@@ -435,17 +441,19 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
         FROM words, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
     ),
-    ok AS (
-        SELECT lang, source FROM documents
-        GROUP BY lang, source HAVING COUNT(*) <= 100
+    bn AS (
+        SELECT lang, source, COUNT(*) AS n FROM documents
+        GROUP BY lang, source
     ),
     base AS (
-        SELECT d.doc_id, d.lang, d.source
-        FROM documents d JOIN ok USING (lang, source)
+        SELECT d.doc_id, d.lang, d.source,
+               ({_HEX4_DOC}) % ((bn.n + 99) // 100) AS sub
+        FROM documents d JOIN bn USING (lang, source)
     ),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM base a JOIN base b ON a.lang = b.lang AND a.source = b.source
+        FROM base a JOIN base b
+        ON a.lang = b.lang AND a.source = b.source AND a.sub = b.sub
         WHERE a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -466,12 +474,14 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact bigram-Jaccard near-dup pairs, block size capped at
-    100 (mirrored in the oracle's HAVING): a dominant (lang, source)
-    block grows linearly with the corpus, so uncapped all-pairs within
-    it is quadratic at 100x scale — mega-blocks are excluded here and
-    belong to the banded LSH / PPJoin paths instead. The cap binds at
-    sf0.1 (largest block 112 rows), so the exclusion path is exercised
-    by the standard sweep."""
+    100 by deterministic hash sub-blocking (mirrored in the oracle): a
+    dominant (lang, source) block grows linearly with the corpus, so
+    uncapped all-pairs within it is quadratic at 100x scale. Over-cap
+    blocks are split into ceil(n/100) md5-hex4 sub-blocks and pairs are
+    generated within a sub-block only — total pair count ~N*50, linear,
+    at a deterministic recall cost (cross-sub pairs belong to the banded
+    LSH / PPJoin paths). The cap binds at sf0.1 (largest block 112
+    rows), so the sub-block path is exercised by the standard sweep."""
     d = load_table(spark, sf_dir, "documents")
     out = dedup.blocked_jaccard_pairs(
         d, "doc_id", "text", block_cols=["lang", "source"], shingle_n=2,

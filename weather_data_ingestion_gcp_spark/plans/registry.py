@@ -73,6 +73,16 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: (applicationId, sf_dir, table) -> analyzed DataFrame. DataFrames are
+#: immutable logical plans, so handing every caller the same object is
+#: safe — and skips the per-call spark.read.parquet re-analysis (file
+#: listing + footer schema read + py4j round trips, measured ~0.12 s per
+#: call at sf0.1, the single largest share of the 0.70 s/query suite
+#: floor). Bounded: #tables x #sf_dirs per session. NOT a data cache —
+#: execution still scans parquet, so pushdown/pruning are unaffected.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table. Plain columnar scan —
     filters/projections applied downstream push into this scan
@@ -83,6 +93,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (integer division — double division would lose precision at 1e18),
     matching DuckDB's own nanos->micros truncation.
     """
+    key = (spark.sparkContext.applicationId, str(sf_dir), name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -118,3 +138,17 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """Register views, then run one ANSI-SQL query against them."""
     register_views(spark, sf_dir)
     return spark.sql(sql)
+
+
+def _sql_hex4_to_int(key_sql: str) -> str:
+    """DuckDB expression: first 4 hex chars of md5(key) as an integer —
+    mirrors sampling.hash_bucket's F.conv(substring(md5(key),1,4),16,10).
+    Lives here (not datapipe) so any plan module can build oracles with
+    it without perturbing registration order."""
+    digit = (
+        "(strpos('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), {i}, 1)) - 1)"
+    )
+    terms = [
+        f"{digit.format(k=key_sql, i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
+    ]
+    return "(" + " + ".join(terms) + ")"

@@ -878,11 +878,13 @@ def _ppjoin_oracle() -> str:
     """
 
 
-@register("ppjoin_prefix_similarity", oracle=_ppjoin_oracle())
-def ppjoin_prefix_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ppjoin_pairs_frame(d: DataFrame) -> DataFrame:
+    """The PPJoin pipeline over an arbitrary documents frame (doc_id,
+    text) — shared by the registered query (full corpus) and the sampled
+    recall contract (plans/round6.py), so ground truth cannot drift
+    between the two. Returns unordered (id_a, id_b, jaccard)."""
     from ..operators import dedup
 
-    d = load_table(spark, sf_dir, "documents")
     # the shingle relation feeds ranking AND both verify legs (3 scans in
     # one plan) — persist it; CacheManager dedupes with the minhash
     # family's identical shingle cache, so no extra footprint
@@ -921,12 +923,17 @@ def ppjoin_prefix_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the (tiny) verified pair set: the recall contract re-runs
     # this exact pipeline as its ground truth and CacheManager serves it
     # from this entry instead of re-joining
-    out = dedup.cache_pairs_frame(
+    return dedup.cache_pairs_frame(
         ov.filter(jac >= _PPJ_T).select(
             "id_a", "id_b", F.round(jac, 6).alias("jaccard")
         )
     )
-    return out.orderBy("id_a", "id_b")
+
+
+@register("ppjoin_prefix_similarity", oracle=_ppjoin_oracle())
+def ppjoin_prefix_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ppjoin_pairs_frame(d).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
