@@ -85,3 +85,156 @@ def lsh_recall_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_ppm"),
         (F.col("n_hit") * F.lit(1000000.0) / denom >= 900000).alias("recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-style n-gram overlap eval (round-6 breadth): the summarization/
+# generation eval primitive — ROUGE-1 and ROUGE-2 precision / recall / F1
+# with CLIPPED bag counts (overlap per gram = min(count_cand, count_ref),
+# Lin 2004), between deterministically paired documents (candidate =
+# even doc_id, reference = the next doc_id; a production run swaps in a
+# (cand_id, ref_id) pairing table — the plan shape is identical).
+#
+# Scale: everything is keyed by (pair_id, gram) — one hash aggregate for
+# per-doc gram bags, one equi-join per metric order, partial aggregation
+# before every shuffle, no pair x pair growth anywhere. All integer ppm
+# (floor division both engines), so the hash compare is exact.
+# ---------------------------------------------------------------------------
+
+_SQL_WORDS_R6 = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
+
+
+def _rouge_oracle() -> str:
+    def metric(tag: str, grams: str) -> str:
+        return f"""
+    a{tag} AS (SELECT doc_id AS pair_id, g, c FROM {grams} WHERE doc_id % 2 = 0),
+    b{tag} AS (SELECT doc_id - 1 AS pair_id, g, c FROM {grams} WHERE doc_id % 2 = 1),
+    ov{tag} AS (
+        SELECT a.pair_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS n_ov
+        FROM a{tag} a JOIN b{tag} b ON a.pair_id = b.pair_id AND a.g = b.g
+        GROUP BY a.pair_id
+    ),
+    ta{tag} AS (SELECT pair_id, CAST(SUM(c) AS BIGINT) AS n FROM a{tag} GROUP BY pair_id),
+    tb{tag} AS (SELECT pair_id, CAST(SUM(c) AS BIGINT) AS n FROM b{tag} GROUP BY pair_id)"""
+
+    return f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_R6} AS ws FROM documents),
+    uni AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(ws) AS g FROM w) GROUP BY doc_id, g
+    ),
+    big AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+              FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i))
+        GROUP BY doc_id, g
+    ),
+    pairs AS (
+        SELECT a.doc_id AS pair_id FROM documents a
+        JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+    ),{metric("1", "uni")},{metric("2", "big")}
+    SELECT p.pair_id,
+           COALESCE(ov1.n_ov, 0) * 1000000 // NULLIF(ta1.n, 0) AS rouge1_p_ppm,
+           COALESCE(ov1.n_ov, 0) * 1000000 // NULLIF(tb1.n, 0) AS rouge1_r_ppm,
+           (2 * (COALESCE(ov1.n_ov, 0) * 1000000 // NULLIF(ta1.n, 0))
+              * (COALESCE(ov1.n_ov, 0) * 1000000 // NULLIF(tb1.n, 0)))
+             // NULLIF((COALESCE(ov1.n_ov, 0) * 1000000 // NULLIF(ta1.n, 0))
+                     + (COALESCE(ov1.n_ov, 0) * 1000000 // NULLIF(tb1.n, 0)), 0)
+             AS rouge1_f_ppm,
+           COALESCE(ov2.n_ov, 0) * 1000000 // NULLIF(ta2.n, 0) AS rouge2_p_ppm,
+           COALESCE(ov2.n_ov, 0) * 1000000 // NULLIF(tb2.n, 0) AS rouge2_r_ppm,
+           (2 * (COALESCE(ov2.n_ov, 0) * 1000000 // NULLIF(ta2.n, 0))
+              * (COALESCE(ov2.n_ov, 0) * 1000000 // NULLIF(tb2.n, 0)))
+             // NULLIF((COALESCE(ov2.n_ov, 0) * 1000000 // NULLIF(ta2.n, 0))
+                     + (COALESCE(ov2.n_ov, 0) * 1000000 // NULLIF(tb2.n, 0)), 0)
+             AS rouge2_f_ppm
+    FROM pairs p
+    LEFT JOIN ov1 USING (pair_id) LEFT JOIN ta1 USING (pair_id)
+    LEFT JOIN tb1 USING (pair_id)
+    LEFT JOIN ov2 USING (pair_id) LEFT JOIN ta2 USING (pair_id)
+    LEFT JOIN tb2 USING (pair_id)
+    ORDER BY pair_id
+    """
+
+
+@register("rouge_overlap_eval", oracle=_rouge_oracle())
+def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 P/R/F1 (clipped bag counts, integer ppm) between
+    adjacent-doc_id pairs. See the block comment above for semantics and
+    the scale argument; NULL ppm where a side has no grams of that
+    order (division guarded by NULLIF on both engines)."""
+    from ..operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", text_ops.words(F.col("text")).alias("ws"))
+    uni = (
+        w.select("doc_id", F.explode("ws").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bag bigrams (NOT the distinct shingles relation): same
+    # projection-barrier discipline as dedup.shingles — ws materializes
+    # in its own select before the multi-reference lambda
+    big_arr = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    big = (
+        w.select("doc_id", F.explode(big_arr).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("pair_id"))
+        .join(
+            d.select((F.col("doc_id") - 1).alias("pair_id")),
+            "pair_id",
+            "left_semi",
+        )
+    )
+
+    def metric(grams: DataFrame, tag: str) -> DataFrame:
+        a = grams.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("pair_id"), "g", F.col("c").alias("ca")
+        )
+        b = grams.filter(F.col("doc_id") % 2 == 1).select(
+            (F.col("doc_id") - 1).alias("pair_id"), "g", F.col("c").alias("cb")
+        )
+        ov = (
+            a.join(b, ["pair_id", "g"])
+            .groupBy("pair_id")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias(f"ov{tag}"))
+        )
+        ta = a.groupBy("pair_id").agg(
+            F.sum("ca").cast("long").alias(f"ta{tag}")
+        )
+        tb = b.groupBy("pair_id").agg(
+            F.sum("cb").cast("long").alias(f"tb{tag}")
+        )
+        return ta.join(tb, "pair_id", "full").join(ov, "pair_id", "left")
+
+    out = (
+        pairs.join(metric(uni, "1"), "pair_id", "left")
+        .join(metric(big, "2"), "pair_id", "left")
+    )
+
+    def ppm(tag: str) -> list:
+        o = f"coalesce(ov{tag}, 0) * 1000000"
+        p = f"({o}) div nullif(ta{tag}, 0)"
+        r = f"({o}) div nullif(tb{tag}, 0)"
+        return [
+            F.expr(p).cast("long").alias(f"rouge{tag}_p_ppm"),
+            F.expr(r).cast("long").alias(f"rouge{tag}_r_ppm"),
+            F.expr(f"(2 * ({p}) * ({r})) div nullif(({p}) + ({r}), 0)")
+            .cast("long")
+            .alias(f"rouge{tag}_f_ppm"),
+        ]
+
+    return out.select("pair_id", *ppm("1"), *ppm("2")).orderBy("pair_id")
