@@ -176,6 +176,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "doc_bigram_interp_logprob",  # 1-row (n, v) corpus-totals scalar broadcast
     "lsh_recall_contract",  # two 1-row count aggregates cross-joined
     "lsh_recall_contract_sampled",  # same two 1-row aggregates, sampled corpus
+    "rerank_two_stage_topk",  # broadcast 8-query retrieval stage (brute_force_topk shape)
     "lm_eval_train_test_split",  # 1-row (n, v) train-totals scalar broadcast
     "decontaminate_bloom_prefilter",  # 1-row packed-bitset (128 KB) broadcast
     "dataset_mix_temperature",  # 1-row quantized-total scalar broadcast

@@ -20,7 +20,7 @@ companion that survives the 10x probe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, sampling
@@ -238,3 +238,131 @@ def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     return out.select("pair_id", *ppm("1"), *ppm("2")).orderBy("pair_id")
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieve -> rerank (round-6 breadth, VERDICT r5 task-7
+# option): the cross-encoder serving shape — a cheap bi-encoder
+# retrieval (broadcast queries, corpus scan, per-query top-20 cosine)
+# followed by an expensive scorer applied ONLY to the retrieved
+# candidates (8 x 20 rows, never the corpus). The rerank scorer here is
+# a deterministic late-interaction stand-in (a real cross-encoder is a
+# model call — the Spark-side plumbing, candidate-only invocation, and
+# plan shape are exactly what it would use): per-dimension signed-
+# overlap on milli-quantized components,
+#   score = sum_i least(|q_i|, |c_i|) * sign(q_i) * sign(c_i)
+# — exact BIGINT on both engines (the repo's integer-quantization
+# discipline), so the reranked order hash-checks with no float
+# comparator exposure.
+#
+# Scale: stage 1 is the audited brute_force_topk shape (corpus never
+# shuffles; swap in IVF/LSH retrieval at 100 TB unchanged); stage 2
+# touches |Q| x 20 rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_RERANK_TERM = (
+    "LEAST(ABS(qm[i]), ABS(cm[i]))"
+    " * (CASE WHEN qm[i] > 0 THEN 1 WHEN qm[i] < 0 THEN -1 ELSE 0 END)"
+    " * (CASE WHEN cm[i] > 0 THEN 1 WHEN cm[i] < 0 THEN -1 ELSE 0 END)"
+)
+
+_RERANK_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT q_id, n_id,
+               list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS sim
+        FROM q CROSS JOIN c
+        WHERE q_id <> n_id
+    ),
+    cand AS (
+        SELECT q_id, n_id, rk_retrieval FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, n_id) AS rk_retrieval
+            FROM scored)
+        WHERE rk_retrieval <= 20
+    ),
+    quant AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS m
+        FROM embeddings
+    ),
+    rescored AS (
+        SELECT cand.q_id, cand.n_id, cand.rk_retrieval,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(qm)),
+                   i -> {_RERANK_TERM})) AS BIGINT) AS rerank_score
+        FROM cand
+        JOIN (SELECT vec_id, m AS qm FROM quant) qq ON qq.vec_id = cand.q_id
+        JOIN (SELECT vec_id, m AS cm FROM quant) cc ON cc.vec_id = cand.n_id
+    )
+    SELECT q_id, n_id, rerank_score, rk_retrieval,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY rerank_score DESC, n_id)
+                AS BIGINT) AS rk_rerank
+    FROM rescored
+    QUALIFY rk_rerank <= 5
+    ORDER BY q_id, rk_rerank
+    """
+
+
+@register("rerank_two_stage_topk", oracle=_RERANK_ORACLE)
+def rerank_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-encoder top-20 retrieval -> candidate-only signed-overlap
+    rerank -> top-5 per query. See the block comment for the scorer and
+    scale argument."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cand = similarity.brute_force_topk(emb, queries, k=20).select(
+        "q_id", "n_id", F.col("rk").alias("rk_retrieval")
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000).cast("long"),
+        ).alias("m"),
+    )
+
+    def isign(x):
+        return (
+            F.when(x > 0, F.lit(1)).when(x < 0, F.lit(-1)).otherwise(F.lit(0))
+        ).cast("long")
+
+    score = F.aggregate(
+        F.zip_with(
+            F.col("qm"),
+            F.col("cm"),
+            lambda a, b: F.least(F.abs(a), F.abs(b)) * isign(a) * isign(b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rescored = (
+        cand.join(
+            F.broadcast(quant.select(F.col("vec_id").alias("q_id"),
+                                     F.col("m").alias("qm"))),
+            "q_id",
+        )
+        .join(
+            quant.select(F.col("vec_id").alias("n_id"), F.col("m").alias("cm")),
+            "n_id",
+        )
+        .select("q_id", "n_id", "rk_retrieval", score.alias("rerank_score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rerank_score"), F.col("n_id")
+    )
+    return (
+        rescored.withColumn("rk_rerank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk_rerank") <= 5)
+        .select("q_id", "n_id", "rerank_score", "rk_retrieval", "rk_rerank")
+        .orderBy("q_id", "rk_rerank")
+    )
