@@ -182,3 +182,21 @@ def test_driver_window_is_pinned():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert list(QUERIES)[:50] == DRIVER_WINDOW
+
+
+def test_load_table_memoizes_per_session_and_dir(spark):
+    """load_table returns the SAME analyzed DataFrame object for repeat
+    calls (kills the per-call spark.read.parquet re-analysis behind the
+    suite's per-query floor) and distinct objects across sf dirs — a
+    plan memo, never a cross-dataset alias."""
+    from weather_data_ingestion_gcp_spark.plans.registry import load_table
+
+    a = load_table(spark, "/root/testdata/sf0.001", "documents")
+    b = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert a is b
+    c = load_table(spark, "/root/testdata/sf0.01", "documents")
+    assert c is not a
+    # events normalization survives the memo (ts is TIMESTAMP, not NTZ/long)
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert e is load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"

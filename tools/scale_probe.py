@@ -46,6 +46,22 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "daily_rollup_events",
     "sessionize_events",
+    # round-6 extension: one representative per remaining family so the
+    # exponent table spans text analytics, sampling/mixing, events
+    # windows/attribution, skew handling, and the new r6 entries
+    "text_langid_scores",
+    "word_pair_pmi",
+    "text_winnow_fingerprints",
+    "source_distinctive_terms",
+    "mix_apply_temperature",
+    "training_shuffle_shards",
+    "dau_wau_engagement",
+    "attribution_linear_multi_touch",
+    "event_anomaly_zscore",
+    "histogram_equidepth_deciles",
+    "skew_adaptive_salted_agg",
+    "rouge_overlap_eval",
+    "rerank_two_stage_topk",
 ]
 
 
