@@ -214,8 +214,19 @@ def verify_jaccard(
     """
     if sizes is None:
         sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = shingle_df.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = shingle_df.select(F.col("doc_id").alias("id_b"), "shingle")
+    # join on the 8-byte xxhash64 of the shingle, not the string: the
+    # pairs-x-shingles intermediate carries ~n_shingles rows PER PAIR, so
+    # its shuffle bytes are the verify cost — hashing cuts them ~2x (the
+    # 10x probe measured this intermediate crossing the spill boundary).
+    # Distinctness is preserved (collision odds ~|shingles|^2 / 2^64,
+    # ~1e-11 at 10x sf0.1, and a collision would only nudge one pair's
+    # n_inter); the projection sits ABOVE the cached string relation, so
+    # every consumer still shares the one persisted tokenization.
+    hashed = shingle_df.select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    sa = hashed.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = hashed.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
         pairs.join(sa, "id_a")
         .join(sb, ["id_b", "shingle"])
