@@ -800,3 +800,23 @@ def test_blocked_jaccard_mega_block_sub_blocked(spark):
     un = {(r.id_a, r.id_b) for r in uncapped.collect()}
     # strict subset: only cross-sub-block mega pairs were dropped
     assert got < un and all(a < 5 and b < 5 for a, b in un - got)
+
+
+def test_blocked_jaccard_internal_names_do_not_shadow_block_cols(spark):
+    """Callers may legitimately block on columns named _bn/_sub; the
+    sub-blocking internals must probe for free names instead of
+    shadowing them (the ingest-dedup _rn pattern)."""
+    rows = [
+        (0, "x", "the quick brown fox jumps over the dog"),
+        (1, "x", "the quick brown fox jumps over the cat"),
+        (2, "y", "completely different content about engines"),
+    ]
+    for colname in ("_bn", "_sub"):
+        df = spark.createDataFrame(
+            rows, f"doc_id bigint, {colname} string, text string"
+        )
+        out = dedup.blocked_jaccard_pairs(
+            df, "doc_id", "text", [colname], shingle_n=2, threshold=0.05,
+            max_block_size=10,
+        )
+        assert {(r.id_a, r.id_b) for r in out.collect()} == {(0, 1)}

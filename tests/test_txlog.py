@@ -557,3 +557,41 @@ def test_commit_falls_back_when_hard_links_unsupported(spark, tmp_path, monkeypa
     finally:
         t.version = orig
     monkeypatch.setattr(_os, "link", real_link)
+
+
+def test_fallback_commit_failure_leaves_no_torn_version(spark, tmp_path, monkeypatch):
+    """If the O_EXCL fallback's copy fails mid-write (ENOSPC/EIO), the
+    partial JSON at the version path must be unlinked before the error
+    propagates — otherwise _versions() counts it committed and every
+    replay dies on it forever."""
+    import os as _os
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    n_before = t.version()
+
+    def no_link(src, dst, **kw):
+        raise OSError(1, "Operation not permitted")  # EPERM
+
+    real_fsync = _os.fsync
+    calls = {"n": 0}
+
+    def flaky_fsync(fd):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # first call = tmp write, second = fallback copy
+            raise OSError(28, "No space left on device")
+        return real_fsync(fd)
+
+    monkeypatch.setattr(_os, "link", no_link)
+    monkeypatch.setattr(_os, "fsync", flaky_fsync)
+    try:
+        t._try_commit({"op": "append", "add": []})
+        raise AssertionError("expected OSError from the failed copy")
+    except OSError:
+        pass
+    monkeypatch.setattr(_os, "fsync", real_fsync)
+    # the failed commit left no torn version: replay still works and the
+    # version count is unchanged
+    assert t.version() == n_before
+    t.append(spark.createDataFrame([(2, "b")], "id bigint, v string"))
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]

@@ -185,17 +185,21 @@ def main() -> int:
         dst = os.path.join(OUT, f"{tpch}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{tpch}.parquet"), dst)
-    rng = np.random.default_rng(4242)
-    for name, fn in (
-        ("documents", build_documents),
-        ("events", build_events),
-        ("embeddings", build_embeddings),
+    for i, (name, fn) in enumerate(
+        (
+            ("documents", build_documents),
+            ("events", build_events),
+            ("embeddings", build_embeddings),
+        )
     ):
         p = os.path.join(OUT, f"{name}.parquet")
         if os.path.exists(p):
             print(f"skip {name} (exists)")
         else:
-            fn(rng)
+            # per-table rng stream: a shared sequential rng would make a
+            # partial rebuild (one table deleted) produce different data
+            # than a fresh full build, breaking the determinism claim
+            fn(np.random.default_rng(4242 + i))
             print(f"built {name}: {pq.read_metadata(p).num_rows} rows")
     return 0
 

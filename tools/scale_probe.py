@@ -10,9 +10,13 @@ hot), and prints one JSON line. Run it once per SF in SEPARATE processes
     python tools/scale_probe.py --compare /tmp/probe01.json /tmp/probe1.json
 
 --compare emits the per-query scaling exponent table for BASELINE.md:
-exponent = log(t_sf1 / t_sf0.1) / log(10) on the warm times — 1.0 is
-linear, < 1 sub-linear (fixed overhead or caps binding), > 1
-super-linear (needs a written explanation or a fix).
+exponent = log(t_sf1 / t_sf0.1) / log(data_scale) on the warm times —
+1.0 is linear, < 1 sub-linear (fixed overhead or caps binding), > 1
+super-linear (needs a written explanation or a fix). data_scale is 10
+(documents/events grow 10x per probe step) except for the
+embeddings-family queries, whose table grows only 4x (the generator's
+own measured law) — those use log(4) so the exponent means the same
+thing in every row.
 """
 
 from __future__ import annotations
@@ -65,6 +69,15 @@ PROBE_QUERIES = [
 ]
 
 
+#: queries whose input table is embeddings (EMB_X=4 per probe step, vs
+#: 10x for documents/events) — their exponent denominator is log(4)
+_EMBEDDINGS_FAMILY = {
+    "similarity_ann_ivf_kmeans",
+    "dedup_semantic_prune",
+    "rerank_two_stage_topk",
+}
+
+
 def run(sf_dir: str) -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from weather_data_ingestion_gcp_spark.plans import QUERIES
@@ -72,7 +85,9 @@ def run(sf_dir: str) -> int:
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES["daily_rollup_events"](spark, sf_dir).collect()  # JVM warm
+    # JVM warm-up with a query OUTSIDE the probe list, so the probe's own
+    # first entry still records a genuine cold time
+    QUERIES["order_limit_topn"](spark, sf_dir).collect()
 
     out: dict[str, dict] = {}
     for name in PROBE_QUERIES:
@@ -107,10 +122,13 @@ def compare(a_path: str, b_path: str) -> int:
             err = (qa.get("error") or (qb or {}).get("error")) if qb else "missing"
             print(f"| {name} | — | — | BLOWN ({err}) | — |")
             continue
-        exp = math.log(max(qb["warm"], 1e-3) / max(qa["warm"], 1e-3)) / math.log(10)
+        scale = 4 if name in _EMBEDDINGS_FAMILY else 10
+        exp = math.log(
+            max(qb["warm"], 1e-3) / max(qa["warm"], 1e-3)
+        ) / math.log(scale)
         print(
             f"| {name} | {qa['warm']:.2f}s | {qb['warm']:.2f}s "
-            f"| {exp:.2f} | {qa['rows']} -> {qb['rows']} |"
+            f"| {exp:.2f} (x{scale}) | {qa['rows']} -> {qb['rows']} |"
         )
     return 0
 

@@ -519,13 +519,21 @@ def blocked_jaccard_pairs(
     round-6 table)."""
     base = df.select(F.col(id_col).alias("doc_id"), *block_cols)
     if max_block_size is not None:
+        # internal column names must not shadow a caller's block column
+        # (the ingest-dedup '_rn' probing pattern)
+        bn = "_bn"
+        while bn in base.columns:
+            bn = "_" + bn
+        sub = "_sub"
+        while sub in base.columns or sub == bn:
+            sub = "_" + sub
         counts = (
             base.groupBy(*block_cols)
-            .agg(F.count(F.lit(1)).alias("_bn"))
+            .agg(F.count(F.lit(1)).alias(bn))
         )
         # integer ceil-div (float division + cast could round at scale)
         n_sub = F.expr(
-            f"(_bn + {int(max_block_size) - 1}) div {int(max_block_size)}"
+            f"(`{bn}` + {int(max_block_size) - 1}) div {int(max_block_size)}"
         )
         hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
         salt = F.conv(hex4, 16, 10).cast("long") % n_sub
@@ -534,9 +542,9 @@ def blocked_jaccard_pairs(
         # block-cardinality-sized -> broadcast side of this join.
         base = (
             base.join(F.broadcast(counts), block_cols)
-            .select("doc_id", *block_cols, salt.alias("_sub"))
+            .select("doc_id", *block_cols, salt.alias(sub))
         )
-        block_cols = [*block_cols, "_sub"]
+        block_cols = [*block_cols, sub]
     sh = shingles(df, id_col, text_col, n=shingle_n)
     a = base.toDF("id_a", *block_cols)
     b = base.toDF("id_b", *block_cols)

@@ -78,8 +78,12 @@ def register(name: str, oracle: str | None = None):
 #: safe — and skips the per-call spark.read.parquet re-analysis (file
 #: listing + footer schema read + py4j round trips, measured ~0.12 s per
 #: call at sf0.1, the single largest share of the 0.70 s/query suite
-#: floor). Bounded: #tables x #sf_dirs per session. NOT a data cache —
-#: execution still scans parquet, so pushdown/pruning are unaffected.
+#: floor). Bounded: #tables x #sf_dirs per session. Execution still
+#: scans parquet (pushdown/pruning unaffected), but the memo DOES pin
+#: the file LISTING captured at first read — fine for the driver's sf
+#: dirs, which are immutable by contract; a caller pointing load_table
+#: at a directory it mutates mid-session must use _load_table_uncached
+#: (fresh listing every call) instead.
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 

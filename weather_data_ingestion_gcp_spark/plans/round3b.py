@@ -1614,6 +1614,26 @@ def _lsh_recall_oracle() -> str:
     """
 
 
+def recall_summary(exact: DataFrame, lsh: DataFrame) -> DataFrame:
+    """Shared recall-verdict tail of both LSH recall contracts (full and
+    sampled): hit/true counts -> ppm + pinned >=90% verdict. Living in
+    one place means the bound and the ppm arithmetic cannot drift
+    between the full-corpus and sampled variants."""
+    hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    denom = F.nullif(F.col("n_true"), F.lit(0))
+    return hit.crossJoin(tot).select(
+        F.col("n_true").cast("long").alias("n_true_pairs"),
+        F.col("n_hit").cast("long").alias("n_lsh_found"),
+        F.floor(F.col("n_hit") * F.lit(1000000.0) / denom)
+        .cast("long")
+        .alias("recall_ppm"),
+        (F.col("n_hit") * F.lit(1000000.0) / denom >= 900000).alias("recall_ok"),
+    )
+
+
 @register("lsh_recall_contract", oracle=_lsh_recall_oracle())
 def lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
@@ -1628,19 +1648,7 @@ def lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("id_a", "id_b")
     )
     exact = ppjoin_prefix_similarity(spark, sf_dir).select("id_a", "id_b")
-    hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    tot = exact.agg(F.count(F.lit(1)).alias("n_true"))
-    denom = F.nullif(F.col("n_true"), F.lit(0))
-    return hit.crossJoin(tot).select(
-        F.col("n_true").cast("long").alias("n_true_pairs"),
-        F.col("n_hit").cast("long").alias("n_lsh_found"),
-        F.floor(F.col("n_hit") * F.lit(1000000.0) / denom)
-        .cast("long")
-        .alias("recall_ppm"),
-        (F.col("n_hit") * F.lit(1000000.0) / denom >= 900000).alias("recall_ok"),
-    )
+    return recall_summary(exact, lsh)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, sampling
 from .registry import _sql_hex4_to_int, load_table, register
-from .round3b import _lsh_recall_oracle, ppjoin_pairs_frame
+from .round3b import _lsh_recall_oracle, ppjoin_pairs_frame, recall_summary
 
 #: deterministic sample rate (percent of md5-hex4 doc_id buckets)
 _SAMPLE_PCT = 20
@@ -72,19 +72,7 @@ def lsh_recall_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("id_a", "id_b")
     )
     exact = ppjoin_pairs_frame(d).select("id_a", "id_b")
-    hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    tot = exact.agg(F.count(F.lit(1)).alias("n_true"))
-    denom = F.nullif(F.col("n_true"), F.lit(0))
-    return hit.crossJoin(tot).select(
-        F.col("n_true").cast("long").alias("n_true_pairs"),
-        F.col("n_hit").cast("long").alias("n_lsh_found"),
-        F.floor(F.col("n_hit") * F.lit(1000000.0) / denom)
-        .cast("long")
-        .alias("recall_ppm"),
-        (F.col("n_hit") * F.lit(1000000.0) / denom >= 900000).alias("recall_ok"),
-    )
+    return recall_summary(exact, lsh)
 
 
 # ---------------------------------------------------------------------------

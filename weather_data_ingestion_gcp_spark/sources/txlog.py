@@ -141,11 +141,23 @@ class TxLogTable:
                 raise CommitConflict(
                     f"version {v} already committed"
                 ) from exc2
-            with os.fdopen(fd, "w") as out:
-                with open(tmp) as src:
-                    out.write(src.read())
-                out.flush()
-                os.fsync(out.fileno())
+            try:
+                with os.fdopen(fd, "w") as out:
+                    with open(tmp) as src:
+                        out.write(src.read())
+                    out.flush()
+                    os.fsync(out.fileno())
+            except BaseException:
+                # a failed copy (ENOSPC/EIO) must not leave a torn JSON at
+                # the published version path — _versions() would count it
+                # committed and every replay would die on it forever. The
+                # unlink narrows the torn window back to a hard crash
+                # between write and unlink (the trade this fallback makes).
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+                raise
         finally:
             os.unlink(tmp)
         return v
