@@ -595,3 +595,34 @@ def test_fallback_commit_failure_leaves_no_torn_version(spark, tmp_path, monkeyp
     assert t.version() == n_before
     t.append(spark.createDataFrame([(2, "b")], "id bigint, v string"))
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_changes_feed_append_delete_update(spark, tmp_path):
+    """Row-grained CDF from file diffs: appends -> inserts, delete_where
+    -> deletes, merge UPDATE -> delete+insert pair; surviving rows of a
+    rewritten file cancel out, and only touched files are read."""
+    t = TxLogTable(str(tmp_path / "t"))
+    v0 = t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"))
+    v1 = t.append(spark.createDataFrame([(3, "c")], "id bigint, v string"))
+    # append interval: inserts only
+    ch = {(r["id"], r["_change_type"]) for r in t.changes(spark, v0, v1).collect()}
+    assert ch == {(3, "insert")}
+    # identical endpoints: empty
+    assert t.changes(spark, v1, v1).count() == 0
+    # delete one row of the first file: delete only, survivor cancels
+    v2 = t.delete_where(spark, "id = 1")
+    ch = {(r["id"], r["_change_type"]) for r in t.changes(spark, v1, v2).collect()}
+    assert ch == {(1, "delete")}
+    # merge UPDATE: pre-image delete + post-image insert
+    src = spark.createDataFrame([(2, "B")], "id bigint, v string")
+    v3 = t.merge(spark, src, on=["id"])
+    ch = {(r["id"], r["v"], r["_change_type"])
+          for r in t.changes(spark, v2, v3).collect()}
+    assert ch == {(2, "b", "delete"), (2, "B", "insert")}
+    # full interval: net effect only (1 was inserted AND deleted -> both
+    # rows appear, multiset semantics keep the history honest)
+    full = {(r["id"], r["v"], r["_change_type"])
+            for r in t.changes(spark, v0, v3).collect()}
+    assert (3, "c", "insert") in full and (2, "B", "insert") in full
+    assert (1, "a", "delete") in full and (2, "b", "delete") in full
