@@ -626,3 +626,46 @@ def test_changes_feed_append_delete_update(spark, tmp_path):
             for r in t.changes(spark, v0, v3).collect()}
     assert (3, "c", "insert") in full and (2, "B", "insert") in full
     assert (1, "a", "delete") in full and (2, "b", "delete") in full
+
+
+def test_incremental_rollup_from_change_feed(spark, tmp_path):
+    """CDF -> incremental view maintenance: a (day, sum, count) rollup
+    maintained from TxLogTable.changes deltas equals a full recompute at
+    every snapshot — across appends, row deletes, and merge updates —
+    and fully-deleted groups vanish instead of lingering as zero rows."""
+    from weather_data_ingestion_gcp_spark.operators import incremental
+
+    t = TxLogTable(str(tmp_path / "t"))
+    schema = "day string, v double"
+
+    def recompute(version):
+        return {
+            (r["day"]): (r["n"], r["total"])
+            for r in t.read(spark, version=version)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("v").alias("total"))
+            .collect()
+        }
+
+    v0 = t.append(spark.createDataFrame(
+        [("d1", 1.0), ("d1", 2.0), ("d2", 5.0)], schema))
+    rollup = (
+        t.read(spark, version=v0).groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("v").alias("total"))
+    )
+    # interval 1: append new day + more d1
+    v1 = t.append(spark.createDataFrame([("d1", 4.0), ("d3", 7.0)], schema))
+    # interval 2: delete all of d2 (group must vanish) and update a d1 row
+    v2 = t.delete_where(spark, "day = 'd2'")
+    v3 = t.merge(spark, spark.createDataFrame([("d1", 1.0)], schema),
+                 on=["day", "v"])  # no-op-ish merge keeps feed non-trivial
+    prev, prev_v = rollup, v0
+    for v in (v1, v2, v3):
+        prev = incremental.refresh_rollup(
+            prev, t.changes(spark, prev_v, v), ["day"], "v")
+        got = {r["day"]: (r["n"], r["total"]) for r in prev.collect()}
+        assert got == recompute(v), f"at version {v}"
+        prev_v = v
+    assert "d2" not in {r["day"] for r in prev.collect()}

@@ -1,0 +1,83 @@
+"""Incremental view maintenance from an insert/delete change feed.
+
+The consumer that makes ``TxLogTable.changes`` load-bearing: a stored
+rollup (sum/count/avg per group) is brought from snapshot A to snapshot
+B by aggregating ONLY the changed rows and merging the signed deltas —
+the classic counting algorithm for self-maintainable aggregates
+(sum/count are self-maintainable under inserts AND deletes; avg derives
+from them). At 100 TB the delta aggregation touches the interval's
+changed rows only, and the merge join is keyed on the rollup's group
+keys — table history size never enters the cost.
+
+Reference parity note: the reference's daily refresh recomputes the
+day's partition from scratch (sp_raw_to_transformed_*.sql:1-56 deletes
+today + reinserts); this is the generalization that stays cheap when a
+change interval touches many days sparsely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def delta_sum_count(changes: DataFrame, keys: list[str],
+                    value_col: str) -> DataFrame:
+    """Signed per-group deltas from a ``_change_type`` feed: inserts
+    count +1 / +value, deletes -1 / -value. One partial-aggregated
+    shuffle over the changed rows only."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        changes.groupBy(*keys)
+        .agg(
+            F.sum(sign).cast("long").alias("_d_count"),
+            F.sum(sign * F.col(value_col)).alias("_d_sum"),
+        )
+    )
+
+
+def apply_delta(rollup: DataFrame, delta: DataFrame, keys: list[str],
+                sum_col: str = "total", count_col: str = "n") -> DataFrame:
+    """Merge signed deltas into a (keys, sum, count) rollup. Groups whose
+    maintained count reaches zero disappear (a fully-deleted group must
+    not linger as a zero row); brand-new groups appear via the full
+    outer join. Null-safe on both sides."""
+    r = rollup.alias("r")
+    d = delta.alias("d")
+    import functools
+
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"r.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys],
+    )
+    merged = r.join(d, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"r.{k}"), F.col(f"d.{k}")).alias(k)
+            for k in keys
+        ],
+        (
+            F.coalesce(F.col(f"r.{count_col}"), F.lit(0))
+            + F.coalesce(F.col("d._d_count"), F.lit(0))
+        ).cast("long").alias(count_col),
+        (
+            F.coalesce(F.col(f"r.{sum_col}"), F.lit(0.0))
+            + F.coalesce(F.col("d._d_sum"), F.lit(0.0))
+        ).alias(sum_col),
+    )
+    return merged.filter(F.col(count_col) > 0)
+
+
+def refresh_rollup(rollup: DataFrame, changes: DataFrame, keys: list[str],
+                   value_col: str, sum_col: str = "total",
+                   count_col: str = "n") -> DataFrame:
+    """One-call incremental refresh: rollup at snapshot A + change feed
+    (A -> B) -> rollup at snapshot B."""
+    return apply_delta(
+        rollup,
+        delta_sum_count(changes, keys, value_col),
+        keys,
+        sum_col=sum_col,
+        count_col=count_col,
+    )

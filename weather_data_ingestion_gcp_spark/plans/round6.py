@@ -354,3 +354,66 @@ def rerank_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "rerank_score", "rk_retrieval", "rk_rerank")
         .orderBy("q_id", "rk_rerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance, oracle-checked: the Spark side maintains
+# a per-day (count, sum) rollup INCREMENTALLY — a base aggregate over
+# the pre-cutoff events plus a change feed (post-cutoff rows as inserts,
+# pre-cutoff error rows retracted as deletes) merged by
+# operators.incremental.refresh_rollup — while the oracle computes the
+# equivalent END STATE as one plain filtered aggregate. Any defect in
+# the delta aggregation, signed merge, or vanishing-group rule makes the
+# two diverge, so the driver's hash check covers the maintenance path
+# itself. Sums are exact integer cents (value has 2 decimals), so no
+# accumulation-order float exposure across the base/delta split.
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "incremental_rollup_equivalence",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    WHERE NOT (ts < TIMESTAMP '{_IVM_CUTOFF}' AND event_type = 'error')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_type",
+        # exact integer cents carried as double (exact to 2^53) so the
+        # shared sum/count machinery needs no type plumbing
+        F.round(F.col("value") * 100).cast("double").alias("cents"),
+    )
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    base = (
+        e.filter(F.col("ts") < cutoff)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    inserts = e.filter(F.col("ts") >= cutoff).select(
+        "day", "cents", F.lit("insert").alias("_change_type")
+    )
+    retractions = e.filter(
+        (F.col("ts") < cutoff) & (F.col("event_type") == "error")
+    ).select("day", "cents", F.lit("delete").alias("_change_type"))
+    feed = inserts.unionByName(retractions)
+    out = incremental.refresh_rollup(
+        base, feed, ["day"], "cents", sum_col="total_cents", count_col="n"
+    )
+    return out.select(
+        "day", "n", F.col("total_cents").cast("long").alias("total_cents")
+    ).orderBy("day")
