@@ -151,3 +151,61 @@ def test_rn_payload_column_survives(spark, tmp_path):
     sink(df, 0)
     row = t.read(spark).collect()[0]
     assert row["_rn"] == 77 and row["text"] == "a"  # least tuple wins
+
+
+def test_streaming_materialized_view_via_change_feed(spark, tmp_path):
+    """Streaming + CDF + IVM composed: each micro-batch appends to the
+    txlog table, then brings a per-key rollup from the pre-batch to the
+    post-batch snapshot using TxLogTable.changes deltas — a streaming
+    materialized view with no full recompute anywhere. The maintained
+    view must equal a from-scratch aggregate after every batch,
+    including a crash-replayed batch (txn no-op => empty change feed =>
+    view unchanged)."""
+    from pyspark.sql import functions as F
+
+    from weather_data_ingestion_gcp_spark.operators import incremental
+
+    t = TxLogTable(str(tmp_path / "docs"))
+    view = {"df": None}
+
+    def full_recompute():
+        return {
+            r["k"]: (r["n"], r["total"])
+            for r in t.read(spark)
+            .groupBy(F.col("text").alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.col("doc_id").cast("double")).alias("total"))
+            .collect()
+        }
+
+    def sink(batch_df, batch_id):
+        pre = t.version()
+        t.append(batch_df, txn=("mv", int(batch_id)))
+        post = t.version()
+        ch = t.changes(spark, pre, post).select(
+            F.col("text").alias("k"),
+            F.col("doc_id").cast("double").alias("v"),
+            "_change_type",
+        )
+        base = view["df"]
+        if base is None:
+            base = spark.createDataFrame(
+                [], "k string, n long, total double"
+            )
+        # materialize the merged view (a real job would write it to its
+        # own table; localCheckpoint keeps the test's lineage bounded)
+        view["df"] = incremental.refresh_rollup(
+            base, ch, ["k"], "v"
+        ).localCheckpoint()
+
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], _SCHEMA), 0)
+    assert {r["k"]: (r["n"], r["total"]) for r in view["df"].collect()} \
+        == full_recompute()
+    sink(spark.createDataFrame([(3, "a"), (4, "c")], _SCHEMA), 1)
+    assert {r["k"]: (r["n"], r["total"]) for r in view["df"].collect()} \
+        == full_recompute()
+    # crash replay of batch 1: txn no-op, empty feed, view unchanged
+    before = {r["k"]: (r["n"], r["total"]) for r in view["df"].collect()}
+    sink(spark.createDataFrame([(3, "a"), (4, "c")], _SCHEMA), 1)
+    after = {r["k"]: (r["n"], r["total"]) for r in view["df"].collect()}
+    assert before == after == full_recompute()
