@@ -1,8 +1,20 @@
-"""Generate the 10x scale-probe dataset (sf1) under REPO/.scaleprobe/sf1.
+"""Generate scale-probe datasets (sf1, sf10, ...) under REPO/.scaleprobe/.
 
 VERDICT r5 task 3: SCALE.md's 100 TB arguments are plan-verified but were
-never load-verified beyond sf0.1 — this builds ONE real 10x datapoint so
+never load-verified beyond sf0.1 — this builds real 10x datapoints so
 per-query scaling exponents can be measured (tools/scale_probe.py).
+
+Default run builds sf1 (10x of sf0.1). A second decade (sf10 = 100x of
+sf0.1) chains the SAME per-step laws from sf1:
+
+    python tools/make_scale_probe.py                                # sf1
+    python tools/make_scale_probe.py --src .scaleprobe/sf1 \\
+        --out .scaleprobe/sf10 --seed 4252                          # sf10
+
+Chaining from sf1 (rather than 100x in one shot) keeps each step's
+empirical-resampling law identical to the measured sf0.01 -> sf0.1 step,
+so exponents measured on the sf1 -> sf10 edge mean the same thing as on
+the sf0.1 -> sf1 edge.
 
 The driver's sf dirs are read-only, so the scaled tables are synthesized
 here, inside the repo, by extending the generator's own scaling law
@@ -37,6 +49,7 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(REPO, ".scaleprobe", "sf1")
+SEED = 4242
 DOC_X, EVT_X, EMB_X = 10, 10, 4
 
 
@@ -178,13 +191,30 @@ def build_embeddings(rng: np.random.Generator) -> None:
 
 
 def main() -> int:
+    global SRC, OUT, SEED
+    argv = sys.argv[1:]
+    while argv:
+        flag = argv.pop(0)
+        val = argv.pop(0)
+        if flag == "--src":
+            SRC = val
+        elif flag == "--out":
+            OUT = val
+        elif flag == "--seed":
+            SEED = int(val)
+        else:
+            raise SystemExit(f"unknown flag {flag}")
     os.makedirs(OUT, exist_ok=True)
     for tpch in (
         "region nation customer supplier part orders lineitem".split()
     ):
         dst = os.path.join(OUT, f"{tpch}.parquet")
         if not os.path.exists(dst):
-            os.symlink(os.path.join(SRC, f"{tpch}.parquet"), dst)
+            # resolve through a chained SRC (sf1's tpch files are
+            # themselves symlinks into the read-only sf0.1 dir)
+            os.symlink(
+                os.path.realpath(os.path.join(SRC, f"{tpch}.parquet")), dst
+            )
     for i, (name, fn) in enumerate(
         (
             ("documents", build_documents),
@@ -199,7 +229,7 @@ def main() -> int:
             # per-table rng stream: a shared sequential rng would make a
             # partial rebuild (one table deleted) produce different data
             # than a fresh full build, breaking the determinism claim
-            fn(np.random.default_rng(4242 + i))
+            fn(np.random.default_rng(SEED + i))
             print(f"built {name}: {pq.read_metadata(p).num_rows} rows")
     return 0
 

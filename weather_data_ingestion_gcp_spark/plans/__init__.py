@@ -15,6 +15,7 @@ from . import round3b  # noqa: F401,E402
 from . import round4  # noqa: F401,E402
 from . import round5  # noqa: F401,E402
 from . import round6  # noqa: F401,E402
+from . import round6b  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50

@@ -1,0 +1,271 @@
+"""Round-6b additions: sorted-neighborhood dedup, exact-dyadic EWMA
+smoothing, and an l-diversity privacy audit.
+
+Each fills a genuinely uncovered niche of the large-scale training-data
+surface:
+
+- `dedup_sorted_neighborhood` — the classic entity-resolution candidate
+  generator (Hernandez & Stolfo 1995) the blocked/banded family cannot
+  express: sort each lang partition by a normalized text prefix and pair
+  each doc with its W nearest neighbors in sort order. Candidates are
+  O(N*W) LINEAR by construction — no block can go quadratic, ever —
+  which makes it the complement of `dedup_ngram_jaccard` (whose
+  (lang, source) blocks need the hash sub-block cap) and of the LSH
+  paths (probabilistic recall): SNM deterministically catches shared-
+  prefix near-dups ACROSS sources, which (lang, source) blocking is
+  blind to.
+
+- `ewma_daily_event_value` — exponentially-weighted smoothing, the
+  time-series primitive the anomaly/gapfill family lacks. alpha = 1/2
+  keeps every weight a dyadic rational, so the whole computation stays
+  in exact BIGINT (prefix-sum trick: sum_k c_k*2^(29-(d-k)) =
+  2^(29-d) * prefix_sum(c_k*2^k)) — no float accumulation order to
+  expose, hash-exact across engines.
+
+- `l_diversity_audit` — the governance step after `k_anonymity_audit`
+  (round3b): k-anonymity bounds GROUP SIZE but a uniform group can
+  still leak its sensitive attribute; distinct-l and entropy-l
+  (Machanavajjhala et al. 2007) bound the sensitive-value DIVERSITY
+  within each quasi-identifier group. Entropy uses the repo's exact-
+  integer-log-argument discipline (ln(n) - sum(c ln c)/n, round 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from .registry import load_table, register
+
+#: sorted-neighborhood window (pairs per doc) and sort-key prefix length
+_SNM_W = 4
+_SNM_PREFIX = 40
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=rf"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY substring(lower(text), 1, {_SNM_PREFIX}), doc_id
+               ) AS rk
+        FROM documents
+    ),
+    cand AS (
+        SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+               GREATEST(a.doc_id, b.doc_id) AS id_b
+        FROM ranked a JOIN ranked b
+          ON a.lang = b.lang AND b.rk BETWEEN a.rk + 1 AND a.rk + {_SNM_W}
+    ),
+    words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+        FROM words, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM cand p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.05
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: per-lang sort by a 40-char
+    normalized prefix, pair each doc with its 4 sort-order successors,
+    verify with exact bigram Jaccard (shared `dedup.verify_jaccard`
+    machinery, threshold 0.05).
+
+    Scale shape: the sort is a range-partitioned per-lang global sort
+    (Spark's sort-shuffle, linear); candidate generation is one explode
+    (W rows/doc) + one equi-join on (lang, rank) — never a block
+    self-join, so candidates are exactly N*W regardless of how skewed
+    the corpus is. The verify is the audited hashed-shingle equi-join.
+    The oracle's BETWEEN-join expresses the same rank adjacency."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.substring(F.lower("text"), 1, _SNM_PREFIX), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    # explode the W successor ranks on the LEFT side: one equi-join on
+    # (lang, rank), no range-join fallback to nested loop
+    left = ranked.select(
+        "lang",
+        F.col("doc_id").alias("da"),
+        F.explode(
+            F.sequence(F.col("rk") + 1, F.col("rk") + _SNM_W)
+        ).alias("rk_b"),
+    )
+    right = ranked.select(
+        "lang", F.col("rk").alias("rk_b"), F.col("doc_id").alias("db")
+    )
+    cand = left.join(right, ["lang", "rk_b"]).select(
+        F.least("da", "db").alias("id_a"),
+        F.greatest("da", "db").alias("id_b"),
+    )
+    sh = dedup.shingles(d, "doc_id", "text", n=2)
+    out = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.05)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# EWMA daily smoothing, exact in BIGINT.
+#
+# s_d = sum_{k<=d} cents_k * (1/2)^(d-k)  (unnormalized exponential decay,
+# alpha = 1/2). Scaled by 2^29 every term is an integer:
+#     ewma_num_d = 2^(29-d) * sum_{k<=d} cents_k * 2^k
+# with day index d in [0, 29] (each type's first 30 days — the events
+# table spans exactly 30 days by generator contract; the k <= 29 filter
+# makes the bound explicit rather than assumed). Magnitudes: daily cents
+# <= ~1e7 at sf0.1, prefix <= 2 * cents_max * 2^29 ~ 1e16 << 2^63, and
+# 100x data only adds two decimal digits — headroom to ~9e18 documented.
+# The prefix-sum trick turns the position-dependent weight into a plain
+# running SUM the window engine partial-aggregates; no per-row
+# re-expansion of the window frame.
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_daily_event_value",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, cents,
+               DATEDIFF('day', MIN(day) OVER (PARTITION BY event_type), day)
+                 AS k
+        FROM daily
+    ),
+    win AS (SELECT * FROM idx WHERE k <= 29),
+    pre AS (
+        SELECT event_type, day, cents, k,
+               CAST(SUM(cents * CAST(POW(2, k) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS p
+        FROM win
+    )
+    SELECT event_type, day, cents,
+           CAST(p * CAST(POW(2, 29 - k) AS BIGINT) AS BIGINT) AS ewma_num
+    FROM pre ORDER BY event_type, day
+    """,
+)
+def ewma_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily EWMA (alpha = 1/2) of event value, exact BIGINT —
+    ewma_cents = ewma_num / 2^29. See the block comment for the dyadic
+    scaling argument; the oracle is the literal same arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    idx = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy("event_type"))
+        ).alias("k"),
+    ).filter(F.col("k") <= 29)
+    p = (
+        F.sum(F.col("cents") * F.pow(F.lit(2), F.col("k")).cast("long"))
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+    )
+    pre = idx.select("event_type", "day", "cents", "k", p.alias("p"))
+    return pre.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.col("p") * F.pow(F.lit(2), F.lit(29) - F.col("k")).cast("long"))
+        .cast("long")
+        .alias("ewma_num"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit. QI = (event_type, day); sensitive attribute =
+# props. distinct-l = count(distinct sensitive); entropy-l uses the
+# exact-integer-log-argument form and rounds to 4 decimals BEFORE the
+# threshold compare so both engines threshold the identical value
+# (ln(3) ~ 1.0986 = entropy of a uniform 3-value group — the classic
+# "well-represented" bar for l = 3).
+# ---------------------------------------------------------------------------
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH sc AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, props, COUNT(*) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+        SELECT event_type, d,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS l_entropy
+        FROM sc GROUP BY event_type, d
+    )
+    SELECT event_type, d, n_rows, l_distinct, l_entropy,
+           l_distinct >= 3 AND l_entropy >= 1.0986 AS l_diverse
+    FROM g ORDER BY event_type, d
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct- and entropy-l-diversity per (event_type, day) QI group
+    over the `props` sensitive attribute — two partial-aggregated hash
+    aggregates (per-(group, value) counts, then per-group moments);
+    never materializes per-row sensitive values past the first
+    aggregate, so the audit itself is safe to run where the raw
+    attribute is restricted."""
+    e = load_table(spark, sf_dir, "events")
+    sc = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d"), "props"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    ent = F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 4)
+    g = sc.groupBy("event_type", "d").agg(
+        n.cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        ent.alias("l_entropy"),
+    )
+    return g.select(
+        "event_type",
+        "d",
+        "n_rows",
+        "l_distinct",
+        "l_entropy",
+        ((F.col("l_distinct") >= 3) & (F.col("l_entropy") >= 1.0986)).alias(
+            "l_diverse"
+        ),
+    ).orderBy("event_type", "d")
