@@ -66,6 +66,11 @@ PROBE_QUERIES = [
     "skew_adaptive_salted_agg",
     "rouge_overlap_eval",
     "rerank_two_stage_topk",
+    # round-6b entries: SNM claims strictly-linear candidates; EWMA and
+    # l-diversity are events-family window/agg representatives
+    "dedup_sorted_neighborhood",
+    "ewma_daily_event_value",
+    "l_diversity_audit",
 ]
 
 
