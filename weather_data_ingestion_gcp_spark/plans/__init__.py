@@ -29,20 +29,29 @@ from . import round6b  # noqa: F401,E402
 # window froze, so never driver-checked — the one evidence gap VERDICT r5
 # names), plus dedup_ngram_jaccard (its oracle CHANGED this round: the
 # block-size cap landed per VERDICT r5 "What's wrong" — the old green is
-# void), plus 43 re-confirmations of the OLDEST green verdicts (r01/r02
-# windows — they predate the registry-contract, shared-cache, and session
-# changes of r3-r5). The ten r01/r02 entries left out are the one-expression
-# scalar/filter queries (base64, uuid, path stem, regex cleanup, literal
-# date filters, dispatch, sql passthrough) — no aggregates, no floats, no
-# caches, each also pinned by unit tests; every riskier class (windows,
-# percentiles, stats breadth, TPC-H joins, sessionize) re-confirms.
+# void), plus the SEVEN round-6 registrations (sampled LSH recall, ROUGE,
+# rerank, IVM equivalence, SNM dedup, dyadic EWMA, l-diversity — checked
+# this round instead of waiting for r7, so the registry carries no
+# never-driver-checked entry older than the current round), plus 36
+# re-confirmations of the OLDEST green verdicts (r01/r02 windows — they
+# predate the registry-contract, shared-cache, and session changes of
+# r3-r5). Entries left out of the re-confirmation block: the ten
+# one-expression scalar/filter queries (base64, uuid, path stem, regex
+# cleanup, literal date filters, dispatch, sql passthrough) and seven
+# pure-integer deterministic shapes evicted to make room for the round-6
+# block (broadcast_route_lookup, join_semi, join_anti, distinct_exact,
+# set_operations, order_limit_topn, grouping_rollup) — no floats, no
+# shared caches, each pinned by unit tests and green in this session's
+# full judge-style parity sweep; every riskier class (windows,
+# percentiles, stats breadth, TPC-H joins, sessionize, null-safe/outer
+# joins) re-confirms.
 # Ordering: r5 registrations first, then the dedup entry, then the
-# re-confirmations grouped by shared scan (events block, TPC-H block,
-# breadth suites). approx_distinct_users sits LAST so its evicted
-# RUN_AFTER follower (hll_distinct_contract) runs immediately after the
-# window with the shared relation still hot. Pinned by
-# tests/test_registry_contract so a new registration cannot silently evict
-# driver coverage.
+# round-6 block, then the re-confirmations grouped by shared scan
+# (events block, TPC-H block, breadth suites). approx_distinct_users
+# sits LAST so its evicted RUN_AFTER follower (hll_distinct_contract)
+# runs immediately after the window with the shared relation still hot.
+# Pinned by tests/test_registry_contract so a new registration cannot
+# silently evict driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
     # round-5 registrations (never driver-checked)
@@ -54,13 +63,20 @@ DRIVER_WINDOW = [
     "source_distinctive_terms",
     # oracle changed this round (block-size cap): needs a fresh verdict
     "dedup_ngram_jaccard",
+    # round-6 registrations (registered this round, checked this round)
+    "lsh_recall_contract_sampled",
+    "rouge_overlap_eval",
+    "rerank_two_stage_topk",
+    "incremental_rollup_equivalence",
+    "dedup_sorted_neighborhood",
+    "ewma_daily_event_value",
+    "l_diversity_audit",
     # --- re-confirmations: oldest (r01/r02) verdicts, stale 4 rounds ---
     # reference-surface core
     "clean_restructure_events",
     "daily_rollup_events",
     "case_over_aggregate",
     "month_partition_rollup",
-    "broadcast_route_lookup",
     # events / analytics block (shares the events scan)
     "sessionize_events",
     "sliding_window_agg",
@@ -71,17 +87,11 @@ DRIVER_WINDOW = [
     "unpivot_event_metrics",
     "window_rank_functions",
     "window_topk_per_group",
-    "order_limit_topn",
     "percentile_stats",
     "approx_percentile_contract",
-    "distinct_exact",
-    "grouping_rollup",
-    "set_operations",
     # joins
     "join_inner_agg",
     "join_left_order_counts",
-    "join_semi",
-    "join_anti",
     "join_full_outer_activity",
     "join_null_safe_buckets",
     "skew_salted_join_agg",
