@@ -184,6 +184,8 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "mix_apply_temperature",  # 1-row calibration + 1-row kept-total scalar broadcasts
     "event_type_daily_corr",  # bounded |days| x |types| grid densification
     "source_distinctive_terms",  # 1-row corpus-total scalar broadcast
+    "record_linkage_fellegi_sunter",  # 1-row u-statistics scalar broadcast
+    "contingency_chi_square",  # bounded |langs| x |sources| grid densification
 }
 
 

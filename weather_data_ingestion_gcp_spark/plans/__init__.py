@@ -16,6 +16,7 @@ from . import round4  # noqa: F401,E402
 from . import round5  # noqa: F401,E402
 from . import round6  # noqa: F401,E402
 from . import round6b  # noqa: F401,E402
+from . import round6c  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50
@@ -29,22 +30,24 @@ from . import round6b  # noqa: F401,E402
 # window froze, so never driver-checked — the one evidence gap VERDICT r5
 # names), plus dedup_ngram_jaccard (its oracle CHANGED this round: the
 # block-size cap landed per VERDICT r5 "What's wrong" — the old green is
-# void), plus the SEVEN round-6 registrations (sampled LSH recall, ROUGE,
-# rerank, IVM equivalence, SNM dedup, dyadic EWMA, l-diversity — checked
-# this round instead of waiting for r7, so the registry carries no
-# never-driver-checked entry older than the current round), plus 36
+# void), plus the TEN round-6 registrations (sampled LSH recall, ROUGE,
+# rerank, IVM equivalence, SNM dedup, dyadic EWMA, l-diversity,
+# Fellegi-Sunter linkage, Good-Turing coverage, chi-square mix audit —
+# checked this round instead of waiting for r7, so the registry carries
+# no never-driver-checked entry older than the current round), plus 33
 # re-confirmations of the OLDEST green verdicts (r01/r02 windows — they
 # predate the registry-contract, shared-cache, and session changes of
 # r3-r5). Entries left out of the re-confirmation block: the ten
 # one-expression scalar/filter queries (base64, uuid, path stem, regex
-# cleanup, literal date filters, dispatch, sql passthrough) and seven
+# cleanup, literal date filters, dispatch, sql passthrough) and ten
 # pure-integer deterministic shapes evicted to make room for the round-6
 # block (broadcast_route_lookup, join_semi, join_anti, distinct_exact,
-# set_operations, order_limit_topn, grouping_rollup) — no floats, no
-# shared caches, each pinned by unit tests and green in this session's
-# full judge-style parity sweep; every riskier class (windows,
-# percentiles, stats breadth, TPC-H joins, sessionize, null-safe/outer
-# joins) re-confirms.
+# set_operations, order_limit_topn, grouping_rollup,
+# pivot_daily_event_values, unpivot_event_metrics,
+# bloom_membership_check) — no floats, no shared caches, each pinned by
+# unit tests and green in this session's full judge-style parity sweep;
+# every riskier class (windows, percentiles, stats breadth, TPC-H
+# joins, sessionize, null-safe/outer joins) re-confirms.
 # Ordering: r5 registrations first, then the dedup entry, then the
 # round-6 block, then the re-confirmations grouped by shared scan
 # (events block, TPC-H block, breadth suites). approx_distinct_users
@@ -71,6 +74,9 @@ DRIVER_WINDOW = [
     "dedup_sorted_neighborhood",
     "ewma_daily_event_value",
     "l_diversity_audit",
+    "record_linkage_fellegi_sunter",
+    "good_turing_vocab_coverage",
+    "contingency_chi_square",
     # --- re-confirmations: oldest (r01/r02) verdicts, stale 4 rounds ---
     # reference-surface core
     "clean_restructure_events",
@@ -83,8 +89,6 @@ DRIVER_WINDOW = [
     "tumbling_window_agg",
     "funnel_view_click_purchase",
     "cohort_retention",
-    "pivot_daily_event_values",
-    "unpivot_event_metrics",
     "window_rank_functions",
     "window_topk_per_group",
     "percentile_stats",
@@ -112,7 +116,6 @@ DRIVER_WINDOW = [
     "array_higher_order_breadth",
     # sketches (approx_distinct_users LAST: anchor for the evicted
     # hll_distinct_contract, which follows immediately after the window)
-    "bloom_membership_check",
     "approx_distinct_kmv",
     "approx_distinct_users",
 ]

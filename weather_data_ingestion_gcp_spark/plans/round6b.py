@@ -43,6 +43,38 @@ _SNM_W = 4
 _SNM_PREFIX = 40
 
 
+def snm_candidates(d: DataFrame, w: int = _SNM_W, prefix: int = _SNM_PREFIX) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (id_a < id_b) — per-lang sort
+    by a normalized text prefix, each doc paired with its `w` sort-order
+    successors. Exactly N*w candidates regardless of corpus skew; the
+    explode + equi-join on (lang, rank) keeps it a hash join (no
+    range-join nested loop). Shared by `dedup_sorted_neighborhood` and
+    the Fellegi-Sunter record-linkage scorer (round6c)."""
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.substring(F.lower("text"), 1, prefix), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    left = ranked.select(
+        "lang",
+        F.col("doc_id").alias("da"),
+        F.explode(F.sequence(F.col("rk") + 1, F.col("rk") + w)).alias("rk_b"),
+    )
+    right = ranked.select(
+        "lang", F.col("rk").alias("rk_b"), F.col("doc_id").alias("db")
+    )
+    return left.join(right, ["lang", "rk_b"]).select(
+        F.least("da", "db").alias("id_a"),
+        F.greatest("da", "db").alias("id_b"),
+    )
+
+
 @register(
     "dedup_sorted_neighborhood",
     oracle=rf"""
@@ -99,33 +131,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is. The verify is the audited hashed-shingle equi-join.
     The oracle's BETWEEN-join expresses the same rank adjacency."""
     d = load_table(spark, sf_dir, "documents")
-    ranked = d.select(
-        "doc_id",
-        "lang",
-        F.row_number()
-        .over(
-            Window.partitionBy("lang").orderBy(
-                F.substring(F.lower("text"), 1, _SNM_PREFIX), "doc_id"
-            )
-        )
-        .alias("rk"),
-    )
-    # explode the W successor ranks on the LEFT side: one equi-join on
-    # (lang, rank), no range-join fallback to nested loop
-    left = ranked.select(
-        "lang",
-        F.col("doc_id").alias("da"),
-        F.explode(
-            F.sequence(F.col("rk") + 1, F.col("rk") + _SNM_W)
-        ).alias("rk_b"),
-    )
-    right = ranked.select(
-        "lang", F.col("rk").alias("rk_b"), F.col("doc_id").alias("db")
-    )
-    cand = left.join(right, ["lang", "rk_b"]).select(
-        F.least("da", "db").alias("id_a"),
-        F.greatest("da", "db").alias("id_b"),
-    )
+    cand = snm_candidates(d)
     sh = dedup.shingles(d, "doc_id", "text", n=2)
     out = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.05)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
