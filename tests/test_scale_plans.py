@@ -186,6 +186,8 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "source_distinctive_terms",  # 1-row corpus-total scalar broadcast
     "record_linkage_fellegi_sunter",  # 1-row u-statistics scalar broadcast
     "contingency_chi_square",  # bounded |langs| x |sources| grid densification
+    "ks_length_drift_by_source",  # bounded |sources| x |distinct lengths| grid
+    "t_closeness_audit",  # bounded |QI groups| x |magnitude buckets| grid
 }
 
 

@@ -17,6 +17,7 @@ from . import round5  # noqa: F401,E402
 from . import round6  # noqa: F401,E402
 from . import round6b  # noqa: F401,E402
 from . import round6c  # noqa: F401,E402
+from . import round6d  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50
