@@ -306,10 +306,11 @@ _BENFORD_ORACLE = """
         FROM cells
     )
     SELECT digit, observed,
-           CAST((1000000 * observed) // total AS BIGINT) AS observed_ppm,
+           CAST((1000000 * observed) // NULLIF(total, 0) AS BIGINT)
+             AS observed_ppm,
            CAST(expected_ppm AS BIGINT) AS expected_ppm,
-           CAST((1000000 * observed) // total - expected_ppm AS BIGINT)
-             AS excess_ppm
+           CAST((1000000 * observed) // NULLIF(total, 0) - expected_ppm
+                AS BIGINT) AS excess_ppm
     FROM tot ORDER BY digit
 """
 
@@ -356,10 +357,11 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "digit",
         "observed",
-        F.expr("(1000000 * observed) div total").alias("observed_ppm"),
+        F.expr("(1000000 * observed) div nullif(total, 0)").alias("observed_ppm"),
         F.col("expected_ppm").cast("long").alias("expected_ppm"),
         (
-            F.expr("(1000000 * observed) div total") - F.col("expected_ppm")
+            F.expr("(1000000 * observed) div nullif(total, 0)")
+            - F.col("expected_ppm")
         ).alias("excess_ppm"),
     ).orderBy("digit")
 
