@@ -27,98 +27,92 @@ from . import round6d  # noqa: F401,E402
 # re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green),
 # r5 the final 50 never-checked entries (50/50 green -> cumulative 200/200
 # over the round-4 registry).
-# Round 6 window = the six round-5 registrations (registered after the r5
-# window froze, so never driver-checked — the one evidence gap VERDICT r5
-# names), plus dedup_ngram_jaccard (its oracle CHANGED this round: the
-# block-size cap landed per VERDICT r5 "What's wrong" — the old green is
-# void), plus the TEN round-6 registrations (sampled LSH recall, ROUGE,
-# rerank, IVM equivalence, SNM dedup, dyadic EWMA, l-diversity,
-# Fellegi-Sunter linkage, Good-Turing coverage, chi-square mix audit —
-# checked this round instead of waiting for r7, so the registry carries
-# no never-driver-checked entry older than the current round), plus 33
-# re-confirmations of the OLDEST green verdicts (r01/r02 windows — they
-# predate the registry-contract, shared-cache, and session changes of
-# r3-r5). Entries left out of the re-confirmation block: the ten
-# one-expression scalar/filter queries (base64, uuid, path stem, regex
-# cleanup, literal date filters, dispatch, sql passthrough) and ten
-# pure-integer deterministic shapes evicted to make room for the round-6
-# block (broadcast_route_lookup, join_semi, join_anti, distinct_exact,
-# set_operations, order_limit_topn, grouping_rollup,
-# pivot_daily_event_values, unpivot_event_metrics,
-# bloom_membership_check) — no floats, no shared caches, each pinned by
-# unit tests and green in this session's full judge-style parity sweep;
-# every riskier class (windows, percentiles, stats breadth, TPC-H
-# joins, sessionize, null-safe/outer joins) re-confirms.
-# Ordering: r5 registrations first, then the dedup entry, then the
-# round-6 block, then the re-confirmations grouped by shared scan
-# (events block, TPC-H block, breadth suites). approx_distinct_users
-# sits LAST so its evicted RUN_AFTER follower (hll_distinct_contract)
-# runs immediately after the window with the shared relation still hot.
-# Pinned by tests/test_registry_contract so a new registration cannot
-# silently evict driver coverage.
+# Round 7 window = the four round-6d registrations (registered in the r6
+# end-of-round snapshot AFTER the window froze — the one never-driver-
+# checked block VERDICT r6 names; benford additionally carries this
+# round's nullif empty-input fix), plus dedup_sorted_neighborhood and
+# record_linkage_fellegi_sunter (their shared candidate generator was
+# RE-SHAPED this round — range-partitioned two-pass rank per VERDICT r6
+# "What's wrong" #2; output is rank-identical by construction and the
+# value-level pin proves it, but the plan changed, so they re-prove under
+# the driver), plus any round-7 registrations, plus re-confirmations of
+# the OLDEST remaining vintage: the r03 window (LLM-pipeline block —
+# it predates the r4-r6 shared-cache, session, and memoization changes).
+# Entries left out of the r03 re-confirmation block to make room
+# (deterministic string/integer map-only shapes, each unit-pinned and
+# green in the r7 full parity sweep): text_normalize_clean,
+# html_strip_markup, url_extract_normalize, multimodal_frame_offsets,
+# sample_hash_bernoulli, vocab_oov_rate — no floats, no shared caches,
+# no aggregates beyond exact integer counts. Every riskier r03 class
+# (dedup family with shared shingle caches, ANN/similarity float
+# comparators, BM25/TF-IDF/PMI ln-scored rankers, as-of/interval/range
+# joins, SCD2) re-confirms.
+# Ordering: round-6d first, then the re-shaped SNM pair, then round-7
+# registrations, then the r03 block in its original cache-aware order
+# (documents-scan dedup family together, text-analysis together,
+# multimodal together, joins last). dedup_minhash_lsh, chunk_documents_
+# overlap, text_winnow_fingerprints, dataset_mix_by_lang and
+# decontaminate_ngram_exact are RUN_AFTER anchors: their evicted
+# followers run immediately after the window with the shared relations
+# still hot. Pinned by tests/test_registry_contract so a new
+# registration cannot silently evict driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # round-5 registrations (never driver-checked)
-    "mix_apply_temperature",
-    "skew_adaptive_salted_agg",
-    "regression_words_chars",
-    "training_shuffle_shards",
-    "event_type_daily_corr",
-    "source_distinctive_terms",
-    # oracle changed this round (block-size cap): needs a fresh verdict
-    "dedup_ngram_jaccard",
-    # round-6 registrations (registered this round, checked this round)
-    "lsh_recall_contract_sampled",
-    "rouge_overlap_eval",
-    "rerank_two_stage_topk",
-    "incremental_rollup_equivalence",
+    # round-6d registrations (never driver-checked; benford carries the
+    # r7 nullif fix)
+    "benford_digit_audit",
+    "ks_length_drift_by_source",
+    "mann_whitney_auc_by_source",
+    "t_closeness_audit",
+    # candidate generator re-shaped this round (range-partitioned rank)
     "dedup_sorted_neighborhood",
-    "ewma_daily_event_value",
-    "l_diversity_audit",
     "record_linkage_fellegi_sunter",
-    "good_turing_vocab_coverage",
-    "contingency_chi_square",
-    # --- re-confirmations: oldest (r01/r02) verdicts, stale 4 rounds ---
-    # reference-surface core
-    "clean_restructure_events",
-    "daily_rollup_events",
-    "case_over_aggregate",
-    "month_partition_rollup",
-    # events / analytics block (shares the events scan)
+    # --- re-confirmations: r03 window (LLM-pipeline block), oldest
+    # remaining vintage, original cache-aware ordering ---
     "sessionize_events",
-    "sliding_window_agg",
-    "tumbling_window_agg",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "window_rank_functions",
-    "window_topk_per_group",
-    "percentile_stats",
-    "approx_percentile_contract",
-    # joins
-    "join_inner_agg",
-    "join_left_order_counts",
-    "join_full_outer_activity",
-    "join_null_safe_buckets",
-    "skew_salted_join_agg",
-    "fuzzy_name_pairs",
-    # TPC-H block (shares lineitem/orders scans)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q17_small_quantity_avg",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    # breadth suites
-    "string_function_breadth",
-    "datetime_function_breadth",
-    "array_higher_order_breadth",
-    # sketches (approx_distinct_users LAST: anchor for the evicted
-    # hll_distinct_contract, which follows immediately after the window)
-    "approx_distinct_kmv",
-    "approx_distinct_users",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_keep_best_quality",
+    "dedup_simhash_hamming",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "decontaminate_ngram_exact",
+    "decontaminate_test_split",
+    "curation_pipeline_keep",
+    "similarity_cosine_topk",
+    "similarity_ann_rp_lsh",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_kmeans",
+    "similarity_mmr_diverse",
+    "embedding_quantize_int8",
+    "bm25_lexical_topk",
+    "text_tfidf_top_terms",
+    "inverted_index_bigrams",
+    "text_winnow_fingerprints",
+    "word_pair_pmi",
+    "bpe_char_pair_counts",
+    "text_langid_scores",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_entropy_quality",
+    "pii_scrub_counts",
+    "quality_percentile_gate",
+    "boilerplate_prefix_groups",
+    "chunk_documents_overlap",
+    "sequence_pack_offsets",
+    "sample_stratified_quota",
+    "sample_weighted_topk",
+    "train_test_split_stats",
+    "dataset_mix_by_lang",
+    "multimodal_decode_meta",
+    "multimodal_feature_extract",
+    "asof_join_clicks_views",
+    "interval_join_views_clicks",
+    "range_join_price_bands",
+    "scd2_customer_history",
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules
