@@ -669,3 +669,134 @@ def test_incremental_rollup_from_change_feed(spark, tmp_path):
         assert got == recompute(v), f"at version {v}"
         prev_v = v
     assert "d2" not in {r["day"] for r in prev.collect()}
+
+
+def test_changes_across_additive_schema_evolution(spark, tmp_path):
+    """ADVICE r6: an interval spanning additive evolution must read with
+    mergeSchema and project both sides to the union schema at to_version
+    — a bare parquet read infers from an arbitrary footer, silently
+    dropping the new column or crashing exceptAll on column-count
+    mismatch."""
+    t = TxLogTable(str(tmp_path / "t"))
+    v0 = t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    v1 = t.append(
+        spark.createDataFrame(
+            [(2, "b", 9)], "id bigint, v string, extra bigint"
+        )
+    )
+    ch = t.changes(spark, v0, v1)
+    assert set(ch.columns) == {"id", "v", "extra", "_change_type"}
+    rows = {(r["id"], r["v"], r["extra"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {(2, "b", 9, "insert")}
+    # interval starting BEFORE the table existed: the old side's files
+    # predate the column entirely and null-fill
+    full = {
+        (r["id"], r["extra"], r["_change_type"])
+        for r in t.changes(spark, -1, v1).collect()
+    }
+    assert full == {(1, None, "insert"), (2, 9, "insert")}
+    # a delete touching only old-schema files still feeds a union-schema
+    # row (extra = NULL) so downstream consumers see one stable schema
+    v2 = t.delete_where(spark, "id = 1")
+    dels = {
+        (r["id"], r["extra"], r["_change_type"])
+        for r in t.changes(spark, v1, v2).collect()
+    }
+    assert dels == {(1, None, "delete")}
+
+
+def test_changes_diffs_map_typed_columns_by_sorted_entries(spark, tmp_path):
+    """Spark forbids map types in set operations; changes() must diff
+    them as key-sorted entry arrays (map semantics — entry order never
+    matters) and hand back real maps."""
+    t = TxLogTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame(
+        [(1, {"b": "2", "a": "1"}), (2, {"x": "9"})],
+        "id bigint, props map<string,string>",
+    )
+    v0 = t.append(df1)
+    v1 = t.delete_where(spark, "id = 2")
+    ch = t.changes(spark, v0, v1)
+    assert dict(ch.dtypes)["props"] == "map<string,string>"
+    rows = [(r["id"], r["props"], r["_change_type"]) for r in ch.collect()]
+    assert rows == [(2, {"x": "9"}, "delete")]
+    # same map written in a different entry order cancels out: the
+    # rewrite of id=1's file must NOT produce a phantom delete+insert
+    assert t.changes(spark, v0, v1).filter("id = 1").count() == 0
+
+
+def test_changes_rejects_nested_maps_with_clear_error(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    v0 = t.append(
+        spark.createDataFrame(
+            [(1, ({"a": "1"},))],
+            "id bigint, s struct<m: map<string,string>>",
+        )
+    )
+    with pytest.raises(ValueError, match="nested"):
+        t.changes(spark, -1, v0)
+
+
+def test_changes_after_vacuum_fails_at_the_cause(spark, tmp_path):
+    """ADVICE r6: an interval whose diffed files were vacuumed must fail
+    in changes() itself with a retention message, not file-not-found at
+    action time deep inside a Spark job."""
+    t = TxLogTable(str(tmp_path / "t"))
+    v0 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    v1 = t.delete_where(spark, "id = 1")
+    t.checkpoint()
+    t.vacuum(retention_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        t.changes(spark, v0, v1)
+    # intervals that only touch live files still work
+    assert t.changes(spark, v1, v1).count() == 0
+
+
+def test_delta_sum_count_raises_on_unknown_change_type(spark):
+    """ADVICE r6: a malformed feed marker (typo, Delta-shaped
+    'update_postimage', NULL) must fail loudly, never be silently
+    treated as a delete."""
+    from pyspark.errors import SparkRuntimeException
+
+    from weather_data_ingestion_gcp_spark.operators.incremental import (
+        delta_sum_count,
+    )
+
+    good = spark.createDataFrame(
+        [("d1", 5, "insert"), ("d1", 3, "delete")],
+        "day string, v bigint, _change_type string",
+    )
+    out = {r["day"]: (r["_d_count"], r["_d_sum"])
+           for r in delta_sum_count(good, ["day"], "v").collect()}
+    assert out == {"d1": (0, 2)}
+    bad = spark.createDataFrame(
+        [("d1", 5, "update_postimage")],
+        "day string, v bigint, _change_type string",
+    )
+    with pytest.raises(SparkRuntimeException, match="unknown _change_type"):
+        delta_sum_count(bad, ["day"], "v").collect()
+
+
+def test_load_table_memo_is_per_session_object(spark):
+    """ADVICE r6: DataFrames are bound to their creating session and
+    newSession() shares the applicationId — the memo must key on the
+    session OBJECT, so a sibling session never receives a foreign
+    DataFrame."""
+    from weather_data_ingestion_gcp_spark.plans.registry import (
+        _MEMO_ATTR,
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = load_table(spark, sf, "region")
+    assert load_table(spark, sf, "region") is a  # memo hit in-session
+    sib = spark.newSession()
+    try:
+        assert getattr(sib, _MEMO_ATTR, None) is None  # no bleed-through
+        b = load_table(sib, sf, "region")
+        assert b is not a
+        assert load_table(sib, sf, "region") is b
+        assert b.count() == a.count()
+    finally:
+        if hasattr(sib, _MEMO_ATTR):
+            delattr(sib, _MEMO_ATTR)

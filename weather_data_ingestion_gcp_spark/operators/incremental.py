@@ -24,10 +24,25 @@ from pyspark.sql import functions as F
 def delta_sum_count(changes: DataFrame, keys: list[str],
                     value_col: str) -> DataFrame:
     """Signed per-group deltas from a ``_change_type`` feed: inserts
-    count +1 / +value, deletes -1 / -value. One partial-aggregated
-    shuffle over the changed rows only."""
-    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
+    count +1 / +value, deletes -1 / -value. Any OTHER marker (a typo, a
+    Delta-shaped 'update_postimage', NULL) raises instead of being
+    silently treated as a delete — a malformed feed must fail loudly,
+    not corrupt the maintained rollup. One partial-aggregated shuffle
+    over the changed rows only."""
+    sign = (
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .when(F.col("_change_type") == "delete", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "delta_sum_count: unknown _change_type (expected "
+                        "'insert'/'delete'): "
+                    ),
+                    F.coalesce(F.col("_change_type"), F.lit("NULL")),
+                )
+            ).cast("int")
+        )
     )
     return (
         changes.groupBy(*keys)

@@ -73,18 +73,24 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-#: (applicationId, sf_dir, table) -> analyzed DataFrame. DataFrames are
-#: immutable logical plans, so handing every caller the same object is
-#: safe — and skips the per-call spark.read.parquet re-analysis (file
-#: listing + footer schema read + py4j round trips, measured ~0.12 s per
-#: call at sf0.1, the single largest share of the 0.70 s/query suite
-#: floor). Bounded: #tables x #sf_dirs per session. Execution still
-#: scans parquet (pushdown/pruning unaffected), but the memo DOES pin
-#: the file LISTING captured at first read — fine for the driver's sf
-#: dirs, which are immutable by contract; a caller pointing load_table
-#: at a directory it mutates mid-session must use _load_table_uncached
-#: (fresh listing every call) instead.
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+#: Per-session memo (sf_dir, table) -> analyzed DataFrame, stored as an
+#: attribute ON the SparkSession object itself. DataFrames are immutable
+#: logical plans, so handing every caller the same object is safe — and
+#: skips the per-call spark.read.parquet re-analysis (file listing +
+#: footer schema read + py4j round trips, measured ~0.12 s per call at
+#: sf0.1, the single largest share of the 0.70 s/query suite floor).
+#: Bounded: #tables x #sf_dirs per session; dies with the session.
+#: Session-object keying matters: DataFrames are bound to the session
+#: that created them, and spark.newSession() SHARES the applicationId —
+#: an app-id-keyed global memo would hand a sibling session a foreign
+#: DataFrame whose conf (e.g. the events nanosAsLong legacy flag) may
+#: differ, and entries for stopped sessions would linger forever.
+#: Execution still scans parquet (pushdown/pruning unaffected), but the
+#: memo DOES pin the file LISTING captured at first read — fine for the
+#: driver's sf dirs, which are immutable by contract; a caller pointing
+#: load_table at a directory it mutates mid-session must use
+#: _load_table_uncached (fresh listing every call) instead.
+_MEMO_ATTR = "_graft_table_memo"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -97,12 +103,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (integer division — double division would lose precision at 1e18),
     matching DuckDB's own nanos->micros truncation.
     """
-    key = (spark.sparkContext.applicationId, str(sf_dir), name)
-    hit = _TABLE_MEMO.get(key)
+    memo: dict[tuple[str, str], DataFrame] | None = getattr(
+        spark, _MEMO_ATTR, None
+    )
+    if memo is None:
+        memo = {}
+        setattr(spark, _MEMO_ATTR, memo)
+    key = (str(sf_dir), name)
+    hit = memo.get(key)
     if hit is not None:
         return hit
     df = _load_table_uncached(spark, sf_dir, name)
-    _TABLE_MEMO[key] = df
+    memo[key] = df
     return df
 
 

@@ -178,11 +178,14 @@ class TxLogTable:
 
     # -- write path ---------------------------------------------------------
 
-    def table_schema(self) -> dict[str, str]:
-        """column -> type string of the latest committed schema (union of
-        additive evolution; empty if the table has no commits)."""
+    def table_schema(self, version: int | None = None) -> dict[str, str]:
+        """column -> type string of the committed schema at ``version``
+        (default: latest) — the union of additive evolution up to that
+        commit; empty if the table has no commits."""
         cols: dict[str, str] = {}
         for c in self.history():
+            if version is not None and c["version"] > version:
+                break
             cols.update(c.get("schema", {}))
         return cols
 
@@ -503,6 +506,19 @@ class TxLogTable:
         delete at 100 TB reads that day's files, never the table. Cost is
         a shuffle of the touched rows only (exceptAll hashes full rows);
         no change-log storage, no write-path overhead.
+
+        Schema evolution: both sides are read with mergeSchema and
+        projected to the UNION schema committed at ``to_version``
+        (missing columns null-filled), so an additive-evolution interval
+        cannot drop a new column (a bare parquet read infers from an
+        arbitrary footer) or crash ``exceptAll`` on mismatched column
+        counts. Top-level map-typed payload columns (which Spark forbids
+        in set operations) are diffed as key-sorted entry arrays and
+        restored afterwards — map semantics, not entry-order semantics;
+        maps NESTED inside structs/arrays are rejected with a clear
+        error. Diffed file paths are pre-checked on disk so an interval
+        that predates ``vacuum`` retention fails here, at the cause, not
+        at action time deep inside a Spark job.
         """
         if to_version is None:
             to_version = self.version()
@@ -512,25 +528,53 @@ class TxLogTable:
             )
         f1 = set(self.active_files(version=from_version))
         f2 = set(self.active_files(version=to_version))
+        gone = sorted(
+            f for f in (f1 ^ f2)
+            if not os.path.exists(os.path.join(self.root, f))
+        )
+        if gone:
+            raise FileNotFoundError(
+                f"changes({from_version}, {to_version}) needs data files "
+                f"that no longer exist (vacuumed?): {gone} — the interval "
+                "predates vacuum retention; re-baseline from a full "
+                "snapshot read instead"
+            )
+        sch = self.table_schema(version=to_version)
+        nested_maps = [
+            c for c, t in sch.items()
+            if "map<" in t and not t.startswith("map<")
+        ]
+        if nested_maps:
+            raise ValueError(
+                "changes() cannot diff columns with maps nested inside "
+                f"structs/arrays (no orderable form): {nested_maps}"
+            )
+        map_cols = [c for c, t in sch.items() if t.startswith("map<")]
 
         def _rd(files: set[str]) -> DataFrame:
             if files:
-                return spark.read.parquet(
+                df = spark.read.option("mergeSchema", "true").parquet(
                     *(os.path.join(self.root, f) for f in sorted(files))
                 )
-            # typed empty frame (either endpoint may be an empty snapshot)
-            ref = f1 | f2
-            if not ref:
-                sch = self.table_schema()
-                return spark.createDataFrame(
+            else:
+                # typed empty frame (either endpoint may be an empty
+                # snapshot)
+                df = spark.createDataFrame(
                     [], ", ".join(f"`{k}` {v}" for k, v in sch.items())
                 )
-            return spark.read.parquet(
-                *(os.path.join(self.root, f) for f in sorted(ref))
-            ).limit(0)
+            # project to the union schema at to_version: null-fill columns
+            # the side's files predate; sorted-entry form for map columns
+            have = set(df.columns)
+            cols = []
+            for c, t in sch.items():
+                col = F.col(c) if c in have else F.lit(None).cast(t)
+                if t.startswith("map<"):
+                    col = F.array_sort(F.map_entries(col))
+                cols.append(col.alias(c))
+            return df.select(cols)
 
         added, removed = _rd(f2 - f1), _rd(f1 - f2)
-        if "_change_type" in added.columns:
+        if "_change_type" in sch:
             raise ValueError(
                 "payload column _change_type collides with the change-feed "
                 "marker column"
@@ -541,7 +585,18 @@ class TxLogTable:
         del_ = removed.exceptAll(added).withColumn(
             "_change_type", F.lit("delete")
         )
-        return ins.unionByName(del_)
+        out = ins.unionByName(del_)
+        if map_cols:
+            out = out.select(
+                *[
+                    F.map_from_entries(F.col(c)).alias(c)
+                    if c in map_cols
+                    else F.col(c)
+                    for c in sch
+                ],
+                "_change_type",
+            )
+        return out
 
     def exists(self) -> bool:
         return self.version() >= 0
