@@ -188,6 +188,8 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "contingency_chi_square",  # bounded |langs| x |sources| grid densification
     "ks_length_drift_by_source",  # bounded |sources| x |distinct lengths| grid
     "t_closeness_audit",  # bounded |QI groups| x |magnitude buckets| grid
+    "dsir_importance_weights",  # 1-row totals + 1024-row weight-table broadcasts
+    "psi_value_drift",  # 1-row min-day + bounded |types| x |buckets| x 2 grid
 }
 
 

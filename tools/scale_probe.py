@@ -83,7 +83,7 @@ _EMBEDDINGS_FAMILY = {
 }
 
 
-def run(sf_dir: str) -> int:
+def run(sf_dir: str, subset: list[str] | None = None) -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from weather_data_ingestion_gcp_spark.plans import QUERIES
     from weather_data_ingestion_gcp_spark.session import get_spark
@@ -95,7 +95,7 @@ def run(sf_dir: str) -> int:
     QUERIES["order_limit_topn"](spark, sf_dir).collect()
 
     out: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
+    for name in (subset or PROBE_QUERIES):
         fn = QUERIES[name]
         spark._jvm.System.gc()
         try:
@@ -141,4 +141,4 @@ def compare(a_path: str, b_path: str) -> int:
 if __name__ == "__main__":
     if sys.argv[1] == "--compare":
         sys.exit(compare(sys.argv[2], sys.argv[3]))
-    sys.exit(run(sys.argv[1]))
+    sys.exit(run(sys.argv[1], sys.argv[2:] or None))

@@ -18,6 +18,7 @@ from . import round6  # noqa: F401,E402
 from . import round6b  # noqa: F401,E402
 from . import round6c  # noqa: F401,E402
 from . import round6d  # noqa: F401,E402
+from . import round7  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50
@@ -42,8 +43,9 @@ from . import round6d  # noqa: F401,E402
 # (deterministic string/integer map-only shapes, each unit-pinned and
 # green in the r7 full parity sweep): text_normalize_clean,
 # html_strip_markup, url_extract_normalize, multimodal_frame_offsets,
-# sample_hash_bernoulli, vocab_oov_rate — no floats, no shared caches,
-# no aggregates beyond exact integer counts. Every riskier r03 class
+# sample_hash_bernoulli, vocab_oov_rate, decontaminate_test_split,
+# text_token_counts — no floats, no shared caches, no aggregates beyond
+# exact integer counts / md5-hash splits. Every riskier r03 class
 # (dedup family with shared shingle caches, ANN/similarity float
 # comparators, BM25/TF-IDF/PMI ln-scored rankers, as-of/interval/range
 # joins, SCD2) re-confirms.
@@ -67,6 +69,9 @@ DRIVER_WINDOW = [
     # candidate generator re-shaped this round (range-partitioned rank)
     "dedup_sorted_neighborhood",
     "record_linkage_fellegi_sunter",
+    # round-7 registrations (DSIR importance weights, PSI drift)
+    "dsir_importance_weights",
+    "psi_value_drift",
     # --- re-confirmations: r03 window (LLM-pipeline block), oldest
     # remaining vintage, original cache-aware ordering ---
     "sessionize_events",
@@ -80,7 +85,6 @@ DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "decontaminate_ngram_exact",
-    "decontaminate_test_split",
     "curation_pipeline_keep",
     "similarity_cosine_topk",
     "similarity_ann_rp_lsh",
@@ -96,7 +100,6 @@ DRIVER_WINDOW = [
     "bpe_char_pair_counts",
     "text_langid_scores",
     "text_quality_scores",
-    "text_token_counts",
     "text_entropy_quality",
     "pii_scrub_counts",
     "quality_percentile_gate",

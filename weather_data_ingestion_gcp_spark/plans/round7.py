@@ -1,0 +1,318 @@
+"""Round-7 additions: DSIR importance weighting and PSI drift.
+
+Two genuinely uncovered niches of the training-data surface:
+
+- `dsir_importance_weights` — Data Selection with Importance Resampling
+  (Xie et al., NeurIPS 2023), the standard recipe for picking raw-pool
+  documents that look like a target domain: hash every word bigram into
+  B buckets, estimate add-1-smoothed bucket distributions for the
+  target (here ``source = 'src0'``) and the raw pool, and score each
+  raw doc by its summed log importance ratio
+  sum_g [ln p_target(bucket(g)) - ln p_raw(bucket(g))]. The existing
+  selection family filters on INTRINSIC quality (Gopher flags, entropy,
+  percentile gates) or dedups; DSIR is the missing TARGETED selector.
+  All in the integer-ln discipline: every ln takes an exact BIGINT
+  (smoothed count or smoothed total), is nano-quantized, and per-doc
+  scores are BIGINT sums of the broadcast 1024-row weight table —
+  hash-identical across engines.
+
+- `psi_value_drift` — Population Stability Index, the industry-standard
+  distribution-drift monitor (complements the rank family: KS/MWU catch
+  location shifts, chi-square tests independence, PSI quantifies
+  bucket-mass movement): PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+  between each event type's first-half and second-half value-magnitude
+  distributions (the 30-day window split at min_day + 15). Counts are
+  add-1 smoothed on a densified (event_type x bucket) grid, converted
+  to clamped ppm fractions, and each term is
+  (p_ppm - q_ppm) * (nano_ln(p_ppm) - nano_ln(q_ppm)) — non-negative by
+  construction, BIGINT-exact, summed then floor-divided by 1e9 so the
+  result is PSI in ppm. PSI >= 0.1 (100000 ppm) flags instability.
+
+Scale shapes: both are counts-first. DSIR's model state is the B=1024
+bucket table (broadcast; the 100 TB story is literally DSIR's own — the
+hashed distribution is the bounded sufficient statistic, never O(vocab));
+feature extraction is one explode + two partial-aggregated hash
+aggregates; scoring is an equi-join against the broadcast weight table
+plus one per-doc aggregate. PSI reduces events to a
+|event_types| x |magnitude buckets| grid (~5 x 7) before any arithmetic.
+
+int64 bounds: DSIR per-doc |score| <= n_bigrams * ~60e9 — safe to ~1.5e8
+bigrams per document; PSI terms <= 1e6 * ~30e9 ~ 3e16, summed over <= a
+few dozen buckets. Both hold far past the 100x probe point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_bucket
+from ..operators.text import words
+from .registry import _sql_hex4_to_int, load_table, register
+
+#: DSIR hashed-feature dimensionality and target domain
+_DSIR_B = 1024
+_DSIR_TARGET = "src0"
+#: PSI instability threshold in ppm (0.1 nats)
+_PSI_PPM = 100_000
+
+
+def _nano_ln(c) -> F.Column:
+    return F.round(F.log(c.cast("double")) * 1_000_000_000, 0).cast("long")
+
+
+_DSIR_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS g
+        FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+    ),
+    bk AS (
+        SELECT doc_id, source,
+               CAST({_sql_hex4_to_int("g")} % {_DSIR_B} AS BIGINT) AS b
+        FROM bg
+    ),
+    tc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bk
+        WHERE source = '{_DSIR_TARGET}' GROUP BY b
+    ),
+    rc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bk
+        WHERE source <> '{_DSIR_TARGET}' GROUP BY b
+    ),
+    tot AS (
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bk
+           WHERE source = '{_DSIR_TARGET}') AS nt,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bk
+           WHERE source <> '{_DSIR_TARGET}') AS nr
+    ),
+    grid AS (
+        SELECT CAST(gs AS BIGINT) AS b
+        FROM UNNEST(generate_series(0, {_DSIR_B - 1})) AS g(gs)
+    ),
+    wt AS (
+        SELECT grid.b,
+               CAST(ROUND(ln(COALESCE(tc.c, 0) + 1) * 1e9, 0) AS BIGINT)
+             - CAST(ROUND(ln(nt + {_DSIR_B}) * 1e9, 0) AS BIGINT)
+             - CAST(ROUND(ln(COALESCE(rc.c, 0) + 1) * 1e9, 0) AS BIGINT)
+             + CAST(ROUND(ln(nr + {_DSIR_B}) * 1e9, 0) AS BIGINT) AS wn
+        FROM grid CROSS JOIN tot
+        LEFT JOIN tc ON tc.b = grid.b
+        LEFT JOIN rc ON rc.b = grid.b
+    ),
+    doc AS (
+        SELECT bk.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(wt.wn) AS BIGINT) AS weight_nano
+        FROM bk JOIN wt ON wt.b = bk.b
+        WHERE bk.source <> '{_DSIR_TARGET}'
+        GROUP BY bk.doc_id
+    )
+    SELECT doc_id, n_bigrams, weight_nano
+    FROM doc ORDER BY weight_nano DESC, doc_id LIMIT 100
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: score every raw-pool doc (source != 'src0') by its summed
+    hashed-bigram log importance ratio against the 'src0' target domain;
+    emit the 100 best resampling candidates. See module docstring for
+    the arithmetic and scale shape."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", words(F.col("text")).alias("_ws"))
+    ws = F.col("_ws")
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i.cast("int")), F.element_at(ws, (i + 1).cast("int"))
+        ),
+    )
+    bk = base.select(
+        "doc_id",
+        "source",
+        F.explode(grams).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        hash_bucket(F.col("g"), _DSIR_B).cast("long").alias("b"),
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    tc = bk.filter(is_t).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    rc = bk.filter(~is_t).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("rc")
+    )
+    tot = bk.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(is_t, 0).otherwise(1)).cast("long").alias("nr"),
+    )
+    grid = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    wn = (
+        _nano_ln(F.coalesce(F.col("tc"), F.lit(0)) + 1)
+        - _nano_ln(F.col("nt") + F.lit(_DSIR_B))
+        - _nano_ln(F.coalesce(F.col("rc"), F.lit(0)) + 1)
+        + _nano_ln(F.col("nr") + F.lit(_DSIR_B))
+    )
+    wt = (
+        grid.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(tc), "b", "left")
+        .join(F.broadcast(rc), "b", "left")
+        .select("b", wn.alias("wn"))
+    )
+    doc = (
+        bk.filter(~is_t)
+        .join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("wn").cast("long").alias("weight_nano"),
+        )
+    )
+    return doc.select("doc_id", "n_bigrams", "weight_nano").orderBy(
+        F.col("weight_nano").desc(), "doc_id"
+    ).limit(100)
+
+
+_PSI_ORACLE = f"""
+    WITH r AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(length(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                                AS VARCHAR)) AS BIGINT) AS bucket
+        FROM events
+    ),
+    half AS (
+        SELECT event_type, bucket,
+               CASE WHEN day < (SELECT MIN(day) FROM r) + 15
+                    THEN 0 ELSE 1 END AS h
+        FROM r
+    ),
+    cnt AS (
+        SELECT event_type, bucket, h, CAST(COUNT(*) AS BIGINT) AS c
+        FROM half GROUP BY event_type, bucket, h
+    ),
+    grid AS (
+        SELECT et.event_type, b.bucket, h.h
+        FROM (SELECT DISTINCT event_type FROM r) et
+        CROSS JOIN (SELECT DISTINCT bucket FROM r) b
+        CROSS JOIN (SELECT 0 AS h UNION ALL SELECT 1) h
+    ),
+    sm AS (
+        SELECT g.event_type, g.bucket, g.h,
+               COALESCE(c.c, 0) + 1 AS a
+        FROM grid g LEFT JOIN cnt c
+          ON c.event_type = g.event_type AND c.bucket = g.bucket
+         AND c.h = g.h
+    ),
+    norm AS (
+        SELECT event_type, bucket, h, a,
+               CAST(SUM(a) OVER (PARTITION BY event_type, h) AS BIGINT)
+                 AS tot
+        FROM sm
+    ),
+    ppm AS (
+        SELECT event_type, bucket, h,
+               GREATEST((1000000 * a) // tot, 1) AS p
+        FROM norm
+    ),
+    pair AS (
+        SELECT p0.event_type, p0.bucket, p0.p AS p, p1.p AS q
+        FROM ppm p0 JOIN ppm p1
+          ON p1.event_type = p0.event_type AND p1.bucket = p0.bucket
+         AND p0.h = 0 AND p1.h = 1
+    ),
+    terms AS (
+        SELECT event_type,
+               (p - q) * (CAST(ROUND(ln(p) * 1e9, 0) AS BIGINT)
+                          - CAST(ROUND(ln(q) * 1e9, 0) AS BIGINT)) AS t
+        FROM pair
+    )
+    SELECT event_type,
+           CAST(CAST(SUM(t) AS BIGINT) // 1000000000 AS BIGINT) AS psi_ppm,
+           CAST(SUM(t) AS BIGINT) // 1000000000 >= {_PSI_PPM} AS unstable
+    FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("psi_value_drift", oracle=_PSI_ORACLE)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each event type's value-magnitude
+    distribution (decimal digit count of exact integer cents), first
+    half of the 30-day window vs second half. See module docstring."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    r = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.length(cents.cast("string")).cast("long").alias("bucket"),
+    )
+    min_day = r.agg(F.min("day").alias("d0"))
+    half = r.crossJoin(F.broadcast(min_day)).select(
+        "event_type",
+        "bucket",
+        F.when(F.col("day") < F.date_add(F.col("d0"), 15), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("h"),
+    )
+    cnt = half.groupBy("event_type", "bucket", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ets = r.select("event_type").distinct()
+    bks = r.select("bucket").distinct()
+    hs = spark.range(2).select(F.col("id").cast("int").alias("h"))
+    grid = ets.crossJoin(F.broadcast(bks)).crossJoin(F.broadcast(hs))
+    sm = grid.join(cnt, ["event_type", "bucket", "h"], "left").select(
+        "event_type",
+        "bucket",
+        "h",
+        (F.coalesce("c", F.lit(0)) + 1).cast("long").alias("a"),
+    )
+    norm = sm.select(
+        "event_type",
+        "bucket",
+        "h",
+        "a",
+        F.sum("a")
+        .over(Window.partitionBy("event_type", "h"))
+        .cast("long")
+        .alias("tot"),
+    )
+    ppm = norm.select(
+        "event_type",
+        "bucket",
+        "h",
+        F.greatest(F.expr("(1000000 * a) div tot"), F.lit(1)).alias("p"),
+    )
+    p0 = ppm.filter(F.col("h") == 0).select(
+        "event_type", "bucket", F.col("p").alias("p")
+    )
+    p1 = ppm.filter(F.col("h") == 1).select(
+        "event_type", "bucket", F.col("p").alias("q")
+    )
+    terms = p0.join(p1, ["event_type", "bucket"]).select(
+        "event_type",
+        (
+            (F.col("p") - F.col("q"))
+            * (_nano_ln(F.col("p")) - _nano_ln(F.col("q")))
+        ).alias("t"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.expr("cast(sum(t) as bigint) div 1000000000").alias("psi_ppm"))
+        .select(
+            "event_type",
+            F.col("psi_ppm").cast("long").alias("psi_ppm"),
+            (F.col("psi_ppm") >= _PSI_PPM).alias("unstable"),
+        )
+        .orderBy("event_type")
+    )
