@@ -71,6 +71,9 @@ PROBE_QUERIES = [
     "dedup_sorted_neighborhood",
     "ewma_daily_event_value",
     "l_diversity_audit",
+    # round-7 entries: DSIR's bounded-model selector and the PSI grid
+    "dsir_importance_weights",
+    "psi_value_drift",
 ]
 
 
