@@ -820,3 +820,37 @@ def test_blocked_jaccard_internal_names_do_not_shadow_block_cols(spark):
             max_block_size=10,
         )
         assert {(r.id_a, r.id_b) for r in out.collect()} == {(0, 1)}
+
+
+def test_bloom_xl_adaptive_width_ladder_and_wide_roundtrip(spark):
+    """Round-7 100x-probe finding: a fixed 2^20-bit bloom saturates at
+    ~2.4M build grams (FP ~ 1, the prune passes everything). The width
+    ladder must hold >= ~8 bits per key, and a wide (hexw=6) bitset must
+    keep the no-false-negative contract with positions sliced at the
+    SAME width on both sides."""
+    from pyspark.sql import functions as F
+
+    from weather_data_ingestion_gcp_spark.operators import sketch
+
+    assert sketch.bloom_xl_width(1) == 5
+    assert sketch.bloom_xl_width(131_072) == 5      # 2^20 / 8
+    assert sketch.bloom_xl_width(131_073) == 6
+    assert sketch.bloom_xl_width(2_097_152) == 6    # 2^24 / 8
+    assert sketch.bloom_xl_width(2_097_153) == 7
+    assert sketch.bloom_xl_width(10**9) == 7        # capped
+
+    build = spark.range(500).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    words, hexw = sketch.bloom_xl_build(build, "k")
+    assert hexw == 5 and len(words) == (1 << 20) >> 6
+    # force the wide form and verify the contract end-to-end
+    wide = sketch.bloom_bitset_words(build, "k", hexw=6)
+    assert len(wide) == (1 << 24) >> 6
+    probe = spark.range(1000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    kept = {r["k"] for r in sketch.bloom_xl_prune(probe, "k", wide, 6).collect()}
+    assert {f"key-{i}" for i in range(500)} <= kept  # no false negatives
+    # mismatched widths would break the contract; the API ties them
+    assert len(kept) < 1000  # the wide bitset actually prunes

@@ -91,7 +91,10 @@ def run(sf_dir: str, subset: list[str] | None = None) -> int:
     from weather_data_ingestion_gcp_spark.plans import QUERIES
     from weather_data_ingestion_gcp_spark.session import get_spark
 
-    spark = get_spark("scale-probe")
+    sp = os.environ.get("SPARK_GRAFT_PROBE_SHUFFLE")
+    spark = get_spark(
+        "scale-probe", shuffle_partitions=int(sp) if sp else None
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # JVM warm-up with a query OUTSIDE the probe list, so the probe's own
     # first entry still records a genuine cold time

@@ -192,47 +192,88 @@ def mg_heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: the prefilter bloom is wider than the 16-bit demo sketch above:
-#: m = 2^20 bits keeps the false-positive rate ~1% at ~100k build keys
-#: (kn/m = 0.38 -> (1 - e^-0.38)^4), and the packed bitset is m/64 longs
-#: = 128 KB — a bounded driver collect and broadcast no matter how large
-#: the build side grows. Positions come from four disjoint 5-hex-char
-#: (20-bit) md5 slices, same cross-engine portability contract as above.
+#: m = 2^20 bits (the default) keeps the false-positive rate ~1% at
+#: ~100k build keys (kn/m = 0.38 -> (1 - e^-0.38)^4), and the packed
+#: bitset is m/64 longs = 128 KB. Positions come from four disjoint
+#: hex-slice md5 windows, same cross-engine portability contract as
+#: above. The round-7 100x probe caught the FIXED width saturating: at
+#: ~2.4M build grams every bit is lit, FP ~ 1, the prune passes
+#: everything, and the "prefiltered" join degenerates to the unpruned
+#: one (decontaminate_bloom_prefilter warm 13.5 s -> 220 s across the
+#: sf1 -> sf10 decade). `bloom_xl_width` therefore picks the slice
+#: width from the build cardinality: 5 hex (2^20 bits / 128 KB) up to
+#: ~130k keys, 6 hex (2^24 / 2 MB) to ~2M, 7 hex (2^28 / 32 MB — still
+#: a bounded broadcast) beyond, holding bits-per-key >= ~8 so FP stays
+#: ~<3%. The prune is result-transparent either way (the exact join
+#: removes false positives), so width only moves the perf curve.
 BLOOM_XL_K = 4
+BLOOM_XL_HEXW = 5
 BLOOM_XL_M = 1 << 20
 
 
-def bloom_xl_positions(key: Column) -> list[Column]:
+def bloom_xl_width(n_keys: int) -> int:
+    """Smallest supported hex-slice width giving >= ~8 bits per key."""
+    for hexw in (5, 6, 7):
+        if (1 << (4 * hexw)) >= 8 * max(n_keys, 1):
+            return hexw
+    return 7
+
+
+def bloom_xl_positions(key: Column, hexw: int = BLOOM_XL_HEXW) -> list[Column]:
     fp = F.md5(key)
     return [
-        F.conv(F.substring(fp, 5 * j + 1, 5), 16, 10).cast("long")
+        F.conv(F.substring(fp, hexw * j + 1, hexw), 16, 10).cast("long")
         for j in range(BLOOM_XL_K)
     ]
 
 
-def bloom_bitset_words(df: DataFrame, key_col: str) -> list[int]:
+def bloom_bitset_words(
+    df: DataFrame, key_col: str, hexw: int = BLOOM_XL_HEXW
+) -> list[int]:
     """Fold the build side's lit positions into a packed ``m/64``-long
-    bitset on the driver. The collect is O(m) = 128 KB, NOT O(build
-    keys): the distinct-positions aggregate collapses any build
-    cardinality to at most m rows first. No false negatives by
-    construction (identical md5 arithmetic on build and probe)."""
-    pos = (
+    bitset on the driver. The fold is distributed: positions group to
+    word indexes with a BIT_OR partial aggregate, so the collect is at
+    most m/64 rows (16 KiB of longs per 2^20 bits), NOT O(build keys).
+    No false negatives by construction (identical md5 arithmetic on
+    build and probe)."""
+    m = 1 << (4 * hexw)
+    folded = (
         df.select(
-            F.explode(F.array(*bloom_xl_positions(F.col(key_col)))).alias("pos")
+            F.explode(
+                F.array(*bloom_xl_positions(F.col(key_col), hexw))
+            ).alias("pos")
         )
-        .distinct()
+        .groupBy(F.expr("CAST(pos DIV 64 AS INT)").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+            ).alias("bits")
+        )
         .collect()
     )
-    words = [0] * (BLOOM_XL_M >> 6)
-    for r in pos:
-        p = r["pos"]
-        words[p >> 6] |= 1 << (p & 63)
-    # Spark BIGINT is signed; bit 63 set means the Python int overflows
-    # the long range — re-encode two's-complement
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words = [0] * (m >> 6)
+    for r in folded:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_xl_build(df: DataFrame, key_col: str) -> tuple[list[int], int]:
+    """Adaptively-sized build: estimate the build cardinality (HLL,
+    one bounded aggregate), pick the slice width that keeps >= ~8 bits
+    per key, and fold the bitset at that width. Returns (words, hexw) —
+    hand both to `bloom_xl_prune` so probe positions use the same
+    slices."""
+    n = df.agg(F.approx_count_distinct(key_col).alias("n")).first()["n"]
+    hexw = bloom_xl_width(int(n))
+    return bloom_bitset_words(df, key_col, hexw), hexw
 
 
 def bloom_xl_prune(
-    df: DataFrame, key_col: str, words: list[int], bits_col: str = "_bf"
+    df: DataFrame,
+    key_col: str,
+    words: list[int],
+    hexw: int = BLOOM_XL_HEXW,
+    bits_col: str = "_bf",
 ) -> DataFrame:
     """Map-side prune: keep only rows whose key has ALL k bloom bits lit.
 
@@ -245,7 +286,7 @@ def bloom_xl_prune(
     bits = spark.createDataFrame([(words,)], f"{bits_col} array<bigint>")
     out = df.crossJoin(F.broadcast(bits))
     pcols = []
-    for j, pos in enumerate(bloom_xl_positions(F.col(key_col))):
+    for j, pos in enumerate(bloom_xl_positions(F.col(key_col), hexw)):
         out = out.withColumn(f"_bfp{j}", pos)
         pcols.append(f"_bfp{j}")
     cond = " AND ".join(

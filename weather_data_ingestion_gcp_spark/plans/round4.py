@@ -65,8 +65,12 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     b = hash_bucket(F.col("doc_id"))
     te = sh.join(d.filter(b < 10).select("doc_id"), "doc_id", "left_semi")
     tr = sh.join(d.filter(b >= 15).select("doc_id"), "doc_id", "left_semi")
-    words = sketch.bloom_bitset_words(te, "shingle")
-    tr_pruned = sketch.bloom_xl_prune(tr, "shingle", words)
+    # adaptive width (r7): a fixed 2^20-bit bloom saturates once the
+    # test split carries ~>130k distinct grams and the prune stops
+    # pruning — bloom_xl_build sizes the bitset from the measured build
+    # cardinality (result-transparent: the exact join removes FPs)
+    words, hexw = sketch.bloom_xl_build(te, "shingle")
+    tr_pruned = sketch.bloom_xl_prune(tr, "shingle", words, hexw)
     out = dedup.ngram_exact_overlap(te, tr_pruned, min_shared=2, max_gram_df=50)
     return (
         out.groupBy(F.col("probe_id").alias("test_id"))

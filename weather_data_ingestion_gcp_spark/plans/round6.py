@@ -27,8 +27,25 @@ from ..operators import dedup, sampling
 from .registry import _sql_hex4_to_int, load_table, register
 from .round3b import _lsh_recall_oracle, ppjoin_pairs_frame, recall_summary
 
-#: deterministic sample rate (percent of md5-hex4 doc_id buckets)
+#: deterministic sample rate CAP (percent of md5-hex4 doc_id buckets)
 _SAMPLE_PCT = 20
+#: absolute sample-size target: the rate shrinks so the sampled
+#: sub-corpus stays ~this many docs once the corpus outgrows
+#: TARGET/PCT% — the round-7 100x-probe finding: a PROPORTIONAL sample
+#: keeps the quadratic ground truth growing (sf10 cold 1243.8 s, cold
+#: exponent 1.82/decade); recall is a statistical property, so a
+#: fixed-size sample estimates it just as unbiasedly at constant cost.
+_SAMPLE_TARGET_DOCS = 10_000
+
+
+def _sample_pct(n_docs: int) -> int:
+    """min(20%, ceil(TARGET/n) in percent) — integer arithmetic only,
+    mirrored verbatim by the oracle's scalar subquery."""
+    if n_docs <= 0:
+        return _SAMPLE_PCT
+    return min(
+        _SAMPLE_PCT, (100 * _SAMPLE_TARGET_DOCS + n_docs - 1) // n_docs
+    )
 
 
 def _sampled_recall_oracle() -> str:
@@ -41,9 +58,15 @@ def _sampled_recall_oracle() -> str:
     # CTE as a circular reference; the composed oracles touch no other
     # table, so a word-boundary rewrite is exact)
     body = re.sub(r"\bdocuments\b", "docs_sampled", base[len("WITH "):])
+    n = "(SELECT COUNT(*) FROM documents)"
+    pct = (
+        f"COALESCE(LEAST({_SAMPLE_PCT}, "
+        f"(100 * {_SAMPLE_TARGET_DOCS} + {n} - 1) // NULLIF({n}, 0)), "
+        f"{_SAMPLE_PCT})"
+    )
     return (
         "WITH docs_sampled AS (SELECT * FROM documents "
-        f"WHERE {_sql_hex4_to_int('doc_id')} % 100 < {_SAMPLE_PCT}),\n"
+        f"WHERE {_sql_hex4_to_int('doc_id')} % 100 < {pct}),\n"
         + body
     )
 
@@ -58,13 +81,19 @@ def lsh_recall_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift), but both sides see only the sampled sub-corpus: candidate
     pairs scale with the sample rate squared, which is what kept the
     10x probe inside memory where the full-corpus contract spilled out
-    of disk. Recall over a uniform doc-sample is an unbiased estimate of
+    of disk. Round-7 hardening after the 100x probe: the rate is CAPPED
+    so the sample stays ~10k docs absolute (a proportional 20% sample
+    still grows, and the quadratic-in-sample ground truth grew with it
+    — sf10 cold 1243.8 s); below 50k docs the formula reduces to the
+    original flat 20%, so driver-SF outputs are unchanged. The one
+    bounded driver-side probe is the corpus COUNT (footer metadata
+    read). Recall over a uniform doc-sample is an unbiased estimate of
     pair recall for the banding curve (pair inclusion is determined by
     the two docs' signatures alone, independent of the rest of the
     corpus), so the pinned >= 90% bound carries the same meaning."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        sampling.hash_bucket(F.col("doc_id")) < _SAMPLE_PCT
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    pct = _sample_pct(docs.count())
+    d = docs.filter(sampling.hash_bucket(F.col("doc_id")) < pct)
     lsh = dedup.cache_pairs_frame(
         dedup.minhash_near_duplicates(
             d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
