@@ -183,3 +183,73 @@ def test_psi_identical_halves_is_exactly_zero(spark, tmp_path):
     _write_events(spark, str(tmp_path), rows)
     out = QUERIES["psi_value_drift"](spark, str(tmp_path)).collect()
     assert [(r["psi_ppm"], r["unstable"]) for r in out] == [(0, False)]
+
+
+def _write_embeddings(spark, path: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<float>"
+    ).write.parquet(f"{path}/embeddings.parquet")
+
+
+def _hex4_bucket(i: int) -> int:
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+
+def test_semantic_decontamination_matches_pure_python(spark, tmp_path):
+    """Brute-force the per-block test->train argmax in pure Python with
+    the SAME ascending-dimension fold, including the smallest-train-id
+    tie rule (two identical train vectors)."""
+    # pick ids whose md5-hex4 buckets land in the test (<10) and train
+    # (>=15) bands so the fixture controls its own split
+    test_ids = [i for i in range(2000) if _hex4_bucket(i) < 10]
+    train_ids = [i for i in range(2000) if _hex4_bucket(i) >= 15]
+    t0, t1 = test_ids[0], test_ids[1]
+    r0, r1, r2, r3 = train_ids[0], train_ids[1], train_ids[2], train_ids[3]
+    rows = [
+        # label 0: t0 nearly parallel to r0, orthogonal-ish to r1
+        (t0, 0, [1.0, 0.0, 0.1]),
+        (r0, 0, [0.9, 0.05, 0.1]),
+        (r1, 0, [0.0, 1.0, 0.0]),
+        # label 1: r2 == r3 exactly -> tie must break to min(r2, r3)
+        (t1, 1, [0.5, 0.5, 0.0]),
+        (r2, 1, [1.0, 1.0, 0.0]),
+        (r3, 1, [1.0, 1.0, 0.0]),
+        # excluded band (10 <= bucket < 15) must not participate; find one
+        *[
+            (i, 0, [1.0, 0.0, 0.0])
+            for i in range(2000)
+            if 10 <= _hex4_bucket(i) < 15
+        ][:1],
+    ]
+    _write_embeddings(spark, str(tmp_path), rows)
+    got = {
+        r["test_id"]: (r["train_id"], r["cos_sim"], r["contaminated"])
+        for r in QUERIES["decontaminate_semantic_topmatch"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def cos(a, b):
+        dot = n1 = n2 = 0.0
+        for d in range(len(a)):  # ascending-dim fold, same IEEE order
+            dot += a[d] * b[d]
+            n1 += a[d] * a[d]
+            n2 += b[d] * b[d]
+        return dot / (math.sqrt(n1) * math.sqrt(n2))
+
+    vec = {i: [float(x) for x in e] for i, _l, e in rows}
+    # float32 storage: round-trip through struct to mirror parquet floats
+    import struct
+
+    vec = {
+        i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        for i, v in vec.items()
+    }
+    want = {}
+    for tid, block in ((t0, (r0, r1)), (t1, (r2, r3))):
+        best = max(block, key=lambda r: (cos(vec[tid], vec[r]), -r))
+        s = cos(vec[tid], vec[best])
+        want[tid] = (best, round(s, 6), s >= 0.35)
+    assert got == want
+    assert got[t1][0] == min(r2, r3)  # the tie rule, explicitly
+    assert got[t0][0] == r0 and got[t0][2]

@@ -44,8 +44,8 @@ from . import round7  # noqa: F401,E402
 # green in the r7 full parity sweep): text_normalize_clean,
 # html_strip_markup, url_extract_normalize, multimodal_frame_offsets,
 # sample_hash_bernoulli, vocab_oov_rate, decontaminate_test_split,
-# text_token_counts, pii_scrub_counts — no floats, no shared caches, no
-# aggregates beyond exact integer counts / regexp counts / md5 splits. Every riskier r03 class
+# text_token_counts, pii_scrub_counts, boilerplate_prefix_groups — no
+# floats, no shared caches, deterministic string/count/min shapes. Every riskier r03 class
 # (dedup family with shared shingle caches, ANN/similarity float
 # comparators, BM25/TF-IDF/PMI ln-scored rankers, as-of/interval/range
 # joins, SCD2) re-confirms.
@@ -75,6 +75,7 @@ DRIVER_WINDOW = [
     # oracle changed this round (absolute sample-size cap after the
     # 100x probe): needs a fresh verdict
     "lsh_recall_contract_sampled",
+    "decontaminate_semantic_topmatch",
     # --- re-confirmations: r03 window (LLM-pipeline block), oldest
     # remaining vintage, original cache-aware ordering ---
     "sessionize_events",
@@ -105,7 +106,6 @@ DRIVER_WINDOW = [
     "text_quality_scores",
     "text_entropy_quality",
     "quality_percentile_gate",
-    "boilerplate_prefix_groups",
     "chunk_documents_overlap",
     "sequence_pack_offsets",
     "sample_stratified_quota",

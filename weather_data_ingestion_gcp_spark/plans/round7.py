@@ -316,3 +316,111 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SEMDECON_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    te AS (SELECT * FROM v WHERE {_sql_hex4_to_int("vec_id")} % 100 < 10),
+    tr AS (SELECT * FROM v WHERE {_sql_hex4_to_int("vec_id")} % 100 >= 15),
+    scored AS (
+        SELECT te.vec_id AS test_id, tr.vec_id AS train_id,
+               list_dot_product(te.e, tr.e)
+               / (sqrt(list_dot_product(te.e, te.e))
+                  * sqrt(list_dot_product(tr.e, tr.e))) AS sim
+        FROM te JOIN tr ON te.label = tr.label
+    ),
+    best AS (
+        SELECT test_id, train_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY test_id ORDER BY sim DESC, train_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT test_id, train_id, ROUND(sim, 6) AS cos_sim,
+           sim >= 0.35 AS contaminated
+    FROM best WHERE rn = 1 ORDER BY test_id
+"""
+
+
+@register("decontaminate_semantic_topmatch", oracle=_SEMDECON_ORACLE)
+def decontaminate_semantic_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-space sibling of the
+    n-gram decontamination family: for every held-out (test) vector,
+    the single nearest training vector by cosine within its label
+    block, flagged `contaminated` at >= 0.35 (calibrated to this
+    near-orthogonal synthetic corpus; production uses ~0.9+). An n-gram
+    decontaminator misses paraphrases; this is the standard
+    benchmark-leakage screen for them.
+
+    Scale shape: the blocked form of `dedup_embedding_cosine` — the
+    quadratic runs INSIDE each label block only (a block is a cluster
+    assignment by construction, so group size is bounded), vectors
+    cross the Arrow boundary once per block, and the test side is the
+    tiny side (10% split) so the score matrix is |test| x |train| per
+    block, reduced to one argmax row per test vector before anything
+    shuffles. numpy accumulates the dot products ascending by dimension
+    — the exact IEEE sequence of DuckDB's list_dot_product — so sims,
+    the >= threshold decision, and the DESC/ties argmax are bitwise
+    oracle-equal (the dedup_embedding_cosine discipline). Ties break to
+    the smallest train id (ascending-sorted ids + first-occurrence
+    argmax == ORDER BY sim DESC, train_id)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        hash_bucket(F.col("vec_id")).alias("_b"),
+    )
+    marked = emb.filter((F.col("_b") < 10) | (F.col("_b") >= 15)).select(
+        "vec_id", "label", "e", (F.col("_b") < 10).alias("is_test")
+    )
+
+    def block_best(pdf: pd.DataFrame) -> pd.DataFrame:
+        te = pdf[pdf["is_test"]].sort_values("vec_id")
+        tr = pdf[~pdf["is_test"]].sort_values("vec_id")
+        if te.empty or tr.empty:
+            return pd.DataFrame(
+                {
+                    "test_id": pd.Series(dtype="int64"),
+                    "train_id": pd.Series(dtype="int64"),
+                    "raw": pd.Series(dtype="float64"),
+                }
+            )
+        Xt = np.stack(te["e"].to_numpy()).astype(np.float64)
+        Xr = np.stack(tr["e"].to_numpy()).astype(np.float64)
+        dim = Xt.shape[1]
+        acc = np.zeros((len(te), len(tr)), dtype=np.float64)
+        st = np.zeros(len(te), dtype=np.float64)
+        sr = np.zeros(len(tr), dtype=np.float64)
+        for d in range(dim):  # sequential fold order — parity-critical
+            acc += np.outer(Xt[:, d], Xr[:, d])
+            st += Xt[:, d] * Xt[:, d]
+            sr += Xr[:, d] * Xr[:, d]
+        sim = acc / np.outer(np.sqrt(st), np.sqrt(sr))
+        best = sim.argmax(axis=1)  # first max = smallest train id
+        return pd.DataFrame(
+            {
+                "test_id": te["vec_id"].to_numpy(),
+                "train_id": tr["vec_id"].to_numpy()[best],
+                "raw": sim[np.arange(len(te)), best],
+            }
+        )
+
+    return (
+        marked.groupBy("label")
+        .applyInPandas(block_best, "test_id long, train_id long, raw double")
+        .select(
+            "test_id",
+            "train_id",
+            F.round("raw", 6).alias("cos_sim"),
+            (F.col("raw") >= 0.35).alias("contaminated"),
+        )
+        .orderBy("test_id")
+    )
