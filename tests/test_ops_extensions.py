@@ -854,3 +854,45 @@ def test_bloom_xl_adaptive_width_ladder_and_wide_roundtrip(spark):
     assert {f"key-{i}" for i in range(500)} <= kept  # no false negatives
     # mismatched widths would break the contract; the API ties them
     assert len(kept) < 1000  # the wide bitset actually prunes
+
+
+def test_semantic_prune_bucket_cap_sub_blocks(spark):
+    """Round-7 100x-probe finding: sign-LSH's band space is FIXED
+    (2^band_bits signatures), so clustered corpora concentrate into one
+    bucket and the candidate self-join goes quadratic (12k-vector
+    buckets measured at sf100). With max_bucket_size the over-cap
+    bucket hash-splits into sub-buckets: pairs only within a sub-bucket,
+    under-cap behavior untouched, and the capped pair set is a strict
+    subset of the uncapped one (only cross-sub pairs dropped)."""
+    from pyspark.sql import functions as F
+
+    from weather_data_ingestion_gcp_spark.operators import similarity
+
+    # 12 near-identical vectors: all land in the same sign buckets and
+    # all 66 pairs verify at tau=0.35 when uncapped
+    rows = [
+        (i, 0, [1.0 + 0.001 * i] + [0.01] * 63) for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<double>"
+    )
+    uncapped = similarity.semantic_dedup_prune(emb, tau=0.35)
+    capped = similarity.semantic_dedup_prune(emb, tau=0.35, max_bucket_size=4)
+    un = {r["vec_id"]: (r["kept"], r["n_near"]) for r in uncapped.collect()}
+    cp = {r["vec_id"]: (r["kept"], r["n_near"]) for r in capped.collect()}
+    # uncapped: one 12-clique -> only the min id is kept, 11 partners each
+    assert un == {i: (i == 0, 11) for i in range(12)}
+    # capped at 4: each md5 sub-bucket keeps its own minimum; neighbor
+    # counts shrink to the sub-bucket cliques — strictly fewer partners
+    assert all(cp[i][1] <= un[i][1] for i in range(12))
+    assert sum(1 for i in range(12) if cp[i][0]) >= 1
+    assert cp[0][0]  # the global minimum id always survives
+    # a corpus whose buckets are all under the cap is byte-identical
+    small = spark.createDataFrame(
+        rows[:3], "vec_id bigint, label bigint, embedding array<double>"
+    )
+    a = similarity.semantic_dedup_prune(small, tau=0.35).collect()
+    b = similarity.semantic_dedup_prune(
+        small, tau=0.35, max_bucket_size=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

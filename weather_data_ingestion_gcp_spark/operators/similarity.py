@@ -562,6 +562,7 @@ def semantic_dedup_prune(
     band_bits: int = 4,
     dim: int = 64,
     seed: str = "hp",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SemDedup-style semantic pruning (Abbas et al. '23, arXiv:2303.09540):
     drop any vector with a semantically-near LOWER-ID neighbor, keeping the
@@ -577,14 +578,40 @@ def semantic_dedup_prune(
 
     Output: (id, kept, n_near) — n_near counts verified partners on either
     side, the neighborhood-density signal SemDedup thresholds on.
-    Quadratic only within an LSH bucket; the pair relation is the bounded
-    blocked set, never all-pairs (plan-pinned no-cartesian).
+    Quadratic only within an LSH bucket — and, round-7 fix, a bucket is
+    CAPPED: the band space is a fixed 2^band_bits signatures, so with
+    clustered vectors (the whole point of SemDedup) a bucket's size
+    grows with the corpus and its self-join grows quadratically (the
+    100x probe measured the blow-up at 128k vectors: most of a label's
+    vectors share a sign signature). ``max_bucket_size`` hash-splits
+    over-cap (band, bsig) buckets into ceil(n/cap) deterministic
+    md5-hex4 sub-buckets — pairs are generated within a sub-bucket only,
+    bounding candidates at ~N*cap/2 per band (LINEAR), the
+    blocked_jaccard_pairs recipe. Buckets at or under the cap get one
+    sub-bucket, identical to uncapped — the cap only changes behavior
+    where the quadratic would bite; cross-sub near-dups are the
+    documented recall trade (a greedy keep-first dedup tolerates it).
     """
     bands = random_hyperplane_bands(emb, id_col, vec_col, n_bits, band_bits, dim, seed)
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "bsig")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "bsig")
+    if max_bucket_size is not None:
+        counts = bands.groupBy("band", "bsig").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        n_sub = F.expr(
+            f"(`_bn` + {int(max_bucket_size) - 1}) div {int(max_bucket_size)}"
+        )
+        hex4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+        salt = F.conv(hex4, 16, 10).cast("long") % n_sub
+        bands = bands.join(F.broadcast(counts), ["band", "bsig"]).select(
+            id_col, "band", "bsig", salt.alias("_sub")
+        )
+        bkeys = ["band", "bsig", "_sub"]
+    else:
+        bkeys = ["band", "bsig"]
+    a = bands.select(F.col(id_col).alias("id_a"), *bkeys)
+    b = bands.select(F.col(id_col).alias("id_b"), *bkeys)
     pairs = (
-        a.join(b, ["band", "bsig"])
+        a.join(b, bkeys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -44,8 +44,9 @@ from . import round7  # noqa: F401,E402
 # green in the r7 full parity sweep): text_normalize_clean,
 # html_strip_markup, url_extract_normalize, multimodal_frame_offsets,
 # sample_hash_bernoulli, vocab_oov_rate, decontaminate_test_split,
-# text_token_counts, pii_scrub_counts, boilerplate_prefix_groups — no
-# floats, no shared caches, deterministic string/count/min shapes. Every riskier r03 class
+# text_token_counts, pii_scrub_counts, boilerplate_prefix_groups,
+# multimodal_decode_meta (real-bytes decode pinned by its unit suite) —
+# no floats, no shared caches, deterministic string/count/byte shapes. Every riskier r03 class
 # (dedup family with shared shingle caches, ANN/similarity float
 # comparators, BM25/TF-IDF/PMI ln-scored rankers, as-of/interval/range
 # joins, SCD2) re-confirms.
@@ -75,6 +76,7 @@ DRIVER_WINDOW = [
     # oracle changed this round (absolute sample-size cap after the
     # 100x probe): needs a fresh verdict
     "lsh_recall_contract_sampled",
+    "dedup_semantic_prune",
     "decontaminate_semantic_topmatch",
     # --- re-confirmations: r03 window (LLM-pipeline block), oldest
     # remaining vintage, original cache-aware ordering ---
@@ -112,7 +114,6 @@ DRIVER_WINDOW = [
     "sample_weighted_topk",
     "train_test_split_stats",
     "dataset_mix_by_lang",
-    "multimodal_decode_meta",
     "multimodal_feature_extract",
     "asof_join_clicks_views",
     "interval_join_views_clicks",

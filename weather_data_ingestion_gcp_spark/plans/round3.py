@@ -627,12 +627,22 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern), so buckets, cosines, and the kept set all hash-check exactly.
 # ---------------------------------------------------------------------------
 _SEM_TAU = 0.35
+#: sign-LSH bucket cap (round 7): the band space is fixed (2^band_bits
+#: signatures), so clustered corpora concentrate a label's vectors into
+#: one bucket and the self-join goes quadratic — the 100x probe measured
+#: the blow-up at 128k vectors. Over-cap buckets hash-split into
+#: ceil(n/cap) md5-hex4 sub-buckets (pairs within a sub-bucket only,
+#: ~N*cap/2 total — linear); buckets at or under the cap are untouched,
+#: and no sf<=0.1 bucket exceeds 256, so driver-SF outputs are
+#: byte-identical to the uncapped form.
+_SEM_CAP = 256
 
 
 def _semantic_dedup_oracle(
     tau: float, n_bits: int = 16, band_bits: int = 4
 ) -> str:
     from ..operators.similarity import hyperplanes
+    from .registry import _sql_hex4_to_int
 
     W = hyperplanes(n_bits=n_bits, dim=64)
 
@@ -654,9 +664,17 @@ def _semantic_dedup_oracle(
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cb AS ({bands_sql}),
+    bc AS (SELECT band, bsig, COUNT(*) AS bn FROM cb GROUP BY band, bsig),
+    cbs AS (
+        SELECT cb.vec_id, cb.band, cb.bsig,
+               {_sql_hex4_to_int("cb.vec_id")}
+                 % ((bc.bn + {_SEM_CAP - 1}) // {_SEM_CAP}) AS sub
+        FROM cb JOIN bc ON bc.band = cb.band AND bc.bsig = cb.bsig
+    ),
     pairs AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM cb a JOIN cb b ON a.band = b.band AND a.bsig = b.bsig
+        FROM cbs a JOIN cbs b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.sub = b.sub
         WHERE a.vec_id < b.vec_id
     ),
     dup AS (
@@ -683,11 +701,14 @@ def _semantic_dedup_oracle(
 @register("dedup_semantic_prune", oracle=_semantic_dedup_oracle(_SEM_TAU))
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup over the embeddings table: kept flag + neighborhood size
-    per vector (see operators.similarity.semantic_dedup_prune)."""
+    per vector (see operators.similarity.semantic_dedup_prune; bucket
+    cap rationale at _SEM_CAP)."""
     from ..operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup_prune(emb, tau=_SEM_TAU).orderBy("vec_id")
+    return similarity.semantic_dedup_prune(
+        emb, tau=_SEM_TAU, max_bucket_size=_SEM_CAP
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
