@@ -721,3 +721,33 @@ def test_snm_rank_matches_naive_window_rank(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_dsir_weight_table_broadcasts_to_the_corpus(spark):
+    """DSIR's scale story is that the model (the 1024-bucket weight
+    table) is the bounded side: the per-doc scoring join must reach the
+    exploded corpus as a BroadcastHashJoin — a shuffled join would move
+    every bigram row for a 1024-row dimension."""
+    plan = _formatted(QUERIES["dsir_importance_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontamination_is_grouped_arrow_no_cartesian(spark):
+    """The test->train score matrix must stay INSIDE label blocks via
+    the grouped-map Arrow path — a row-pair formulation would plan a
+    join that ships |test| x |train| vector pairs."""
+    plan = _formatted(QUERIES["decontaminate_semantic_topmatch"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psi_grid_joins_are_all_broadcast_side(spark):
+    """PSI densifies over a bounded |types| x |buckets| x 2 grid; the
+    grid cross joins are 1-row/bounded broadcasts (allowlisted) and the
+    raw events relation reduces through hash aggregates — never a
+    CartesianProduct."""
+    plan = _formatted(QUERIES["psi_value_drift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # counts-first reduction
