@@ -91,8 +91,10 @@ def snm_ranked(d: DataFrame, prefix: int = _SNM_PREFIX) -> DataFrame:
             F.lit(0),
         ).alias("off"),
     )
+    # rank is a LONG: the per-lang global rank reaches corpus scale (an
+    # int would overflow past ~2.1e9 docs in one language)
     return loc.join(F.broadcast(offs), ["pid", "lang"]).select(
-        "doc_id", "lang", (F.col("off") + F.col("lrk")).cast("int").alias("rk")
+        "doc_id", "lang", (F.col("off") + F.col("lrk")).cast("long").alias("rk")
     )
 
 
