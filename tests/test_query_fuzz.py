@@ -178,3 +178,103 @@ def test_spark_and_duckdb_agree_on_generated_queries(spark, duck, q):
     spark_rows = _norm([tuple(r) for r in got.select(*cols).collect()], cols)
     duck_rows = _norm(duck.execute(sql).fetchall(), cols)
     assert spark_rows == duck_rows, f"\nSQL: {sql}\nspark={spark_rows[:5]}\nduck={duck_rows[:5]}"
+
+
+# --- string-semantics fuzz over documents -----------------------------------
+# The engine's text family leans on substring/lower/length/replace/strpos
+# mirroring between Spark and DuckDB; fuzz that dialect surface too.
+
+_DOC_ATOM = st.one_of(
+    st.tuples(st.just("chars_gt"), st.integers(min_value=0, max_value=400)),
+    st.tuples(st.just("lang_eq"), st.sampled_from(["en", "de", "fr", "es", "it"])),
+    st.tuples(st.just("src_like"), st.integers(min_value=0, max_value=1)),
+    st.tuples(st.just("contains"), st.sampled_from(list("aeiost"))),
+)
+
+_DOC_AGGS = st.lists(
+    st.sampled_from(["n", "sum_len", "min_sub", "max_rep", "nd_lang"]),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+_DOC_QUERY = st.tuples(
+    st.none() | st.tuples(_DOC_ATOM, _DOC_ATOM, st.sampled_from(["AND", "OR"])),
+    st.lists(st.sampled_from(["lang", "source"]), max_size=2, unique=True),
+    _DOC_AGGS,
+    st.integers(min_value=1, max_value=5),   # substring start
+    st.integers(min_value=1, max_value=12),  # substring length
+)
+
+
+def _doc_atom_sql(a) -> str:
+    return {
+        "chars_gt": lambda: f"(n_chars > {a[1]})",
+        "lang_eq": lambda: f"(lang = '{a[1]}')",
+        "src_like": lambda: f"(source LIKE 'src{a[1]}%')",
+        "contains": lambda: f"(strpos(lower(text), '{a[1]}') > 0)",
+    }[a[0]]()
+
+
+def _doc_atom_spark(a):
+    return {
+        "chars_gt": lambda: F.col("n_chars") > a[1],
+        "lang_eq": lambda: F.col("lang") == a[1],
+        "src_like": lambda: F.col("source").like(f"src{a[1]}%"),
+        "contains": lambda: F.instr(F.lower("text"), a[1]) > 0,
+    }[a[0]]()
+
+
+@pytest.fixture(scope="module")
+def duck_docs():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=_DOC_QUERY)
+def test_spark_and_duckdb_agree_on_string_queries(spark, duck_docs, q):
+    pred, keys, aggs, sub_a, sub_b = q
+    d = load_table(spark, SF, "documents")
+    agg_sql = {
+        "n": "CAST(COUNT(*) AS BIGINT) AS n",
+        "sum_len": "CAST(SUM(length(text)) AS BIGINT) AS sum_len",
+        "min_sub": f"MIN(substring(lower(text), {sub_a}, {sub_b})) AS min_sub",
+        "max_rep": "MAX(replace(source, 'src', 'S')) AS max_rep",
+        "nd_lang": "CAST(COUNT(DISTINCT lang) AS BIGINT) AS nd_lang",
+    }
+    agg_spark = {
+        "n": F.count(F.lit(1)).cast("long").alias("n"),
+        "sum_len": F.sum(F.length("text")).cast("long").alias("sum_len"),
+        "min_sub": F.min(F.substring(F.lower("text"), sub_a, sub_b)).alias("min_sub"),
+        "max_rep": F.max(F.replace(F.col("source"), F.lit("src"), F.lit("S"))).alias("max_rep"),
+        "nd_lang": F.countDistinct("lang").cast("long").alias("nd_lang"),
+    }
+    sdf = d
+    where_sql = ""
+    if pred is not None:
+        a1, a2, comb = pred
+        where_sql = f" WHERE {_doc_atom_sql(a1)} {comb} {_doc_atom_sql(a2)}"
+        c1, c2 = _doc_atom_spark(a1), _doc_atom_spark(a2)
+        sdf = sdf.filter(c1 & c2 if comb == "AND" else c1 | c2)
+    sel = ", ".join(agg_sql[a] for a in aggs)
+    if keys:
+        sql = (
+            f"SELECT {', '.join(keys)}, {sel} FROM documents{where_sql} "
+            f"GROUP BY {', '.join(keys)}"
+        )
+        got = sdf.groupBy(*keys).agg(*[agg_spark[a] for a in aggs])
+    else:
+        sql = f"SELECT {sel} FROM documents{where_sql}"
+        got = sdf.agg(*[agg_spark[a] for a in aggs])
+    cols = keys + aggs
+    spark_rows = _norm([tuple(r) for r in got.select(*cols).collect()], cols)
+    duck_rows = _norm(duck_docs.execute(sql).fetchall(), cols)
+    assert spark_rows == duck_rows, f"\nSQL: {sql}"
