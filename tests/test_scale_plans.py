@@ -670,12 +670,23 @@ def test_snm_rank_is_range_partitioned_two_pass(spark):
     over (partition_id, lang) — bounded task size — and (c) never rank
     the raw docs in a lang-only window ordered by the sort key. The
     tiny per-lang offsets window over the (n_partitions x langs)-row
-    count aggregate orders by pid and is exempt."""
+    count aggregate orders by pid and is exempt. Round-8 advisor fix:
+    the pid-stamped relation must be CACHED before fan-out (both
+    consumers read InMemoryTableScan blocks) — without it, pid
+    consistency between the local ranks and the offsets rides on
+    ReuseExchange deduplicating the range shuffle, and
+    `spark.sql.exchange.reuse=false` (or any plan change defeating
+    canonical-plan dedup) re-samples range boundaries per consumer and
+    silently corrupts ranks."""
     import re
 
     plan = _formatted(QUERIES["dedup_sorted_neighborhood"](spark, SF))
     assert "rangepartitioning(lang" in plan
     assert "REPARTITION_BY_NUM" in plan
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "pid-stamped range relation is not cached: partition-id "
+        "consistency would depend on exchange reuse"
+    )
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs
     for s in specs:
@@ -706,6 +717,54 @@ def test_snm_rank_matches_naive_window_rank(spark):
     got = {
         (r.doc_id, r.lang): r.rk for r in snm_ranked(docs, prefix=40).collect()
     }
+    want = {
+        (r.doc_id, r.lang): r.rk
+        for r in docs.select(
+            "doc_id",
+            "lang",
+            F.row_number()
+            .over(
+                Window.partitionBy("lang").orderBy(
+                    F.substring(F.lower("text"), 1, 40), "doc_id"
+                )
+            )
+            .alias("rk"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_snm_rank_correct_without_exchange_reuse(spark):
+    """The advisor's round-7 finding, as a behavioral pin: with
+    `spark.sql.exchange.reuse=false` each consumer of the range shuffle
+    re-samples its own boundaries, so the UNCACHED two-pass rank's
+    spark_partition_id() could diverge between the local ranks and the
+    offsets. The persisted pid relation must keep the rank exact even
+    with reuse disabled — duplicate sort keys + lang skew maximize the
+    damage a divergent pid would do."""
+    from pyspark.sql import Window
+
+    from weather_data_ingestion_gcp_spark.plans.round6b import snm_ranked
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 17 == 0, F.lit("de"))
+        .otherwise(F.lit("en"))
+        .alias("lang"),
+        F.concat(F.lit("p-"), (F.col("id") % 5).cast("string")).alias("text"),
+    )
+    prev = spark.conf.get("spark.sql.exchange.reuse", None)
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = {
+            (r.doc_id, r.lang): r.rk
+            for r in snm_ranked(docs, prefix=40).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.exchange.reuse")
+        else:
+            spark.conf.set("spark.sql.exchange.reuse", prev)
     want = {
         (r.doc_id, r.lang): r.rk
         for r in docs.select(

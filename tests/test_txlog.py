@@ -737,6 +737,23 @@ def test_changes_rejects_nested_maps_with_clear_error(spark, tmp_path):
         t.changes(spark, -1, v0)
 
 
+def test_changes_rejects_map_nested_in_map_value(spark, tmp_path):
+    """ADVICE r7: map<string,map<string,bigint>> starts with "map<" so
+    the old top-level guard passed it, and array_sort over its entry
+    array (whose values still contain a map) then failed with an opaque
+    AnalysisException. It must hit the same clear ValueError as
+    struct/array nesting."""
+    t = TxLogTable(str(tmp_path / "t"))
+    v0 = t.append(
+        spark.createDataFrame(
+            [(1, {"a": {"x": 1}})],
+            "id bigint, m map<string,map<string,bigint>>",
+        )
+    )
+    with pytest.raises(ValueError, match="nested"):
+        t.changes(spark, -1, v0)
+
+
 def test_changes_after_vacuum_fails_at_the_cause(spark, tmp_path):
     """ADVICE r6: an interval whose diffed files were vacuumed must fail
     in changes() itself with a retention message, not file-not-found at

@@ -234,8 +234,13 @@ def bloom_bitset_words(
     bitset on the driver. The fold is distributed: positions group to
     word indexes with a BIT_OR partial aggregate, so the collect is at
     most m/64 rows (16 KiB of longs per 2^20 bits), NOT O(build keys).
-    No false negatives by construction (identical md5 arithmetic on
-    build and probe)."""
+    The collect rides Arrow (``toArrow`` + a numpy scatter), never py4j
+    Rows — at the 7-hex width the fold is up to 2^22 words, and Row
+    objects cost ~10x the raw longs (the round-7 advisor finding). No
+    false negatives by construction (identical md5 arithmetic on build
+    and probe)."""
+    import numpy as np
+
     m = 1 << (4 * hexw)
     folded = (
         df.select(
@@ -249,12 +254,11 @@ def bloom_bitset_words(
                 "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
             ).alias("bits")
         )
-        .collect()
+        .toArrow()
     )
-    words = [0] * (m >> 6)
-    for r in folded:
-        words[r["w"]] = r["bits"]
-    return words
+    words = np.zeros(m >> 6, dtype=np.int64)
+    words[folded.column("w").to_numpy()] = folded.column("bits").to_numpy()
+    return words.tolist()
 
 
 def bloom_xl_build(df: DataFrame, key_col: str) -> tuple[list[int], int]:
@@ -282,8 +286,18 @@ def bloom_xl_prune(
     arithmetic (array subscript + shiftright + mask) evaluated per row
     before any downstream exchange: the pruned relation is what shuffles,
     not the input."""
+    import numpy as np
+    import pandas as pd
+
     spark = df.sparkSession
-    bits = spark.createDataFrame([(words,)], f"{bits_col} array<bigint>")
+    # Arrow path for the 1-row bitset frame: a plain createDataFrame
+    # pickles the word list through py4j element-by-element (~seconds at
+    # the 7-hex width's 2^22 longs); the pandas/Arrow conversion ships
+    # one columnar buffer
+    bits = spark.createDataFrame(
+        pd.DataFrame({bits_col: [np.asarray(words, dtype=np.int64)]}),
+        f"{bits_col} array<bigint>",
+    )
     out = df.crossJoin(F.broadcast(bits))
     pcols = []
     for j, pos in enumerate(bloom_xl_positions(F.col(key_col), hexw)):

@@ -61,16 +61,36 @@ def snm_ranked(d: DataFrame, prefix: int = _SNM_PREFIX) -> DataFrame:
     differently for the two consumers (rank vs counts), which keeps
     `spark_partition_id()` consistent between them; doc_id uniqueness
     makes the composite key a total order, so the rank itself is
-    partitioning-independent."""
+    partitioning-independent.
+
+    The stamped relation is PERSISTED before fan-out (round-8 advisor
+    fix): with two consumers reading the bare plan, pid consistency
+    rode entirely on ReuseExchange deduplicating the range shuffle —
+    `spark.sql.exchange.reuse=false`, or any future plan change that
+    defeats canonical-plan dedup, would re-run the exchange with
+    independently SAMPLED boundaries per consumer (RangePartitioner
+    seeds off the RDD id) and silently corrupt ranks. The cache stamps
+    pid exactly once at materialization; both consumers read the same
+    blocks, so consistency no longer depends on optimizer behavior.
+    The cached projection is 4 narrow columns (~60 B/row) — O(corpus
+    rows), far below corpus size, registry-tracked for unpersist."""
+    from ..operators.dedup import persist_tracked
+
     spark = d.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # platforms may set this conf to non-numeric values (e.g. "auto")
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
     base = d.select(
         "doc_id",
         "lang",
         F.substring(F.lower("text"), 1, prefix).alias("sk"),
     )
-    t = base.repartitionByRange(n_parts, "lang", "sk", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
+    t = persist_tracked(
+        base.repartitionByRange(n_parts, "lang", "sk", "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        )
     )
     loc = t.withColumn(
         "lrk",

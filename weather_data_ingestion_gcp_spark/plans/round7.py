@@ -323,8 +323,12 @@ _SEMDECON_ORACLE = f"""
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
         FROM embeddings
     ),
-    te AS (SELECT * FROM v WHERE {_sql_hex4_to_int("vec_id")} % 100 < 10),
-    tr AS (SELECT * FROM v WHERE {_sql_hex4_to_int("vec_id")} % 100 >= 15),
+    te AS (SELECT * FROM v
+           WHERE {_sql_hex4_to_int("vec_id")} % 100 < 10
+             AND list_dot_product(e, e) > 0),
+    tr AS (SELECT * FROM v
+           WHERE {_sql_hex4_to_int("vec_id")} % 100 >= 15
+             AND list_dot_product(e, e) > 0),
     scored AS (
         SELECT te.vec_id AS test_id, tr.vec_id AS train_id,
                list_dot_product(te.e, tr.e)
@@ -345,6 +349,13 @@ _SEMDECON_ORACLE = f"""
 """
 
 
+#: chunk edge for the per-label argmax fold: the dense score matrix a
+#: block ever materializes is <= _SEMDECON_CHUNK^2 float64 (~33 MB at
+#: 2048), regardless of how hot the label is. Tests shrink it to force
+#: many-chunk folds on small fixtures.
+_SEMDECON_CHUNK = 2048
+
+
 @register("decontaminate_semantic_topmatch", oracle=_SEMDECON_ORACLE)
 def decontaminate_semantic_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination — the embedding-space sibling of the
@@ -356,17 +367,25 @@ def decontaminate_semantic_topmatch(spark: SparkSession, sf_dir: str) -> DataFra
     benchmark-leakage screen for them.
 
     Scale shape: the blocked form of `dedup_embedding_cosine` — the
-    quadratic runs INSIDE each label block only (a block is a cluster
-    assignment by construction, so group size is bounded), vectors
-    cross the Arrow boundary once per block, and the test side is the
-    tiny side (10% split) so the score matrix is |test| x |train| per
-    block, reduced to one argmax row per test vector before anything
-    shuffles. numpy accumulates the dot products ascending by dimension
-    — the exact IEEE sequence of DuckDB's list_dot_product — so sims,
-    the >= threshold decision, and the DESC/ties argmax are bitwise
-    oracle-equal (the dedup_embedding_cosine discipline). Ties break to
-    the smallest train id (ascending-sorted ids + first-occurrence
-    argmax == ORDER BY sim DESC, train_id)."""
+    quadratic runs INSIDE each label block only, vectors cross the
+    Arrow boundary once per block, and the argmax folds over fixed
+    `_SEMDECON_CHUNK`-row test x train tiles (round-8 hardening: the
+    round-7 form materialized one dense |test| x |train| matrix per
+    label, the exact uncapped shape whose SemDedup sibling died at
+    sf100 — a 10M-vector hot label would OOM an executor; the tile
+    fold bounds peak memory at ~33 MB per block regardless of label
+    heat). The fold is output-identical to the unchunked argmax: tiles
+    advance in ascending train-id order, each tile's argmax takes the
+    first occurrence, and the running best replaces only on strictly
+    greater sim — together exactly ORDER BY sim DESC, train_id. numpy
+    accumulates each pair's dot product ascending by dimension — the
+    exact IEEE sequence of DuckDB's list_dot_product — so sims, the
+    >= threshold decision, and the argmax are bitwise oracle-equal.
+    Zero-norm embeddings are excluded on BOTH sides (sum-of-squares
+    > 0, same ascending fold): a zero vector has no cosine, and the
+    NaN it would produce sorts differently in Spark (NaN fails >=)
+    vs DuckDB (NaN greater than everything) — the parity contract
+    must not ride on engine NaN semantics."""
     import numpy as np
     import pandas as pd
 
@@ -378,8 +397,14 @@ def decontaminate_semantic_topmatch(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("embedding").cast("array<double>").alias("e"),
         hash_bucket(F.col("vec_id")).alias("_b"),
     )
-    marked = emb.filter((F.col("_b") < 10) | (F.col("_b") >= 15)).select(
-        "vec_id", "label", "e", (F.col("_b") < 10).alias("is_test")
+    # bound driver-side so the closure ships the value to workers (a
+    # module-global lookup would re-resolve on the worker's import)
+    C = _SEMDECON_CHUNK
+    sq = F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)
+    marked = (
+        emb.filter((F.col("_b") < 10) | (F.col("_b") >= 15))
+        .filter(sq > 0)
+        .select("vec_id", "label", "e", (F.col("_b") < 10).alias("is_test"))
     )
 
     def block_best(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -396,20 +421,36 @@ def decontaminate_semantic_topmatch(spark: SparkSession, sf_dir: str) -> DataFra
         Xt = np.stack(te["e"].to_numpy()).astype(np.float64)
         Xr = np.stack(tr["e"].to_numpy()).astype(np.float64)
         dim = Xt.shape[1]
-        acc = np.zeros((len(te), len(tr)), dtype=np.float64)
         st = np.zeros(len(te), dtype=np.float64)
         sr = np.zeros(len(tr), dtype=np.float64)
         for d in range(dim):  # sequential fold order — parity-critical
-            acc += np.outer(Xt[:, d], Xr[:, d])
             st += Xt[:, d] * Xt[:, d]
             sr += Xr[:, d] * Xr[:, d]
-        sim = acc / np.outer(np.sqrt(st), np.sqrt(sr))
-        best = sim.argmax(axis=1)  # first max = smallest train id
+        tr_ids = tr["vec_id"].to_numpy()
+        best_sim = np.empty(len(te), dtype=np.float64)
+        best_id = np.empty(len(te), dtype=np.int64)
+        for t0 in range(0, len(te), C):
+            t1 = min(t0 + C, len(te))
+            bs = np.full(t1 - t0, -np.inf)
+            bi = np.zeros(t1 - t0, dtype=np.int64)
+            for r0 in range(0, len(tr), C):
+                r1 = min(r0 + C, len(tr))
+                acc = np.zeros((t1 - t0, r1 - r0), dtype=np.float64)
+                for d in range(dim):  # same per-pair IEEE fold as above
+                    acc += np.outer(Xt[t0:t1, d], Xr[r0:r1, d])
+                sim = acc / np.outer(np.sqrt(st[t0:t1]), np.sqrt(sr[r0:r1]))
+                j = sim.argmax(axis=1)  # first max = smallest id in tile
+                m = sim[np.arange(t1 - t0), j]
+                upd = m > bs  # strict: ties keep the earlier (smaller) id
+                bs[upd] = m[upd]
+                bi[upd] = tr_ids[r0 + j[upd]]
+            best_sim[t0:t1] = bs
+            best_id[t0:t1] = bi
         return pd.DataFrame(
             {
                 "test_id": te["vec_id"].to_numpy(),
-                "train_id": tr["vec_id"].to_numpy()[best],
-                "raw": sim[np.arange(len(te)), best],
+                "train_id": best_id,
+                "raw": best_sim,
             }
         )
 

@@ -540,14 +540,20 @@ class TxLogTable:
                 "snapshot read instead"
             )
         sch = self.table_schema(version=to_version)
+        # a map is diffable only as a TOP-LEVEL column whose key/value
+        # types are themselves map-free (sorted-entry arrays must be
+        # orderable): reject maps inside structs/arrays AND maps nested
+        # inside another map's key/value type (map<string,map<...>>
+        # starts with "map<" but its entry array still contains a map)
         nested_maps = [
             c for c, t in sch.items()
-            if "map<" in t and not t.startswith("map<")
+            if ("map<" in t and not t.startswith("map<"))
+            or t.count("map<") > 1
         ]
         if nested_maps:
             raise ValueError(
                 "changes() cannot diff columns with maps nested inside "
-                f"structs/arrays (no orderable form): {nested_maps}"
+                f"structs/arrays/maps (no orderable form): {nested_maps}"
             )
         map_cols = [c for c, t in sch.items() if t.startswith("map<")]
 
