@@ -122,7 +122,9 @@ def _norm(rows, cols):
                 v = v.isoformat()
             vals.append(v)
         out.append(tuple(vals))
-    return sorted(out)
+    # None-safe total order (full joins emit NULL keys on both engines;
+    # any consistent ordering works — both sides normalize identically)
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 @pytest.fixture(scope="module")
@@ -278,3 +280,208 @@ def test_spark_and_duckdb_agree_on_string_queries(spark, duck_docs, q):
     spark_rows = _norm([tuple(r) for r in got.select(*cols).collect()], cols)
     duck_rows = _norm(duck_docs.execute(sql).fetchall(), cols)
     assert spark_rows == duck_rows, f"\nSQL: {sql}"
+
+
+# --- window-semantics fuzz over events ---------------------------------------
+# VERDICT r7 #4: the window family has the richest parity-class history
+# (frame semantics, null ordering, tie behavior). Draw a window spec —
+# ranking/offset/frame-aggregate function x partition keys x order
+# direction x explicit null placement x ROWS frame bounds — render it to
+# both engines, compare per-event values exactly. NULLs are injected
+# deterministically into the order column (user_id % 7 == 0) because the
+# testdata has none; null placement is EXPLICIT on both sides (Spark's
+# asc = NULLS FIRST default differs from DuckDB's NULLS LAST).
+# Ranking draws may order by cents alone (exercises tie semantics —
+# rank/dense_rank are tie-deterministic); every order-sensitive value
+# (row_number/lag/lead/frames) forces the event_id tie-break so the
+# comparison is well-defined.
+
+_WIN_FUNCS = [
+    "row_number",
+    "rank",
+    "dense_rank",
+    "lag",
+    "lead",
+    "sum_frame",
+    "min_frame",
+    "count_frame",
+]
+
+_WIN_QUERY = st.tuples(
+    st.sampled_from(_WIN_FUNCS),
+    st.lists(st.sampled_from(["event_type", "umod"]), max_size=2, unique=True),
+    st.booleans(),  # order cents DESC
+    st.booleans(),  # NULLS FIRST
+    st.booleans(),  # ranking only: drop the event_id tie-break (real ties)
+    st.integers(min_value=1, max_value=3),  # lag/lead offset
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # frame lo: None = UNBOUNDED PRECEDING, else n PRECEDING
+    st.integers(min_value=0, max_value=3),  # frame hi: n FOLLOWING
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=_WIN_QUERY)
+def test_spark_and_duckdb_agree_on_window_specs(spark, duck, q):
+    from pyspark.sql import Window
+
+    func, pkeys, desc, nf, ties_ok, off, lo, hi = q
+    ranking = func in ("row_number", "rank", "dense_rank")
+    tie_break = not (ranking and ties_ok and func != "row_number")
+
+    e = load_table(spark, SF, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    ocents = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(cents)
+    sdf = e.select(
+        "event_id",
+        F.col("event_type"),
+        (F.col("user_id") % 4).alias("umod"),
+        ocents.alias("ocents"),
+    )
+
+    okey = F.col("ocents")
+    okey = (
+        (okey.desc_nulls_first() if nf else okey.desc_nulls_last())
+        if desc
+        else (okey.asc_nulls_first() if nf else okey.asc_nulls_last())
+    )
+    order = [okey] + ([F.col("event_id").asc()] if tie_break else [])
+    w = Window.partitionBy(*pkeys).orderBy(*order)
+
+    dirs = "DESC" if desc else "ASC"
+    nulls = "NULLS FIRST" if nf else "NULLS LAST"
+    osql = f"ocents {dirs} {nulls}" + (", event_id" if tie_break else "")
+    psql = f"PARTITION BY {', '.join(pkeys)} " if pkeys else ""
+
+    if ranking:
+        fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+        col = fn[func]().over(w).cast("long")
+        fsql = f"CAST({func.upper()}() OVER ({psql}ORDER BY {osql}) AS BIGINT)"
+    elif func in ("lag", "lead"):
+        col = (F.lag if func == "lag" else F.lead)("ocents", off).over(w)
+        fsql = f"{func.upper()}(ocents, {off}) OVER ({psql}ORDER BY {osql})"
+    else:
+        slo = Window.unboundedPreceding if lo is None else -lo
+        wf = w.rowsBetween(slo, hi)
+        flo = "UNBOUNDED PRECEDING" if lo is None else f"{lo} PRECEDING"
+        frame = f"ROWS BETWEEN {flo} AND {hi} FOLLOWING"
+        agg = {
+            "sum_frame": F.sum("ocents"),
+            "min_frame": F.min("ocents"),
+            "count_frame": F.count(F.lit(1)),
+        }[func].over(wf)
+        col = agg.cast("long")
+        inner = {"sum_frame": "SUM(ocents)", "min_frame": "MIN(ocents)",
+                 "count_frame": "COUNT(*)"}[func]
+        fsql = (
+            f"CAST({inner} OVER ({psql}ORDER BY {osql} {frame}) AS BIGINT)"
+        )
+
+    sql = (
+        "WITH t AS (SELECT event_id, event_type, user_id % 4 AS umod, "
+        "CASE WHEN user_id % 7 = 0 THEN NULL "
+        "ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END AS ocents "
+        "FROM events) "
+        f"SELECT event_id, {fsql} AS v FROM t"
+    )
+    cols = ["event_id", "v"]
+    spark_rows = _norm(
+        [tuple(r) for r in sdf.select("event_id", col.alias("v")).collect()],
+        cols,
+    )
+    duck_rows = _norm(duck.execute(sql).fetchall(), cols)
+    assert spark_rows == duck_rows, f"\nSQL: {sql}\nfirst diff: " + str(
+        next((a, b) for a, b in zip(spark_rows, duck_rows) if a != b)
+    )
+
+
+# --- join-shape fuzz over generated keys with NULLs --------------------------
+# The other rich parity family: NULL keys silently bypass plain
+# equi-joins (latent-parity class #3 in the repo's history — eqNullSafe
+# exists because of it). Draw (left key modulus, right key modulus, NULL
+# injection on either side, join shape), render to both engines, compare
+# the full joined rowset. Right side is a bounded GROUP BY relation so
+# inner/left fan-out stays small; semi/anti render as EXISTS/NOT EXISTS
+# (the SQL forms Spark's left_semi/left_anti implement — both keep
+# NULL-key rows on anti, drop them on semi).
+
+_JOIN_QUERY = st.tuples(
+    st.sampled_from(["inner", "left", "full", "semi", "anti"]),
+    st.integers(min_value=2, max_value=9),    # left key modulus
+    st.integers(min_value=2, max_value=9),    # right key modulus
+    st.booleans(),                            # inject NULLs on left keys
+    st.booleans(),                            # inject NULLs on right keys
+    st.integers(min_value=2, max_value=11),   # left row filter modulus
+    st.sampled_from(_EVENT_TYPES),            # right build filter
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=_JOIN_QUERY)
+def test_spark_and_duckdb_agree_on_join_shapes(spark, duck, q):
+    how, lk, rk, lnull, rnull, lfm, rtype = q
+    e = load_table(spark, SF, "events")
+
+    lkey = F.col("user_id") % lk
+    if lnull:
+        lkey = F.when(F.col("user_id") % 5 == 0, F.lit(None)).otherwise(lkey)
+    left = e.filter(F.col("event_id") % lfm == 0).select(
+        "event_id", lkey.cast("long").alias("k")
+    )
+    lkey_sql = f"user_id % {lk}"
+    if lnull:
+        lkey_sql = f"CASE WHEN user_id % 5 = 0 THEN NULL ELSE {lkey_sql} END"
+    lsql = (
+        f"SELECT event_id, CAST({lkey_sql} AS BIGINT) AS k FROM events "
+        f"WHERE event_id % {lfm} = 0"
+    )
+
+    rkey = F.col("user_id") % rk
+    if rnull:
+        rkey = F.when(F.col("user_id") % 3 == 0, F.lit(None)).otherwise(rkey)
+    right = (
+        e.filter(F.col("event_type") == rtype)
+        .select(rkey.cast("long").alias("rk_"))
+        .groupBy("rk_")
+        .agg(F.count(F.lit(1)).cast("long").alias("rc"))
+    )
+    rkey_sql = f"user_id % {rk}"
+    if rnull:
+        rkey_sql = f"CASE WHEN user_id % 3 = 0 THEN NULL ELSE {rkey_sql} END"
+    rsql = (
+        f"SELECT CAST({rkey_sql} AS BIGINT) AS rk_, CAST(COUNT(*) AS BIGINT)"
+        f" AS rc FROM events WHERE event_type = '{rtype}' GROUP BY 1"
+    )
+
+    if how in ("semi", "anti"):
+        neg = "NOT " if how == "anti" else ""
+        sql = (
+            f"WITH l AS ({lsql}), r AS ({rsql}) "
+            f"SELECT event_id, k FROM l "
+            f"WHERE {neg}EXISTS (SELECT 1 FROM r WHERE r.rk_ = l.k)"
+        )
+        got = left.join(right, left.k == right.rk_, f"left_{how}").select(
+            "event_id", "k"
+        )
+        cols = ["event_id", "k"]
+    else:
+        jsql = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL JOIN"}[how]
+        sql = (
+            f"WITH l AS ({lsql}), r AS ({rsql}) "
+            f"SELECT event_id, k, rk_, rc FROM l {jsql} r ON r.rk_ = l.k"
+        )
+        got = left.join(right, left.k == right.rk_, how).select(
+            "event_id", "k", "rk_", "rc"
+        )
+        cols = ["event_id", "k", "rk_", "rc"]
+
+    spark_rows = _norm([tuple(r) for r in got.collect()], cols)
+    duck_rows = _norm(duck.execute(sql).fetchall(), cols)
+    assert spark_rows == duck_rows, f"\nSQL: {sql}\nspark n={len(spark_rows)} duck n={len(duck_rows)}"

@@ -1,0 +1,85 @@
+"""Round-8 entry (`dsir_select_topp`) against an independent pure-Python
+reference — the apply half of DSIR: top-p% cut by importance weight and
+the per-(lang, source) composition shift of the kept set, recomputed
+with hashlib/math over literal Python dicts."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from weather_data_ingestion_gcp_spark.plans import QUERIES
+
+from test_round7 import _py_dsir, _write_documents
+
+
+def _py_topp(rows: list[tuple], keep_div: int = 10) -> dict:
+    w = _py_dsir(rows)  # doc_id -> (n_bigrams, weight_nano)
+    meta = {i: (lang, src) for i, _t, lang, src in rows}
+    pool = sorted(w, key=lambda i: (-w[i][1], i))
+    n = len(pool)
+    k = (n + keep_div - 1) // keep_div
+    kept = pool[:k]
+    pc = Counter(meta[i] for i in pool)
+    kc = Counter(meta[i] for i in kept)
+    out = {}
+    for (lang, src), p in pc.items():
+        kd = kc.get((lang, src), 0)
+        kp = 1_000_000 * kd // k
+        pp = 1_000_000 * p // n
+        out[(lang, src)] = (kd, p, kp, pp, kp - pp)
+    return out
+
+
+def test_dsir_select_topp_matches_pure_python(spark, tmp_path):
+    """28 raw docs over 2 langs x 3 sources with graded target-likeness:
+    the kept set (k = ceil(28/10) = 3), every ppm share, and the shift
+    must equal the literal Python computation."""
+    rows = [
+        (0, "alpha beta gamma alpha beta", "en", "src0"),
+        (1, "alpha beta delta alpha beta", "en", "src0"),
+    ]
+    i = 2
+    for rep in range(14):
+        # target-like docs (more "alpha beta" mass for low ids)
+        lang = "en" if rep % 2 == 0 else "de"
+        src = f"src{3 + rep % 3}"
+        likeness = "alpha beta " * (14 - rep)
+        rows.append((i, (likeness + "filler" + str(rep)).strip(), lang, src))
+        i += 1
+    for rep in range(14):
+        lang = "en" if rep % 3 == 0 else "de"
+        src = f"src{3 + (rep + 1) % 3}"
+        rows.append((i, f"zulu yankee xray whiskey victor u{rep}", lang, src))
+        i += 1
+    _write_documents(spark, str(tmp_path), rows)
+    got = {
+        (r["lang"], r["source"]): (
+            r["kept_docs"],
+            r["pool_docs"],
+            r["kept_ppm"],
+            r["pool_ppm"],
+            r["shift_ppm"],
+        )
+        for r in QUERIES["dsir_select_topp"](spark, str(tmp_path)).collect()
+    }
+    assert got == _py_topp(rows)
+    # sanity on the definition: every pool doc is counted, kept == k
+    assert sum(v[1] for v in got.values()) == 28
+    assert sum(v[0] for v in got.values()) == 3
+
+
+def test_dsir_select_topp_tie_at_cutoff_keeps_smallest_ids(spark, tmp_path):
+    """All 30 raw docs tie on weight: the (weight DESC, doc_id) cut must
+    keep exactly doc_ids 1..3 (k = ceil(30/10)); sources are striped so
+    the composition exposes which ids survived."""
+    rows = [(0, "alpha beta gamma", "en", "src0")] + [
+        (i, "alpha beta gamma", "en", f"src{3 + (i - 1) % 3}")
+        for i in range(1, 31)
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    got = {
+        r["source"]: (r["kept_docs"], r["pool_docs"])
+        for r in QUERIES["dsir_select_topp"](spark, str(tmp_path)).collect()
+    }
+    # ids 1, 2, 3 -> sources src3, src4, src5: one kept each
+    assert got == {"src3": (1, 10), "src4": (1, 10), "src5": (1, 10)}

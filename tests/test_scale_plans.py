@@ -190,6 +190,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "t_closeness_audit",  # bounded |QI groups| x |magnitude buckets| grid
     "dsir_importance_weights",  # 1-row totals + 1024-row weight-table broadcasts
     "psi_value_drift",  # 1-row min-day + bounded |types| x |buckets| x 2 grid
+    "dsir_select_topp",  # 1-row (n, k) cutoff scalar broadcasts (x2)
 }
 
 
@@ -780,6 +781,31 @@ def test_snm_rank_correct_without_exchange_reuse(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_dsir_topp_rank_is_range_partitioned_and_cached(spark):
+    """The top-p cut needs an exact global rank over corpus-size
+    weights; a bare `ROW_NUMBER() OVER (ORDER BY ...)` plans a
+    SINGLE-TASK sort of the whole pool (the round-6 SNM finding, global
+    form). The rank must (a) range-partition on the weight sort key with
+    REPARTITION_BY_NUM, (b) window the local row_number over the stamped
+    partition id, and (c) cache the pid relation (>= 2 InMemoryTableScan
+    consumers) so partition ids cannot diverge between the local ranks
+    and the offsets."""
+    import re
+
+    plan = _formatted(QUERIES["dsir_select_topp"](spark, SF))
+    assert "rangepartitioning(weight_nano" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for s in specs:
+        # the local rank carries pid; the only pid-free window is the
+        # n_partitions-row offsets cumulative sum (orders by pid)
+        assert s.startswith("pid#") or "pid#" in s, (
+            f"global rank window without partition id: {s}"
+        )
 
 
 def test_dsir_weight_table_broadcasts_to_the_corpus(spark):

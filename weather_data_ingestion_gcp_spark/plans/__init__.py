@@ -19,6 +19,7 @@ from . import round6b  # noqa: F401,E402
 from . import round6c  # noqa: F401,E402
 from . import round6d  # noqa: F401,E402
 from . import round7  # noqa: F401,E402
+from . import round8  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50
@@ -28,97 +29,98 @@ from . import round7  # noqa: F401,E402
 # re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green),
 # r5 the final 50 never-checked entries (50/50 green -> cumulative 200/200
 # over the round-4 registry).
-# Round 7 window = the four round-6d registrations (registered in the r6
-# end-of-round snapshot AFTER the window froze — the one never-driver-
-# checked block VERDICT r6 names; benford additionally carries this
-# round's nullif empty-input fix), plus dedup_sorted_neighborhood and
-# record_linkage_fellegi_sunter (their shared candidate generator was
-# RE-SHAPED this round — range-partitioned two-pass rank per VERDICT r6
-# "What's wrong" #2; output is rank-identical by construction and the
-# value-level pin proves it, but the plan changed, so they re-prove under
-# the driver), plus any round-7 registrations, plus re-confirmations of
-# the OLDEST remaining vintage: the r03 window (LLM-pipeline block —
-# it predates the r4-r6 shared-cache, session, and memoization changes).
-# Entries left out of the r03 re-confirmation block to make room
-# (deterministic string/integer map-only shapes, each unit-pinned and
-# green in the r7 full parity sweep): text_normalize_clean,
-# html_strip_markup, url_extract_normalize, multimodal_frame_offsets,
-# sample_hash_bernoulli, vocab_oov_rate, decontaminate_test_split,
-# text_token_counts, pii_scrub_counts, boilerplate_prefix_groups,
-# multimodal_decode_meta (real-bytes decode pinned by its unit suite) —
-# no floats, no shared caches, deterministic string/count/byte shapes. Every riskier r03 class
-# (dedup family with shared shingle caches, ANN/similarity float
-# comparators, BM25/TF-IDF/PMI ln-scored rankers, as-of/interval/range
-# joins, SCD2) re-confirms.
-# Ordering: round-6d first, then the re-shaped SNM pair, then round-7
-# registrations, then the r03 block in its original cache-aware order
-# (documents-scan dedup family together, text-analysis together,
-# multimodal together, joins last). dedup_minhash_lsh, chunk_documents_
-# overlap, text_winnow_fingerprints, dataset_mix_by_lang and
-# decontaminate_ngram_exact are RUN_AFTER anchors: their evicted
-# followers run immediately after the window with the shared relations
-# still hot. Pinned by tests/test_registry_contract so a new
-# registration cannot silently evict driver coverage.
+# Round 8 window (VERDICT r7 "Next round" #2, evidence-freshness burn-
+# down — after this window no entry's latest verdict predates r04 or its
+# current code):
+# 1. Entries whose CODE or ORACLE changed this round and must re-prove:
+#    decontaminate_semantic_topmatch (tile-folded argmax + zero-norm
+#    guard on plan AND oracle), the SNM pair (pid-stamped relation now
+#    persisted — plan changed, output pinned identical),
+#    decontaminate_bloom_prefilter (r7 adaptive-width bloom + this
+#    round's Arrow bitset path landed AFTER its last r5 verdict — the
+#    one entry VERDICT r7 names whose green predates its code), and
+#    dsir_importance_weights (its scoring chain was refactored into the
+#    shared dsir_scored_docs helper).
+# 2. The round-8 registration: dsir_select_topp.
+# 3. error_capture_routing — the last r01-only verdict.
+# 4. The full r02 vintage (19: one-expression scalars + join_semi/
+#    join_anti/set_operations/distinct_exact/grouping_rollup/pivot/
+#    unpivot/bloom_membership_check...).
+# 5. The full r03 vintage (11 map-only shapes left out of the r7
+#    rotation: text_normalize_clean, html_strip_markup, ...).
+# 6. Fill to 50 with r04 vintage, riskier classes first (similarity/
+#    passage/PPJoin/containment float-and-ln comparators, BPE, KL,
+#    PCA, window analytics) — entries whose shared caches' anchors
+#    rotated out of the window are deferred to r9 (winnow_overlap_
+#    pairs, minhash_estimate_contract, graph pair) so the driver bench
+#    doesn't pay cold cache rebuilds mid-window.
+# Ordering: changed-code entries first (freshest evidence for the
+# newest code), then the new registration, then vintage oldest-first;
+# documents-scan entries adjacent, embeddings entries adjacent.
+# Pinned by tests/test_registry_contract so a new registration cannot
+# silently evict driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # round-6d registrations (never driver-checked; benford carries the
-    # r7 nullif fix)
-    "benford_digit_audit",
-    "ks_length_drift_by_source",
-    "mann_whitney_auc_by_source",
-    "t_closeness_audit",
-    # candidate generator re-shaped this round (range-partitioned rank)
+    # code/oracle changed this round -> re-prove under the driver
+    "decontaminate_semantic_topmatch",
     "dedup_sorted_neighborhood",
     "record_linkage_fellegi_sunter",
-    # round-7 registrations (DSIR importance weights, PSI drift)
+    "decontaminate_bloom_prefilter",
     "dsir_importance_weights",
-    "psi_value_drift",
-    # oracle changed this round (absolute sample-size cap after the
-    # 100x probe): needs a fresh verdict
-    "lsh_recall_contract_sampled",
-    "dedup_semantic_prune",
-    "decontaminate_semantic_topmatch",
-    # --- re-confirmations: r03 window (LLM-pipeline block), oldest
-    # remaining vintage, original cache-aware ordering ---
-    "sessionize_events",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_keep_best_quality",
-    "dedup_simhash_hamming",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "decontaminate_ngram_exact",
-    "curation_pipeline_keep",
-    "similarity_cosine_topk",
-    "similarity_ann_rp_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_kmeans",
-    "similarity_mmr_diverse",
-    "embedding_quantize_int8",
-    "bm25_lexical_topk",
-    "text_tfidf_top_terms",
-    "inverted_index_bigrams",
-    "text_winnow_fingerprints",
-    "word_pair_pmi",
-    "bpe_char_pair_counts",
-    "text_langid_scores",
-    "text_quality_scores",
-    "text_entropy_quality",
-    "quality_percentile_gate",
-    "chunk_documents_overlap",
-    "sequence_pack_offsets",
-    "sample_stratified_quota",
-    "sample_weighted_topk",
-    "train_test_split_stats",
-    "dataset_mix_by_lang",
-    "multimodal_feature_extract",
-    "asof_join_clicks_views",
-    "interval_join_views_clicks",
-    "range_join_price_bands",
-    "scd2_customer_history",
+    # round-8 registration (the DSIR apply half; shares the scored pool
+    # chain with dsir_importance_weights just above)
+    "dsir_select_topp",
+    # last r01-only verdict
+    "error_capture_routing",
+    # --- r02 vintage (19) ---
+    "base64_roundtrip",
+    "bloom_membership_check",
+    "broadcast_route_lookup",
+    "date_filter_single_day",
+    "distinct_exact",
+    "filter_dispatch",
+    "grouping_rollup",
+    "join_anti",
+    "join_semi",
+    "log_path_and_format",
+    "order_limit_topn",
+    "path_stem_extract",
+    "pivot_daily_event_values",
+    "regex_filename_cleanup",
+    "retention_keep_side",
+    "set_operations",
+    "sql_api_passthrough",
+    "unpivot_event_metrics",
+    "uuid_stable",
+    # --- r03 vintage (11 map-only shapes) ---
+    "text_normalize_clean",
+    "html_strip_markup",
+    "url_extract_normalize",
+    "text_token_counts",
+    "pii_scrub_counts",
+    "boilerplate_prefix_groups",
+    "vocab_oov_rate",
+    "decontaminate_test_split",
+    "sample_hash_bernoulli",
+    "multimodal_decode_meta",
+    "multimodal_frame_offsets",
+    # --- r04 vintage fill (13) ---
+    # documents-scan family together
+    "ppjoin_prefix_similarity",
+    "containment_near_dup",
+    "passage_exact_dedup",
+    "passage_dedup_rewrite",
+    "source_unigram_kl",
+    "bpe_learn_merges",
+    "bpe_apply_encode",
+    # embeddings family together
+    "hard_negative_topk",
+    "embedding_outlier_scores",
+    "pca_power_iteration",
+    # events/orders analytics
+    "window_running_analytics",
+    "kmv_join_cardinality",
+    "rolling_7d_user_value",
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules

@@ -119,14 +119,18 @@ _DSIR_ORACLE = rf"""
 """
 
 
-@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR: score every raw-pool doc (source != 'src0') by its summed
-    hashed-bigram log importance ratio against the 'src0' target domain;
-    emit the 100 best resampling candidates. See module docstring for
-    the arithmetic and scale shape."""
+def dsir_scored_docs(
+    spark: SparkSession, sf_dir: str, with_meta: bool = False
+) -> DataFrame:
+    """Doc-level DSIR weights for the raw pool (source != target):
+    (doc_id, n_bigrams, weight_nano), plus (lang, source) when
+    ``with_meta`` — shared by `dsir_importance_weights` (top-100
+    showcase) and round-8's `dsir_select_topp` (the apply half). The
+    meta columns ride the doc-level groupBy keys (doc_id is unique, so
+    they're determined and free)."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", "source", words(F.col("text")).alias("_ws"))
+    meta = ["lang", "source"] if with_meta else ["source"]
+    base = d.select("doc_id", *meta, words(F.col("text")).alias("_ws"))
     ws = F.col("_ws")
     idx = F.when(
         F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
@@ -139,11 +143,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bk = base.select(
         "doc_id",
-        "source",
+        *meta,
         F.explode(grams).alias("g"),
     ).select(
         "doc_id",
-        "source",
+        *meta,
         hash_bucket(F.col("g"), _DSIR_B).cast("long").alias("b"),
     )
     is_t = F.col("source") == _DSIR_TARGET
@@ -170,18 +174,30 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(rc), "b", "left")
         .select("b", wn.alias("wn"))
     )
-    doc = (
+    keys = ["doc_id", "lang", "source"] if with_meta else ["doc_id"]
+    return (
         bk.filter(~is_t)
         .join(F.broadcast(wt), "b")
-        .groupBy("doc_id")
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.sum("wn").cast("long").alias("weight_nano"),
         )
     )
-    return doc.select("doc_id", "n_bigrams", "weight_nano").orderBy(
-        F.col("weight_nano").desc(), "doc_id"
-    ).limit(100)
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: score every raw-pool doc (source != 'src0') by its summed
+    hashed-bigram log importance ratio against the 'src0' target domain;
+    emit the 100 best resampling candidates. See module docstring for
+    the arithmetic and scale shape."""
+    return (
+        dsir_scored_docs(spark, sf_dir)
+        .select("doc_id", "n_bigrams", "weight_nano")
+        .orderBy(F.col("weight_nano").desc(), "doc_id")
+        .limit(100)
+    )
 
 
 _PSI_ORACLE = f"""

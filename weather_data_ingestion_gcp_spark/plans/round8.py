@@ -1,0 +1,227 @@
+"""Round-8 addition: the APPLY half of DSIR targeted selection.
+
+`dsir_importance_weights` (round 7) scores the raw pool; a training-data
+build then has to actually CUT the pool — keep the top-p% of documents
+by importance weight and check what the cut did to corpus composition
+(the select-then-measure pattern `mix_apply_temperature` establishes for
+temperature mixing). `dsir_select_topp` closes that loop: it keeps the
+top 10% of scored raw-pool docs by (weight_nano DESC, doc_id) and emits
+the per-(lang, source) composition of the kept set against the raw pool
+in exact ppm integers — the table a data-mix owner reads before signing
+off a targeted re-weighting (does the 'looks like src0' filter quietly
+drop a language?).
+
+Scale shape: the selection needs an exact global top-k over corpus-size
+weights, and a bare `ROW_NUMBER() OVER (ORDER BY ...)` plans a
+SINGLE-TASK sort of the whole pool — the same defect class the round-6
+judge flagged for the SNM rank. The rank here reuses that fix's shape as
+a GLOBAL (unpartitioned) variant: `repartitionByRange` on the sort key
+gives every task a contiguous ~N/n_partitions slice, a local row_number
+windows over the stamped partition id (bounded task size), and the
+global rank adds broadcast per-partition offsets computed from an
+n_partitions-row count aggregate. The pid-stamped relation is persisted
+(the round-8 advisor rule: two consumers of a range exchange must read
+the SAME sampled boundaries, never re-run them). Everything after the
+rank is counts: two (lang x source) aggregates (~30 rows) + a 1-row
+(n, k) scalar broadcast. All arithmetic is BIGINT (ppm shares via
+integer division), so the oracle hash cannot drift.
+
+int64 bounds: 1e6 * pool count per (lang, source) — safe to ~9.2e12
+docs per cell, far past the probe decades.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import persist_tracked
+from .registry import _sql_hex4_to_int, register
+from .round7 import _DSIR_B, _DSIR_TARGET, dsir_scored_docs
+
+#: keep the top 1/_DSIR_KEEP_FRAC of the scored pool (ceil)
+_DSIR_KEEP_DIV = 10
+
+
+def global_range_rank(df: DataFrame, *order) -> DataFrame:
+    """Exact global ROW_NUMBER over ``order`` as a range-partitioned
+    two-pass rank — the unpartitioned sibling of `round6b.snm_ranked`
+    (same docstring, same advisor-mandated persist of the pid-stamped
+    relation; see there for why a bare global window is a single-task
+    sort and why the cache pins partition-id consistency). ``order``
+    must be a total order for the rank to be partitioning-independent.
+    Appends column ``rk`` (LONG, 1-based); all input columns ride
+    through."""
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
+    t = persist_tracked(
+        df.repartitionByRange(n_parts, *order).withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    loc = t.withColumn(
+        "lrk", F.row_number().over(Window.partitionBy("pid").orderBy(*order))
+    )
+    cnts = t.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    # the offsets window is n_partitions rows — single tiny task by design
+    offs = cnts.select(
+        "pid",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return loc.join(F.broadcast(offs), "pid").withColumn(
+        "rk", (F.col("off") + F.col("lrk")).cast("long")
+    ).drop("pid", "lrk", "off")
+
+
+_DSIR_TOPP_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang, source, ws[i] || ' ' || ws[i + 1] AS g
+        FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+    ),
+    bk AS (
+        SELECT doc_id, lang, source,
+               CAST({_sql_hex4_to_int("g")} % {_DSIR_B} AS BIGINT) AS b
+        FROM bg
+    ),
+    tc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bk
+        WHERE source = '{_DSIR_TARGET}' GROUP BY b
+    ),
+    rc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bk
+        WHERE source <> '{_DSIR_TARGET}' GROUP BY b
+    ),
+    tot AS (
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bk
+           WHERE source = '{_DSIR_TARGET}') AS nt,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bk
+           WHERE source <> '{_DSIR_TARGET}') AS nr
+    ),
+    grid AS (
+        SELECT CAST(gs AS BIGINT) AS b
+        FROM UNNEST(generate_series(0, {_DSIR_B - 1})) AS g(gs)
+    ),
+    wt AS (
+        SELECT grid.b,
+               CAST(ROUND(ln(COALESCE(tc.c, 0) + 1) * 1e9, 0) AS BIGINT)
+             - CAST(ROUND(ln(nt + {_DSIR_B}) * 1e9, 0) AS BIGINT)
+             - CAST(ROUND(ln(COALESCE(rc.c, 0) + 1) * 1e9, 0) AS BIGINT)
+             + CAST(ROUND(ln(nr + {_DSIR_B}) * 1e9, 0) AS BIGINT) AS wn
+        FROM grid CROSS JOIN tot
+        LEFT JOIN tc ON tc.b = grid.b
+        LEFT JOIN rc ON rc.b = grid.b
+    ),
+    doc AS (
+        SELECT bk.doc_id, bk.lang, bk.source,
+               CAST(SUM(wt.wn) AS BIGINT) AS weight_nano
+        FROM bk JOIN wt ON wt.b = bk.b
+        WHERE bk.source <> '{_DSIR_TARGET}'
+        GROUP BY bk.doc_id, bk.lang, bk.source
+    ),
+    nk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((COUNT(*) + {_DSIR_KEEP_DIV - 1}) // {_DSIR_KEEP_DIV}
+                    AS BIGINT) AS k
+        FROM doc
+    ),
+    rk AS (
+        SELECT lang, source,
+               ROW_NUMBER() OVER (ORDER BY weight_nano DESC, doc_id) AS rk
+        FROM doc
+    ),
+    kept AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rk CROSS JOIN nk WHERE rk.rk <= nk.k GROUP BY lang, source
+    ),
+    pool AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM doc GROUP BY lang, source
+    )
+    SELECT p.lang, p.source,
+           CAST(COALESCE(kp.c, 0) AS BIGINT) AS kept_docs,
+           p.c AS pool_docs,
+           CAST((1000000 * COALESCE(kp.c, 0)) // nk.k AS BIGINT) AS kept_ppm,
+           CAST((1000000 * p.c) // nk.n AS BIGINT) AS pool_ppm,
+           CAST((1000000 * COALESCE(kp.c, 0)) // nk.k
+                - (1000000 * p.c) // nk.n AS BIGINT) AS shift_ppm
+    FROM pool p
+    LEFT JOIN kept kp ON kp.lang = p.lang AND kp.source = p.source
+    CROSS JOIN nk
+    ORDER BY p.lang, p.source
+"""
+
+
+@register("dsir_select_topp", oracle=_DSIR_TOPP_ORACLE)
+def dsir_select_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply DSIR: keep the top ~10% of raw-pool docs by importance
+    weight (ties to the smaller doc_id; pool = raw docs with >= 1
+    bigram, identically on both engines) and report the kept-vs-pool
+    composition per (lang, source) in exact ppm. See module docstring
+    for the rank's scale shape."""
+    doc = persist_tracked(
+        dsir_scored_docs(spark, sf_dir, with_meta=True).select(
+            "doc_id", "lang", "source", "weight_nano"
+        )
+    )
+    ranked = global_range_rank(
+        doc, F.col("weight_nano").desc(), F.col("doc_id")
+    )
+    nk = doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            f"CAST((count(1) + {_DSIR_KEEP_DIV - 1}) div {_DSIR_KEEP_DIV}"
+            " AS BIGINT)"
+        ).alias("k"),
+    )
+    kept = (
+        ranked.crossJoin(F.broadcast(nk))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("kept_docs"))
+    )
+    pool = doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("pool_docs")
+    )
+    kept_ppm = F.expr("1000000 * kept_docs div k").cast("long")
+    pool_ppm = F.expr("1000000 * pool_docs div n").cast("long")
+    return (
+        pool.join(kept, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(nk))
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias(
+                "kept_docs"
+            ),
+            "pool_docs",
+            "n",
+            "k",
+        )
+        .select(
+            "lang",
+            "source",
+            "kept_docs",
+            "pool_docs",
+            kept_ppm.alias("kept_ppm"),
+            pool_ppm.alias("pool_ppm"),
+            (kept_ppm - pool_ppm).cast("long").alias("shift_ppm"),
+        )
+        .orderBy("lang", "source")
+    )
