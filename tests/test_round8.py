@@ -83,3 +83,72 @@ def test_dsir_select_topp_tie_at_cutoff_keeps_smallest_ids(spark, tmp_path):
     }
     # ids 1, 2, 3 -> sources src3, src4, src5: one kept each
     assert got == {"src3": (1, 10), "src4": (1, 10), "src5": (1, 10)}
+
+
+# --- cms_heavy_hitters vs pure Python ----------------------------------------
+
+
+def _py_cms(rows, d=4, w=1024, phi_div=100, top=50):
+    import hashlib
+
+    toks: list[str] = []
+    for _i, text, _l, _s in rows:
+        toks += [t for t in text.lower().split() if t]
+    wc = Counter(toks)
+
+    def bucket(i: int, word: str) -> int:
+        return int(hashlib.md5(f"{i}:{word}".encode()).hexdigest()[:4], 16) % w
+
+    cms: Counter = Counter()
+    for word, c in wc.items():
+        for i in range(d):
+            cms[(i, bucket(i, word))] += c
+    est = {
+        word: min(cms[(i, bucket(i, word))] for i in range(d)) for word in wc
+    }
+    n = sum(wc.values())
+    thr = (n + phi_div - 1) // phi_div
+    out = [
+        (word, est[word], wc[word], est[word] - wc[word], int(wc[word] >= thr))
+        for word in wc
+        if est[word] >= thr
+    ]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:top]
+
+
+def test_cms_heavy_hitters_matches_pure_python(spark, tmp_path):
+    """Zipf-ish corpus with one dominant term, a mid tier, and a long
+    unique tail: the sketch estimates, exact counts, overcounts, and the
+    ceil(N/100) heavy cut must equal the literal hashlib computation."""
+    rows = []
+    for i in range(40):
+        body = ["the"] * 5 + [f"mid{i % 7}"] * 2 + [f"tail{i}a", f"tail{i}b"]
+        rows.append((i, " ".join(body), "en", "src0"))
+    _write_documents(spark, str(tmp_path), rows)
+    got = [
+        (r["term"], r["est_count"], r["exact_count"], r["overcount"],
+         r["heavy_exact"])
+        for r in QUERIES["cms_heavy_hitters"](spark, str(tmp_path)).collect()
+    ]
+    want = _py_cms(rows)
+    assert got == want
+    assert any(t[4] == 1 for t in got)  # the dominant term is heavy
+    assert all(t[3] >= 0 for t in got)  # one-sided error law
+
+
+def test_cms_heavy_hitters_threshold_boundary(spark, tmp_path):
+    """N = 100 total occurrences, thr = 1: every distinct term clears
+    the cut, so the report is exactly the top-50 by (estimate, term) —
+    the LIMIT boundary under full ties on the unique tail."""
+    body = " ".join(f"u{i:03d}" for i in range(100))
+    _write_documents(spark, str(tmp_path), [(0, body, "en", "src0")])
+    got = [
+        (r["term"], r["est_count"], r["exact_count"])
+        for r in QUERIES["cms_heavy_hitters"](spark, str(tmp_path)).collect()
+    ]
+    want = [(t, e, c) for t, e, c, _o, _h in _py_cms(
+        [(0, body, "en", "src0")]
+    )]
+    assert got == want
+    assert len(got) == 50

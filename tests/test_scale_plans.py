@@ -191,6 +191,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "dsir_importance_weights",  # 1-row totals + 1024-row weight-table broadcasts
     "psi_value_drift",  # 1-row min-day + bounded |types| x |buckets| x 2 grid
     "dsir_select_topp",  # 1-row (n, k) cutoff scalar broadcasts (x2)
+    "cms_heavy_hitters",  # 1-row (n, thr) phi-threshold scalar broadcast
 }
 
 
@@ -836,3 +837,17 @@ def test_psi_grid_joins_are_all_broadcast_side(spark):
     plan = _formatted(QUERIES["psi_value_drift"](spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # counts-first reduction
+
+
+def test_cms_sketch_broadcasts_to_the_word_relation(spark):
+    """The CMS scale story is that the sketch (D*W = 4096 cells) is the
+    bounded side: the estimate lookup must reach the word relation as a
+    BroadcastHashJoin on (i, b) — never a shuffled join of the
+    corpus-sized side — and the persisted word-count relation must be
+    reused (the same scan feeds the sketch build, the lookups, and the
+    phi threshold)."""
+    plan = _formatted(QUERIES["cms_heavy_hitters"](spark, SF))
+    assert "BroadcastHashJoin [i#" in plan or (
+        "BroadcastHashJoin" in plan and "[i#" in plan
+    )
+    assert plan.count("InMemoryTableScan") >= 3

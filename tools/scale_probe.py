@@ -74,6 +74,10 @@ PROBE_QUERIES = [
     # round-7 entries: DSIR's bounded-model selector and the PSI grid
     "dsir_importance_weights",
     "psi_value_drift",
+    # round-8 entries: the DSIR apply half (global range-partitioned
+    # rank) and the CMS frequency sketch (bounded 4096-cell broadcast)
+    "dsir_select_topp",
+    "cms_heavy_hitters",
 ]
 
 

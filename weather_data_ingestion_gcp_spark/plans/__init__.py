@@ -50,7 +50,10 @@ from . import round8  # noqa: F401,E402
 #    rotation: text_normalize_clean, html_strip_markup, ...).
 # 6. Fill to 50 with r04 vintage, riskier classes first (similarity/
 #    passage/PPJoin/containment float-and-ln comparators, BPE, KL,
-#    PCA, window analytics) — entries whose shared caches' anchors
+#    PCA, window analytics); rolling_7d_user_value — integer window
+#    sums, unit-pinned — yielded its slot to the cms_heavy_hitters
+#    registration and re-confirms in r9. Entries whose shared caches'
+#    anchors
 #    rotated out of the window are deferred to r9 (winnow_overlap_
 #    pairs, minhash_estimate_contract, graph pair) so the driver bench
 #    doesn't pay cold cache rebuilds mid-window.
@@ -67,9 +70,11 @@ DRIVER_WINDOW = [
     "record_linkage_fellegi_sunter",
     "decontaminate_bloom_prefilter",
     "dsir_importance_weights",
-    # round-8 registration (the DSIR apply half; shares the scored pool
-    # chain with dsir_importance_weights just above)
+    # round-8 registrations (the DSIR apply half shares the scored-pool
+    # chain with dsir_importance_weights just above; the CMS sketch is a
+    # documents-scan entry, adjacent to the text block below)
     "dsir_select_topp",
+    "cms_heavy_hitters",
     # last r01-only verdict
     "error_capture_routing",
     # --- r02 vintage (19) ---
@@ -120,7 +125,6 @@ DRIVER_WINDOW = [
     # events/orders analytics
     "window_running_analytics",
     "kmv_join_cardinality",
-    "rolling_7d_user_value",
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules

@@ -1,4 +1,5 @@
-"""Round-8 addition: the APPLY half of DSIR targeted selection.
+"""Round-8 additions: the APPLY half of DSIR targeted selection, and a
+Count-Min-Sketch heavy-hitter detector with an exact overcount contract.
 
 `dsir_importance_weights` (round 7) scores the raw pool; a training-data
 build then has to actually CUT the pool — keep the top-p% of documents
@@ -28,6 +29,29 @@ integer division), so the oracle hash cannot drift.
 
 int64 bounds: 1e6 * pool count per (lang, source) — safe to ~9.2e12
 docs per cell, far past the probe decades.
+
+`cms_heavy_hitters` completes the sketch family (bloom membership, KMV
+join cardinality, HLL distinct contract, Misra-Gries heavy hitters)
+with the frequency-ESTIMATE sketch: a D x W Count-Min Sketch over word
+occurrences. Where `heavy_hitters_mg` (round3.py) emits the exact
+> n/k set with a sketch-bounded shuffle, CMS answers point frequency
+queries from fixed memory — and because the same scan yields the exact
+counts anyway, the one-sided error law (an estimate can only OVERCOUNT,
+by hash collision) is not asserted, it is EMITTED as an exact per-term
+`overcount` column and checked by the oracle hash. Heavy hitters =
+terms whose estimate clears ceil(N/100) of the N total occurrences (the
+phi = 1% rule); the report ranks the top 50 by (estimate DESC, term).
+
+Scale shape: the sketch is THE textbook bounded sufficient statistic —
+D*W = 4096 cells regardless of corpus size, built by partial-aggregated
+hash aggregation and broadcast back for lookups; at 100 TB the token
+stream reduces map-side to the distinct-word relation before any md5 is
+computed (hashing cost is per distinct word, not per occurrence), the
+estimate join broadcasts the 4096-row sketch, and the phi threshold is
+a 1-row scalar broadcast. Buckets use the repo's md5-hex4 discipline
+(`sampling.hash_bucket` / `registry._sql_hex4_to_int`) so both engines
+compute bit-identical sketches — the collision pattern itself is part
+of the parity contract.
 """
 
 from __future__ import annotations
@@ -224,4 +248,120 @@ def dsir_select_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (kept_ppm - pool_ppm).cast("long").alias("shift_ppm"),
         )
         .orderBy("lang", "source")
+    )
+
+
+# --- Count-Min-Sketch heavy hitters ------------------------------------------
+
+#: sketch geometry: D independent hash rows x W buckets
+_CMS_D = 4
+_CMS_W = 1024
+#: heavy-hitter rule: estimate >= ceil(N / _CMS_PHI_DIV) of N occurrences
+_CMS_PHI_DIV = 100
+_CMS_TOP = 50
+
+
+def _cms_bucket(i: int, w) -> F.Column:
+    """Row-``i`` CMS bucket of word column ``w`` — md5-hex4 of "i:word",
+    mod W (the engine-portable hash discipline of sampling.hash_bucket,
+    salted per sketch row)."""
+    hex4 = F.substring(F.md5(F.concat(F.lit(f"{i}:"), w)), 1, 4)
+    return (F.conv(hex4, 16, 10).cast("long") % _CMS_W).cast("long")
+
+
+def _sql_cms_bucket(i: int, w_sql: str) -> str:
+    key = f"'{i}:' || {w_sql}"
+    return f"CAST({_sql_hex4_to_int(key)} % {_CMS_W} AS BIGINT)"
+
+
+_CMS_ORACLE = rf"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+    ),
+    bk AS (
+        SELECT w, cnt, i,
+               CASE i {' '.join(f"WHEN {i} THEN {_sql_cms_bucket(i, 'w')}" for i in range(_CMS_D))} END AS b
+        FROM wc, UNNEST(generate_series(0, {_CMS_D - 1})) AS t(i)
+    ),
+    cms AS (
+        SELECT i, b, CAST(SUM(cnt) AS BIGINT) AS c FROM bk GROUP BY i, b
+    ),
+    est AS (
+        SELECT bk.w, bk.cnt, CAST(MIN(cms.c) AS BIGINT) AS est
+        FROM bk JOIN cms ON cms.i = bk.i AND cms.b = bk.b
+        GROUP BY bk.w, bk.cnt
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST((SUM(cnt) + {_CMS_PHI_DIV - 1}) // {_CMS_PHI_DIV}
+                    AS BIGINT) AS thr
+        FROM wc
+    )
+    SELECT w AS term,
+           est AS est_count,
+           cnt AS exact_count,
+           CAST(est - cnt AS BIGINT) AS overcount,
+           CAST(cnt >= thr AS BIGINT) AS heavy_exact
+    FROM est CROSS JOIN tot
+    WHERE est >= thr
+    ORDER BY est DESC, term
+    LIMIT {_CMS_TOP}
+"""
+
+
+@register("cms_heavy_hitters", oracle=_CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top heavy-hitter terms by Count-Min-Sketch estimate, with the
+    exact count and the (provably non-negative) overcount alongside.
+    See module docstring for the sketch geometry and scale shape."""
+    from .registry import load_table
+    from ..operators.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = persist_tracked(
+        d.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bk = persist_tracked(
+        wc.select(
+            "w", "cnt", *[_cms_bucket(i, F.col("w")).alias(f"b{i}") for i in range(_CMS_D)]
+        ).selectExpr(
+            "w",
+            "cnt",
+            "stack({}, {}) as (i, b)".format(
+                _CMS_D, ", ".join(f"{i}L, b{i}" for i in range(_CMS_D))
+            ),
+        )
+    )
+    cms = bk.groupBy("i", "b").agg(F.sum("cnt").cast("long").alias("c"))
+    est = (
+        bk.join(F.broadcast(cms), ["i", "b"])
+        .groupBy("w", "cnt")
+        .agg(F.min("c").cast("long").alias("est"))
+    )
+    tot = wc.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.expr(
+            f"CAST((sum(cnt) + {_CMS_PHI_DIV - 1}) div {_CMS_PHI_DIV}"
+            " AS BIGINT)"
+        ).alias("thr"),
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est") >= F.col("thr"))
+        .select(
+            F.col("w").alias("term"),
+            F.col("est").alias("est_count"),
+            F.col("cnt").alias("exact_count"),
+            (F.col("est") - F.col("cnt")).cast("long").alias("overcount"),
+            (F.col("cnt") >= F.col("thr")).cast("long").alias("heavy_exact"),
+        )
+        .orderBy(F.col("est_count").desc(), "term")
+        .limit(_CMS_TOP)
     )
