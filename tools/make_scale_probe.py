@@ -56,6 +56,23 @@ DOC_X, EVT_X, EMB_X = 10, 10, 4
 def _read(name: str) -> pa.Table:
     return pq.read_table(os.path.join(SRC, f"{name}.parquet"))
 
+def _write(table, name: str) -> None:
+    """Write with BOUNDED ROW GROUPS (~64 per table). pyarrow's default
+    single giant row group is unsplittable — Spark byte-range splits
+    align to row-group starts, so a 1-row-group file scans as ONE task
+    no matter how many partitions/cores exist. That single-task map side
+    was the round-8 revised diagnosis for every 'cache eviction'
+    super-linear probe exponent of rounds 6-7 (one straggler task at
+    (13+1)/14 carrying the whole tokenize pipeline). 64 groups saturate
+    a 32-core box at every SF while keeping metadata bounded; production
+    data written by Spark itself (TableStorage sinks) already gets
+    bounded groups from the 128 MB file-split discipline."""
+    pq.write_table(
+        table,
+        os.path.join(OUT, f"{name}.parquet"),
+        row_group_size=max(table.num_rows // 64, 4096),
+    )
+
 
 def build_documents(rng: np.random.Generator) -> None:
     t = _read("documents")
@@ -125,7 +142,7 @@ def build_documents(rng: np.random.Generator) -> None:
             ),
         }
     )
-    pq.write_table(out, os.path.join(OUT, "documents.parquet"))
+    _write(out, "documents")
 
 
 def build_events(rng: np.random.Generator) -> None:
@@ -161,7 +178,7 @@ def build_events(rng: np.random.Generator) -> None:
             "props": pa.array(props[idx], type=pa.string()),
         }
     )
-    pq.write_table(out, os.path.join(OUT, "events.parquet"))
+    _write(out, "events")
 
 
 def build_embeddings(rng: np.random.Generator) -> None:
@@ -187,7 +204,7 @@ def build_embeddings(rng: np.random.Generator) -> None:
             "label": pa.array(out_label.astype(np.int32)),
         }
     )
-    pq.write_table(out, os.path.join(OUT, "embeddings.parquet"))
+    _write(out, "embeddings")
 
 
 def main() -> int:
