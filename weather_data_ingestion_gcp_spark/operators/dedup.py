@@ -285,7 +285,10 @@ def minhash_near_duplicates(
     if cache_shingles:
         from pyspark.storagelevel import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        # MEMORY_ONLY: the exploded shingle relation is the classic
+        # big=True case — see persist_tracked (evict -> recompute beats
+        # evict -> disk-round-trip by 3.5x, measured at sf10)
+        sh = sh.persist(StorageLevel.MEMORY_ONLY)
         _SHINGLE_CACHE.append(sh)
     wide = minhash_wide_signatures(sh, num_hashes=num_hashes)
     # NOTE: the verified-pairs output is deliberately NOT session-cached
@@ -347,13 +350,31 @@ def verified_pairs_from_wide(
     )
 
 
-def persist_tracked(df: DataFrame) -> DataFrame:
-    """Persist any sub-corpus-sized relation MEMORY_AND_DISK and register
-    the handle in the shingle-cache registry so
-    ``release_shingle_caches()`` frees it with everything else."""
+def persist_tracked(df: DataFrame, big: bool = False) -> DataFrame:
+    """Persist a relation and register the handle in the shingle-cache
+    registry so ``release_shingle_caches()`` frees it with everything
+    else.
+
+    ``big=False`` (compact or expensive-to-recompute relations — pairs,
+    signatures, UDF outputs, the pid-pinned rank relations): MEMORY_AND_
+    DISK, so an evicted block round-trips local disk instead of
+    re-running an expensive join/UDF/exchange.
+
+    ``big=True`` (corpus x shingle EXPLODED relations whose recompute is
+    a cheap split+explode over a much smaller parquet source):
+    MEMORY_ONLY, so an evicted block is RECOMPUTED. The round-8 probe
+    measured why: at sf10 the shingle relation exceeds the storage
+    region and MEMORY_AND_DISK's warm re-read of the partially evicted
+    cache cost 297 s vs 84 s for a cold recompute (the materialized
+    exploded form is ~50x its parquet source, so disk-deserializing it
+    loses to recomputing it). When the relation fits — every driver SF,
+    or a cluster with per-executor share sized to data — the two levels
+    behave identically."""
     from pyspark.storagelevel import StorageLevel
 
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.persist(
+        StorageLevel.MEMORY_ONLY if big else StorageLevel.MEMORY_AND_DISK
+    )
     _SHINGLE_CACHE.append(out)
     return out
 

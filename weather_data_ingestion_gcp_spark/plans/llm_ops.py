@@ -1439,7 +1439,7 @@ def decontaminate_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted + registry-tracked: the 8-gram relation is shared (via
     # CacheManager plan-dedup) with the bloom-prefilter variant, so the
     # corpus tokenizes once for the whole decontamination block
-    sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=8))
+    sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=8), big=True)
     b = hash_bucket(F.col("doc_id"))
     te = sh.join(d.filter(b < 10).select("doc_id"), "doc_id", "left_semi")
     tr = sh.join(d.filter(b >= 15).select("doc_id"), "doc_id", "left_semi")

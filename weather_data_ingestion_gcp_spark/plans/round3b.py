@@ -2530,7 +2530,7 @@ def minhash_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle plan is canonically identical to the suite-wide shingle
     # cache, so the CacheManager shares one tokenization across every
     # dedup query; wide is O(docs x 8 x 32B), safe to persist at scale.
-    sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=3))
+    sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=3), big=True)
     wide = dedup.persist_tracked(dedup.minhash_wide_signatures(sh, num_hashes=8))
     pairs = dedup.verified_pairs_from_wide(
         wide, sh, num_hashes=8, rows_per_band=2, threshold=0.5

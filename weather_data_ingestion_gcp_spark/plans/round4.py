@@ -61,7 +61,7 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     summary a curation pipeline keys its drop list off."""
     d = load_table(spark, sf_dir, "documents")
     # shares the persisted 8-gram relation with decontaminate_ngram_exact
-    sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=8))
+    sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=8), big=True)
     b = hash_bucket(F.col("doc_id"))
     te = sh.join(d.filter(b < 10).select("doc_id"), "doc_id", "left_semi")
     tr = sh.join(d.filter(b >= 15).select("doc_id"), "doc_id", "left_semi")
