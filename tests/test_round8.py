@@ -152,3 +152,26 @@ def test_cms_heavy_hitters_threshold_boundary(spark, tmp_path):
     )]
     assert got == want
     assert len(got) == 50
+
+
+def test_round8_entries_empty_corpus_yield_zero_rows(spark, tmp_path):
+    """Degenerate input: an EMPTY documents table must produce zero rows
+    from both round-8 entries without raising — the topp cutoff scalar
+    is (n=0, k=0) and the CMS threshold is NULL, but neither expression
+    is ever evaluated against a row (and the oracles agree: no pool/est
+    rows reach the final SELECT)."""
+    _write_documents(spark, str(tmp_path), [])
+    assert QUERIES["dsir_select_topp"](spark, str(tmp_path)).count() == 0
+    assert QUERIES["cms_heavy_hitters"](spark, str(tmp_path)).count() == 0
+
+
+def test_dsir_select_topp_single_doc_pool(spark, tmp_path):
+    """A 1-doc raw pool (plus the target doc): k = ceil(1/10) = 1 keeps
+    the whole pool; kept_ppm = pool_ppm = 1e6, shift 0."""
+    rows = [
+        (0, "alpha beta gamma", "en", "src0"),
+        (1, "alpha beta delta", "de", "src7"),
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    got = QUERIES["dsir_select_topp"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in got] == [("de", "src7", 1, 1, 1000000, 1000000, 0)]
