@@ -851,3 +851,24 @@ def test_cms_sketch_broadcasts_to_the_word_relation(spark):
         "BroadcastHashJoin" in plan and "[i#" in plan
     )
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_persist_tracked_storage_levels(spark):
+    """big=True (exploded corpus x shingle relations) must be
+    MEMORY_ONLY — an evicted block RECOMPUTES (its materialized form is
+    ~50x the parquet source; the round-8 probe measured disk
+    round-trips at 3.5x the recompute cost). Compact/expensive
+    relations keep the MEMORY_AND_DISK fallback."""
+    from pyspark.storagelevel import StorageLevel
+
+    from weather_data_ingestion_gcp_spark.operators import dedup
+
+    df = spark.range(10)
+    compact = dedup.persist_tracked(spark.range(10))
+    big = dedup.persist_tracked(df.selectExpr("id", "explode(array(1,2)) v"), big=True)
+    try:
+        assert compact.storageLevel == StorageLevel.MEMORY_AND_DISK
+        assert big.storageLevel == StorageLevel.MEMORY_ONLY
+    finally:
+        compact.unpersist()
+        big.unpersist()
