@@ -225,6 +225,29 @@ def verify_jaccard(
     hashed = shingle_df.select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
+    # Semi-join reduction (round-8 sf100 finding): the two verify joins
+    # hash-partition their shingle side, i.e. shuffle the CORPUS-sized
+    # relation to serve |pairs| candidates. Docs that appear in no
+    # candidate pair cannot contribute an intersection row, so pruning
+    # the shingle relation to the candidate-id set first is a semantic
+    # no-op — and it is a broadcast-hash semi-join (map-side, no shuffle
+    # of the corpus side). At sf100 the unpruned form spilled >70 GB of
+    # shuffle and died on the single-box disk ceiling; pruned, only the
+    # ~|candidate docs| slice shuffles. The candidate-id relation is
+    # 2x|pairs| longs before distinct — broadcastable far past the probe
+    # decades (ceiling ~1e8 distinct candidate ids; beyond that, drop
+    # the broadcast hint and eat one shuffled semi-join, still corpus/
+    # candidates cheaper). `pairs` is evaluated once more to build the
+    # id set; every caller derives it from persisted relations (bands
+    # from the cached wide signatures, SNM neighbors from the cached
+    # rank relation), so the extra pass re-reads cache, never re-
+    # tokenizes.
+    cand_ids = F.broadcast(
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    hashed = hashed.join(cand_ids, "doc_id", "left_semi")
     sa = hashed.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = hashed.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
