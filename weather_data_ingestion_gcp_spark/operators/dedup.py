@@ -196,7 +196,10 @@ def lsh_candidate_pairs(band_df: DataFrame, max_bucket_size: int | None = None) 
 
 
 def verify_jaccard(
-    pairs: DataFrame, shingle_df: DataFrame, sizes: DataFrame | None = None
+    pairs: DataFrame,
+    shingle_df: DataFrame,
+    sizes: DataFrame | None = None,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via two shingle equi-joins (set
     sizes from one aggregate; intersection counts from a join on shingle).
@@ -229,25 +232,25 @@ def verify_jaccard(
     # hash-partition their shingle side, i.e. shuffle the CORPUS-sized
     # relation to serve |pairs| candidates. Docs that appear in no
     # candidate pair cannot contribute an intersection row, so pruning
-    # the shingle relation to the candidate-id set first is a semantic
-    # no-op — and it is a broadcast-hash semi-join (map-side, no shuffle
-    # of the corpus side). At sf100 the unpruned form spilled >70 GB of
-    # shuffle and died on the single-box disk ceiling; pruned, only the
-    # ~|candidate docs| slice shuffles. The candidate-id relation is
-    # 2x|pairs| longs before distinct — broadcastable far past the probe
-    # decades (ceiling ~1e8 distinct candidate ids; beyond that, drop
-    # the broadcast hint and eat one shuffled semi-join, still corpus/
-    # candidates cheaper). `pairs` is evaluated once more to build the
-    # id set; every caller derives it from persisted relations (bands
-    # from the cached wide signatures, SNM neighbors from the cached
-    # rank relation), so the extra pass re-reads cache, never re-
-    # tokenizes.
-    cand_ids = F.broadcast(
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .union(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    hashed = hashed.join(cand_ids, "doc_id", "left_semi")
+    # the shingle relation to a SUPERSET of the candidate-id set first
+    # is a semantic no-op — and it is a broadcast-hash semi-join
+    # (map-side, no shuffle of the corpus side). At sf100 the unpruned
+    # form spilled >70 GB of shuffle and died on the single-box disk
+    # ceiling; pruned, only the candidate slice shuffles.
+    #
+    # The id set comes from the CALLER (``candidate_ids``), not from
+    # ``pairs``: deriving it here (union of pair sides) evaluates the
+    # pairs subplan twice, which an A/B measured as a 2-4x isolated-warm
+    # regression for consumers whose pair derivation is itself a join
+    # chain (PageRank 3.3 -> 14.2 s at sf0.1). LSH callers pass the
+    # bucket-membership set (one cheap aggregate over the persisted
+    # signature relation); dense-candidate callers (SNM windows, blocked
+    # Jaccard — every doc is a candidate, pruning is a paid no-op) pass
+    # nothing and keep the direct joins.
+    if candidate_ids is not None:
+        hashed = hashed.join(
+            F.broadcast(candidate_ids.select("doc_id")), "doc_id", "left_semi"
+        )
     sa = hashed.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = hashed.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
@@ -314,6 +317,14 @@ def minhash_near_duplicates(
         sh = sh.persist(StorageLevel.MEMORY_ONLY)
         _SHINGLE_CACHE.append(sh)
     wide = minhash_wide_signatures(sh, num_hashes=num_hashes)
+    if cache_shingles:
+        # the verify prune's candidate-id set re-reads the signature
+        # relation (bands -> bucket counts -> semi-join); without this
+        # persist that second read re-runs the whole wide aggregate
+        # (A/B: PageRank isolated-warm 7.5 s -> ~4 s). O(docs x k x 32B),
+        # the designated compact persist candidate — see
+        # minhash_wide_signatures.
+        wide = persist_tracked(wide)
     # NOTE: the verified-pairs output is deliberately NOT session-cached
     # here. An A/B at sf0.1 showed a global CacheManager entry for every
     # pairs plan slows the REST of the suite by ~15% (plan-matching
@@ -368,9 +379,24 @@ def verified_pairs_from_wide(
     sizes = wide.select("doc_id", F.col("_n_sh").alias("n"))
     bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
     pairs = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
-    return verify_jaccard(pairs, shingle_df, sizes=sizes).filter(
-        F.col("jaccard") >= threshold
+    # candidate-id SUPERSET for the verify semi-join prune: docs sharing
+    # any band bucket with a second doc. One aggregate + one semi-join
+    # over relations derived from the (persisted) wide frame — no
+    # re-evaluation of the pairs subplan (see verify_jaccard).
+    multi = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .filter(F.col("_bc") >= 2)
+        .select("band", "band_key")
     )
+    cand_ids = (
+        bands.join(multi, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return verify_jaccard(
+        pairs, shingle_df, sizes=sizes, candidate_ids=cand_ids
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def persist_tracked(df: DataFrame, big: bool = False) -> DataFrame:
@@ -406,8 +432,28 @@ def cache_pairs_frame(pairs: DataFrame) -> DataFrame:
     """Persist a verified-pairs relation for a consumer that scans it
     multiple times within one plan (graph analytics). The relation is
     O(near-duplicate pairs) — far below corpus size, safe at the 100 TB
-    design point."""
+    design point. persist(), not localCheckpoint: the CacheManager
+    entry is shared ACROSS queries by canonical-plan matching (an A/B
+    that checkpointed all 13 call sites lost that sharing and cost the
+    suite ~12 s). Consumers that LOOP over the frame wrap it with
+    loop_frame() on top."""
     return persist_tracked(pairs)
+
+
+def loop_frame(df: DataFrame) -> DataFrame:
+    """Truncate lineage for a frame consumed by an ITERATIVE algorithm
+    (PageRank power rounds, alternating-star CC): each round compiles a
+    new plan, and every compile canonicalizes the frame's FULL lineage
+    (shingles -> signatures -> bands -> prune -> verify) against the
+    CacheManager — measured at ~0.5 s/round of pure plan-compile after
+    the round-8 verify-prune subtree grew the lineage (PageRank
+    isolated-warm 3.3 -> 8.7 s). An EAGER localCheckpoint materializes
+    once (reading the shared cache when the input is persisted) and
+    hands the loop a leaf RDD scan, so per-round compile is O(1) in
+    lineage depth. Eager is required: a lazy checkpoint under the first
+    round's concurrent stages races (the round-2 shingle-cache
+    finding). Blocks are reference-managed by the ContextCleaner."""
+    return df.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------

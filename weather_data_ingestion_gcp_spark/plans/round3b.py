@@ -636,8 +636,11 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # every power-iteration round re-scans the edge list; persist it so
     # the minhash chain runs once, not once per round (dedup.
-    # cache_pairs_frame — released with the shingle-cache registry)
-    e = dedup.cache_pairs_frame(pairs.select("id_a", "id_b"))
+    # cache_pairs_frame — released with the shingle-cache registry),
+    # then truncate lineage for the loop (dedup.loop_frame — each
+    # round's plan compile otherwise re-canonicalizes the whole minhash
+    # lineage; see the round-8 verify-prune note there)
+    e = dedup.loop_frame(dedup.cache_pairs_frame(pairs.select("id_a", "id_b")))
     sym = e.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
         e.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )

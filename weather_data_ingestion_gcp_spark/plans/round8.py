@@ -30,17 +30,20 @@ integer division), so the oracle hash cannot drift.
 int64 bounds: 1e6 * pool count per (lang, source) — safe to ~9.2e12
 docs per cell, far past the probe decades.
 
-`cms_heavy_hitters` completes the sketch family (bloom membership, KMV
-join cardinality, HLL distinct contract, Misra-Gries heavy hitters)
-with the frequency-ESTIMATE sketch: a D x W Count-Min Sketch over word
-occurrences. Where `heavy_hitters_mg` (round3.py) emits the exact
-> n/k set with a sketch-bounded shuffle, CMS answers point frequency
-queries from fixed memory — and because the same scan yields the exact
-counts anyway, the one-sided error law (an estimate can only OVERCOUNT,
-by hash collision) is not asserted, it is EMITTED as an exact per-term
-`overcount` column and checked by the oracle hash. Heavy hitters =
-terms whose estimate clears ceil(N/100) of the N total occurrences (the
-phi = 1% rule); the report ranks the top 50 by (estimate DESC, term).
+`cms_heavy_hitters` is the VOCABULARY heavy-hitter report built on a
+Count-Min Sketch. Two sketch-family entries precede it:
+`countmin_heavy_hitters` (core.py — the CMS ACCURACY AUDIT over
+per-user event counts: every probe estimated, overcount surfaced, no
+selection) and `heavy_hitters_mg` (round3.py — the EXACT > n/k word
+set via Misra-Gries partials). This entry is the piece a corpus owner
+actually reads: the phi-threshold CUT (keep terms whose CMS estimate
+clears ceil(N/100) of N occurrences) with a deterministic top-50 report
+under ties — selection semantics neither sibling has — and its sketch
+is built from the DISTINCT-WORD count relation (md5 cost per distinct
+word weighted by count, not per occurrence), the right build shape when
+exact counts are computed anyway. The one-sided error law (an estimate
+can only OVERCOUNT, by hash collision) is not asserted, it is EMITTED
+as an exact per-term `overcount` column and checked by the oracle hash.
 
 Scale shape: the sketch is THE textbook bounded sufficient statistic —
 D*W = 4096 cells regardless of corpus size, built by partial-aggregated
