@@ -44,6 +44,42 @@ def test_minhash_finds_near_dups(docs):
     assert pairs[(3, 4)] == pytest.approx(6 / 7)
 
 
+def test_verify_candidate_prune_is_not_forced_broadcast(spark, docs):
+    """Round-8 advisor finding: the candidate-id prune inside
+    verify_jaccard must NOT carry a forced broadcast hint — the set is
+    O(docs in multi-member buckets), unbounded at the 100 TB design
+    point, and a hint bypasses autoBroadcastJoinThreshold straight into
+    the 8 GB BroadcastExchange ceiling. Behavioral pin: with broadcast
+    joins disallowed outright, the prune must PLAN (shuffled semi-join
+    fallback) and still produce the exact same verified pairs. A forced
+    F.broadcast would make the hint win over the threshold and keep a
+    BroadcastExchange in the plan."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    prev_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = dedup.shingles(docs, "doc_id", "text", n=1)
+        pairs = spark.createDataFrame([(0, 2)], "id_a bigint, id_b bigint")
+        cands = spark.createDataFrame([(0,), (2,)], "doc_id bigint")
+        out = dedup.verify_jaccard(pairs, sh, candidate_ids=cands)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+        assert got == {(0, 2): 1.0}
+    finally:
+        for key, val in (
+            ("spark.sql.autoBroadcastJoinThreshold", prev),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe),
+        ):
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+
 def test_shingles_bigram(spark):
     df = spark.createDataFrame([(1, "a b  c")], "doc_id bigint, text string")
     got = {r.shingle for r in dedup.shingles(df, "doc_id", "text", n=2).collect()}

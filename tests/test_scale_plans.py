@@ -746,6 +746,7 @@ def test_snm_rank_correct_without_exchange_reuse(spark):
     damage a divergent pid would do."""
     from pyspark.sql import Window
 
+    from weather_data_ingestion_gcp_spark.operators import dedup
     from weather_data_ingestion_gcp_spark.plans.round6b import snm_ranked
 
     docs = spark.range(2000).select(
@@ -767,6 +768,10 @@ def test_snm_rank_correct_without_exchange_reuse(spark):
             spark.conf.unset("spark.sql.exchange.reuse")
         else:
             spark.conf.set("spark.sql.exchange.reuse", prev)
+        # snm_ranked persist_tracked-registers its pid relation in the
+        # shared shingle-cache registry — release it so this test does
+        # not leak a cached frame into the rest of the session.
+        dedup.release_shingle_caches()
     want = {
         (r.doc_id, r.lang): r.rk
         for r in docs.select(

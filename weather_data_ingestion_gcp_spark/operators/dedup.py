@@ -247,9 +247,18 @@ def verify_jaccard(
     # signature relation); dense-candidate callers (SNM windows, blocked
     # Jaccard — every doc is a candidate, pruning is a paid no-op) pass
     # nothing and keep the direct joins.
+    #
+    # No forced broadcast on the candidate side: the set is O(docs in
+    # any multi-member bucket) — unbounded at the 100 TB design point,
+    # where a forced hint would bypass autoBroadcastJoinThreshold and
+    # hit the 8 GB BroadcastExchange ceiling. The planner (plus AQE's
+    # runtime join re-selection) broadcasts it whenever its MEASURED
+    # size is small — every driver SF — and falls back to a shuffled
+    # semi-join when it isn't, which still prunes the verify joins'
+    # pairs-x-shingles intermediate, the cost that actually dies first.
     if candidate_ids is not None:
         hashed = hashed.join(
-            F.broadcast(candidate_ids.select("doc_id")), "doc_id", "left_semi"
+            candidate_ids.select("doc_id"), "doc_id", "left_semi"
         )
     sa = hashed.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = hashed.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -452,7 +461,13 @@ def loop_frame(df: DataFrame) -> DataFrame:
     hands the loop a leaf RDD scan, so per-round compile is O(1) in
     lineage depth. Eager is required: a lazy checkpoint under the first
     round's concurrent stages races (the round-2 shingle-cache
-    finding). Blocks are reference-managed by the ContextCleaner."""
+    finding). Blocks are reference-managed by the ContextCleaner.
+
+    CALLER CONTRACT: because the checkpoint is eager, calling this
+    function EXECUTES the input's full pipeline immediately — plan
+    construction of any consumer stops being lazy. Wrap only frames an
+    iterative driver is about to loop over, never relations on a
+    build-only/explain-only path."""
     return df.localCheckpoint(eager=True)
 
 

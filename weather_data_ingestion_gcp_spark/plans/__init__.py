@@ -29,102 +29,82 @@ from . import round8  # noqa: F401,E402
 # re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green),
 # r5 the final 50 never-checked entries (50/50 green -> cumulative 200/200
 # over the round-4 registry).
-# Round 8 window (VERDICT r7 "Next round" #2, evidence-freshness burn-
-# down — after this window no entry's latest verdict predates r04 or its
+# Round 9 window (VERDICT r8 "Next round" #1 — re-verdict the late-r8
+# verify_jaccard/loop_frame refactor's consumers and the r04 vintage;
+# after this window no entry's latest verdict predates r05 or its
 # current code):
-# 1. Entries whose CODE or ORACLE changed this round and must re-prove:
-#    decontaminate_semantic_topmatch (tile-folded argmax + zero-norm
-#    guard on plan AND oracle), the SNM pair (pid-stamped relation now
-#    persisted — plan changed, output pinned identical),
-#    decontaminate_bloom_prefilter (r7 adaptive-width bloom + this
-#    round's Arrow bitset path landed AFTER its last r5 verdict — the
-#    one entry VERDICT r7 names whose green predates its code), and
-#    dsir_importance_weights (its scoring chain was refactored into the
-#    shared dsir_scored_docs helper).
-# 2. The round-8 registration: dsir_select_topp.
-# 3. error_capture_routing — the last r01-only verdict.
-# 4. The full r02 vintage (19: one-expression scalars + join_semi/
-#    join_anti/set_operations/distinct_exact/grouping_rollup/pivot/
-#    unpivot/bloom_membership_check...).
-# 5. The full r03 vintage (11 map-only shapes left out of the r7
-#    rotation: text_normalize_clean, html_strip_markup, ...).
-# 6. Fill to 50 with r04 vintage, riskier classes first (similarity/
-#    passage/PPJoin/containment float-and-ln comparators, BPE, KL,
-#    PCA, window analytics); rolling_7d_user_value — integer window
-#    sums, unit-pinned — yielded its slot to the cms_heavy_hitters
-#    registration and re-confirms in r9. Entries whose shared caches'
-#    anchors
-#    rotated out of the window are deferred to r9 (winnow_overlap_
-#    pairs, minhash_estimate_contract, graph pair) so the driver bench
-#    doesn't pay cold cache rebuilds mid-window.
+# 1. Every consumer of the verify-prune path whose CODE changed again
+#    THIS round (the r8-advice broadcast-hint removal in
+#    operators/dedup.py verify_jaccard): the LSH/minhash family block,
+#    documents-scan adjacent so the shared shingle/wide/pairs caches
+#    stay hot across the window (dedup_minhash_lsh anchors them).
+# 2. The graph/contract/winnow/pretrain leads the r8 verdict names —
+#    their latest verdicts (r04) predate both the r8 refactor and this
+#    round's changes; minhash_estimate_contract additionally gains the
+#    sampled accuracy contract this round (VERDICT #3) and
+#    decontaminate_bloom_prefilter the 3rd-decade flattening (#4).
+# 3. rolling_7d_user_value — yielded its r8 slot, re-confirms here.
+# 4. r05-vintage dedup-family stragglers adjacent to the block
+#    (dedup_simhash, dedup_source_syndication, incremental_ingest_dedup).
+# 5. Fill to 50 with the remaining r04 vintage: the TPC-H block +
+#    function-breadth + sketch entries.
 # Ordering: changed-code entries first (freshest evidence for the
-# newest code), then the new registration, then vintage oldest-first;
-# documents-scan entries adjacent, embeddings entries adjacent.
+# newest code), documents-scan entries adjacent, RUN_AFTER anchors
+# (graph_triangle_counts -> minhash_estimate_contract) kept adjacent.
 # Pinned by tests/test_registry_contract so a new registration cannot
 # silently evict driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # code/oracle changed this round -> re-prove under the driver
-    "decontaminate_semantic_topmatch",
-    "dedup_sorted_neighborhood",
-    "record_linkage_fellegi_sunter",
-    "decontaminate_bloom_prefilter",
-    "dsir_importance_weights",
-    # round-8 registrations (the DSIR apply half shares the scored-pool
-    # chain with dsir_importance_weights just above; the CMS sketch is a
-    # documents-scan entry, adjacent to the text block below)
-    "dsir_select_topp",
-    "cms_heavy_hitters",
-    # last r01-only verdict
-    "error_capture_routing",
-    # --- r02 vintage (19) ---
-    "base64_roundtrip",
-    "bloom_membership_check",
-    "broadcast_route_lookup",
-    "date_filter_single_day",
-    "distinct_exact",
-    "filter_dispatch",
-    "grouping_rollup",
-    "join_anti",
-    "join_semi",
-    "log_path_and_format",
-    "order_limit_topn",
-    "path_stem_extract",
-    "pivot_daily_event_values",
-    "regex_filename_cleanup",
-    "retention_keep_side",
-    "set_operations",
-    "sql_api_passthrough",
-    "unpivot_event_metrics",
-    "uuid_stable",
-    # --- r03 vintage (11 map-only shapes) ---
-    "text_normalize_clean",
-    "html_strip_markup",
-    "url_extract_normalize",
-    "text_token_counts",
-    "pii_scrub_counts",
-    "boilerplate_prefix_groups",
-    "vocab_oov_rate",
-    "decontaminate_test_split",
-    "sample_hash_bernoulli",
-    "multimodal_decode_meta",
-    "multimodal_frame_offsets",
-    # --- r04 vintage fill (13) ---
-    # documents-scan family together
-    "ppjoin_prefix_similarity",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_clusters",
+    "neardup_cluster_stats",
+    "dedup_shrinkage_by_source",
     "containment_near_dup",
-    "passage_exact_dedup",
-    "passage_dedup_rewrite",
-    "source_unigram_kl",
-    "bpe_learn_merges",
-    "bpe_apply_encode",
-    # embeddings family together
-    "hard_negative_topk",
-    "embedding_outlier_scores",
-    "pca_power_iteration",
-    # events/orders analytics
-    "window_running_analytics",
-    "kmv_join_cardinality",
+    "lsh_recall_contract",
+    "lsh_recall_contract_sampled",
+    "split_leakage_safe",
+    "similarity_ann_rp_lsh",
+    "curation_pipeline_keep",
+    "graph_pagerank_neardup",
+    "graph_triangle_counts",
+    "minhash_estimate_contract",
+    "winnow_overlap_pairs",
+    "pretrain_data_build",
+    "decontaminate_bloom_prefilter",
+    "rolling_7d_user_value",
+    "dedup_simhash",
+    "dedup_source_syndication",
+    "incremental_ingest_dedup",
+    "array_hof_breadth_2",
+    "bitwise_function_breadth",
+    "conditional_null_breadth",
+    "json_function_breadth",
+    "map_function_breadth",
+    "regexp_function_breadth",
+    "try_cast_breadth",
+    "stats_aggregate_breadth",
+    "window_value_functions_breadth",
+    "set_operations_all",
+    "grouping_sets_priority",
+    "ordered_listagg_by_type",
+    "countmin_heavy_hitters",
+    "heavy_hitters_mg",
+    "dataset_card_summary",
+    "lm_eval_train_test_split",
+    "tpch_q2_max_acctbal_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_case_sum",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules

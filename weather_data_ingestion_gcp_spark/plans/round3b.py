@@ -639,7 +639,13 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache_pairs_frame — released with the shingle-cache registry),
     # then truncate lineage for the loop (dedup.loop_frame — each
     # round's plan compile otherwise re-canonicalizes the whole minhash
-    # lineage; see the round-8 verify-prune note there)
+    # lineage; see the round-8 verify-prune note there).
+    # SIDE EFFECT: loop_frame's eager localCheckpoint RUNS the minhash
+    # pipeline here, at plan-CONSTRUCTION time — calling this function
+    # (or explaining its result) executes Spark jobs before any action.
+    # Deliberate: the power rounds below unroll into the returned plan,
+    # so the checkpoint cannot be deferred past construction without
+    # giving back the O(1)-lineage compile it exists to provide.
     e = dedup.loop_frame(dedup.cache_pairs_frame(pairs.select("id_a", "id_b")))
     sym = e.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
         e.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))

@@ -66,7 +66,7 @@ from ..operators.dedup import persist_tracked
 from .registry import _sql_hex4_to_int, register
 from .round7 import _DSIR_B, _DSIR_TARGET, dsir_scored_docs
 
-#: keep the top 1/_DSIR_KEEP_FRAC of the scored pool (ceil)
+#: keep the top 1/_DSIR_KEEP_DIV of the scored pool (ceil)
 _DSIR_KEEP_DIV = 10
 
 
