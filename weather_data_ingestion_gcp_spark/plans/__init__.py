@@ -127,6 +127,11 @@ RUN_AFTER = {
     # evicted from the r4 window: shares the graph block's shingle +
     # verified-pairs caches (r4 measured 9.5s cold vs 1.4s warm-adjacent)
     "minhash_estimate_contract": "graph_triangle_counts",
+    # shares the full-corpus ppjoin_pairs_frame pipeline (tok/prefix
+    # caches) with lsh_recall_contract — the r8 in-suite ppjoin
+    # regression (4.57 -> 6.50 s while isolated-warm improved) was this
+    # adjacency rotating out of reach
+    "ppjoin_prefix_similarity": "lsh_recall_contract",
     # shares the persisted winnow fingerprint-array relation (r4 verdict:
     # 4.1 s isolated because the relation was rebuilt per invocation)
     "winnow_overlap_pairs": "text_winnow_fingerprints",

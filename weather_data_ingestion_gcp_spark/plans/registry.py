@@ -168,3 +168,53 @@ def _sql_hex4_to_int(key_sql: str) -> str:
         f"{digit.format(k=key_sql, i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+#: deterministic sample rate CAP for the sampled accuracy contracts
+#: (percent of md5-hex4 doc_id buckets)
+_SAMPLE_PCT = 20
+#: absolute sample-size target: the rate shrinks so the sampled
+#: sub-corpus stays ~this many docs once the corpus outgrows
+#: TARGET/PCT% — the round-7 100x-probe finding: a PROPORTIONAL sample
+#: keeps quadratic ground truths growing; an accuracy contract is a
+#: statistical property, so a fixed-size sample estimates it just as
+#: unbiasedly at constant cost. Lives here (not round6) so any plan
+#: module can build sampled contracts without import cycles.
+_SAMPLE_TARGET_DOCS = 10_000
+
+
+def _sample_pct(n_docs: int, cap_pct: int = _SAMPLE_PCT) -> int:
+    """min(cap_pct, ceil(TARGET/n) in percent) — integer arithmetic
+    only, mirrored verbatim by the oracles' scalar subqueries.
+
+    ``cap_pct=20`` (default): the recall contract's shape — never more
+    than a 20% sample even on tiny corpora (its PPJoin ground truth is
+    quadratic in the sample).
+    ``cap_pct=100``: absolute-target-only — FULL corpus until it
+    outgrows ~TARGET docs, then shrinking toward the target. The
+    estimate contract uses this so driver-SF outputs stay the complete
+    (and plan-identical, cache-sharing) full-corpus measurement while
+    probe scales engage the sample."""
+    if n_docs <= 0:
+        return cap_pct
+    return min(
+        cap_pct, (100 * _SAMPLE_TARGET_DOCS + n_docs - 1) // n_docs
+    )
+
+
+def _sql_sampled_docs_cte(
+    cte_name: str = "docs_sampled", cap_pct: int = _SAMPLE_PCT
+) -> str:
+    """DuckDB CTE text selecting the same deterministic doc sample the
+    Spark side takes with sampling.hash_bucket(doc_id) <
+    _sample_pct(n, cap_pct)."""
+    n = "(SELECT COUNT(*) FROM documents)"
+    pct = (
+        f"COALESCE(LEAST({cap_pct}, "
+        f"(100 * {_SAMPLE_TARGET_DOCS} + {n} - 1) // NULLIF({n}, 0)), "
+        f"{cap_pct})"
+    )
+    return (
+        f"{cte_name} AS (SELECT * FROM documents "
+        f"WHERE {_sql_hex4_to_int('doc_id')} % 100 < {pct})"
+    )

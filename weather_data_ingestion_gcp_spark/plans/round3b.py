@@ -2498,19 +2498,40 @@ def dedup_source_syndication(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J >= 0.5 makes larger deviations vanishingly rare and every SF has
 # been checked). All md5 arithmetic — the estimates THEMSELVES
 # hash-match, the sketch-accuracy claim is measured, not assumed.
+#
+# Round-9 (VERDICT r8 #3): measured over the DETERMINISTIC DOC SAMPLE
+# (registry._sample_pct with cap_pct=100 — FULL corpus until it
+# outgrows ~10k docs, then shrinking toward that absolute target), the
+# lsh_recall_contract_sampled recipe. The full-corpus form rode the
+# UNCAPPED pair relation, which the sf100 probe measured as quadratic
+# OUTPUT (a 9,105-doc band bucket alone yields 575M pairs) — blown by
+# construction at the 3rd decade. The estimate-error law is a per-pair
+# statistical property (each pair's agreement depends only on its two
+# docs' signatures), so a uniform doc sample measures the identical
+# binomial error law at constant cost at any corpus size; at driver SFs
+# (corpus <= target) the sample is the whole corpus and the output is
+# the complete measurement.
 # ---------------------------------------------------------------------------
 def _minhash_estimate_oracle() -> str:
-    from .llm_ops import _SQL_SHINGLES3
+    import re
 
+    from .llm_ops import _SQL_SHINGLES3
+    from .registry import _sql_sampled_docs_cte
+
+    shingles_sampled = re.sub(r"\bdocuments\b", "docs_sampled", _SQL_SHINGLES3)
+    pairs_sampled = re.sub(
+        r"\bdocuments\b", "docs_sampled", ORACLE["dedup_minhash_lsh"]
+    )
     return f"""
-    WITH sh AS ({_SQL_SHINGLES3}),
+    WITH {_sql_sampled_docs_cte(cap_pct=100)},
+    sh AS ({shingles_sampled}),
     sig AS (
         SELECT doc_id, s.seed,
                MIN(md5(shingle || '|' || CAST(s.seed AS VARCHAR))) AS minhash
         FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
         GROUP BY doc_id, s.seed
     ),
-    pairs AS (SELECT id_a, id_b, jaccard FROM ({ORACLE["dedup_minhash_lsh"]})),
+    pairs AS (SELECT id_a, id_b, jaccard FROM ({pairs_sampled})),
     agree AS (
         SELECT p.id_a, p.id_b, p.jaccard,
                SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS n_agree
@@ -2530,15 +2551,28 @@ def _minhash_estimate_oracle() -> str:
 
 @register("minhash_estimate_contract", oracle=_minhash_estimate_oracle())
 def minhash_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup
+    from ..operators import dedup, sampling
+    from .registry import _sample_pct
 
-    d = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic doc sample, absolute-target cap only (~10k docs —
+    # see the oracle-builder comment): the error-law measurement no
+    # longer rides the uncapped pair relation that is quadratic OUTPUT
+    # at the 3rd decade. pct == 100 (every driver SF) skips the filter
+    # ENTIRELY so the plan stays canonically identical to the suite-wide
+    # shingle/wide caches (one CacheManager entry with the graph block).
+    # The one bounded driver-side probe is the corpus COUNT (parquet
+    # footer metadata).
+    pct = _sample_pct(docs.count(), cap_pct=100)
+    d = (
+        docs
+        if pct >= 100
+        else docs.filter(sampling.hash_bucket(F.col("doc_id")) < pct)
+    )
     # ONE persisted signature aggregate feeds BOTH the LSH-pairs pipeline
     # and the per-pair agreement columns (round 3 ran the identical
     # groupBy twice — the suite's most expensive query at 9.5s/sf0.1).
-    # The shingle plan is canonically identical to the suite-wide shingle
-    # cache, so the CacheManager shares one tokenization across every
-    # dedup query; wide is O(docs x 8 x 32B), safe to persist at scale.
+    # wide is O(sampled docs x 8 x 32B), safe to persist.
     sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=3), big=True)
     wide = dedup.persist_tracked(dedup.minhash_wide_signatures(sh, num_hashes=8))
     pairs = dedup.verified_pairs_from_wide(

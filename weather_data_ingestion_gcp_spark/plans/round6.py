@@ -24,28 +24,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, sampling
-from .registry import _sql_hex4_to_int, load_table, register
+from .registry import (
+    _sample_pct,
+    _sql_hex4_to_int,
+    _sql_sampled_docs_cte,
+    load_table,
+    register,
+)
 from .round3b import _lsh_recall_oracle, ppjoin_pairs_frame, recall_summary
 
-#: deterministic sample rate CAP (percent of md5-hex4 doc_id buckets)
-_SAMPLE_PCT = 20
-#: absolute sample-size target: the rate shrinks so the sampled
-#: sub-corpus stays ~this many docs once the corpus outgrows
-#: TARGET/PCT% — the round-7 100x-probe finding: a PROPORTIONAL sample
-#: keeps the quadratic ground truth growing (sf10 cold 1243.8 s, cold
-#: exponent 1.82/decade); recall is a statistical property, so a
-#: fixed-size sample estimates it just as unbiasedly at constant cost.
-_SAMPLE_TARGET_DOCS = 10_000
-
-
-def _sample_pct(n_docs: int) -> int:
-    """min(20%, ceil(TARGET/n) in percent) — integer arithmetic only,
-    mirrored verbatim by the oracle's scalar subquery."""
-    if n_docs <= 0:
-        return _SAMPLE_PCT
-    return min(
-        _SAMPLE_PCT, (100 * _SAMPLE_TARGET_DOCS + n_docs - 1) // n_docs
-    )
+# sample-rate constants and the cap formula live in registry.py (shared
+# with minhash_estimate_contract in round3b — the two sampled contracts
+# must take the IDENTICAL deterministic sub-corpus or their shared
+# shingle caches fork): _SAMPLE_PCT=20, _SAMPLE_TARGET_DOCS=10_000,
+# _sample_pct(n) = min(20%, ceil(TARGET/n)%). The round-7 100x-probe
+# rationale: a PROPORTIONAL sample keeps the quadratic ground truth
+# growing (sf10 cold 1243.8 s, cold exponent 1.82/decade); recall is a
+# statistical property, so a fixed-size sample estimates it just as
+# unbiasedly at constant cost.
 
 
 def _sampled_recall_oracle() -> str:
@@ -58,17 +54,7 @@ def _sampled_recall_oracle() -> str:
     # CTE as a circular reference; the composed oracles touch no other
     # table, so a word-boundary rewrite is exact)
     body = re.sub(r"\bdocuments\b", "docs_sampled", base[len("WITH "):])
-    n = "(SELECT COUNT(*) FROM documents)"
-    pct = (
-        f"COALESCE(LEAST({_SAMPLE_PCT}, "
-        f"(100 * {_SAMPLE_TARGET_DOCS} + {n} - 1) // NULLIF({n}, 0)), "
-        f"{_SAMPLE_PCT})"
-    )
-    return (
-        "WITH docs_sampled AS (SELECT * FROM documents "
-        f"WHERE {_sql_hex4_to_int('doc_id')} % 100 < {pct}),\n"
-        + body
-    )
+    return f"WITH {_sql_sampled_docs_cte()},\n" + body
 
 
 @register("lsh_recall_contract_sampled", oracle=_sampled_recall_oracle())
