@@ -16,6 +16,7 @@ predicate/aggregate combination that disagrees."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import duckdb
 import pytest
@@ -26,6 +27,9 @@ from pyspark.sql import functions as F
 from weather_data_ingestion_gcp_spark.plans.registry import load_table
 
 SF = "/root/testdata/sf0.001"
+
+#: CI default 30; set SPARK_GRAFT_FUZZ_EXAMPLES for an extended hunt
+_MAX_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "30"))
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 # --- the tiny query AST ----------------------------------------------------
@@ -137,7 +141,7 @@ def duck():
 
 
 @settings(
-    max_examples=30,
+    max_examples=_MAX_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -237,7 +241,7 @@ def duck_docs():
 
 
 @settings(
-    max_examples=30,
+    max_examples=_MAX_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -320,7 +324,7 @@ _WIN_QUERY = st.tuples(
 
 
 @settings(
-    max_examples=30,
+    max_examples=_MAX_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -420,7 +424,7 @@ _JOIN_QUERY = st.tuples(
 
 
 @settings(
-    max_examples=30,
+    max_examples=_MAX_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
