@@ -104,17 +104,33 @@ def run(sf_dir: str, subset: list[str] | None = None) -> int:
     # first entry still records a genuine cold time
     QUERIES["order_limit_topn"](spark, sf_dir).collect()
 
+    # SPARK_GRAFT_PROBE_SINK=noop: execute through the no-op batch sink
+    # instead of collecting to the driver — for queries whose OUTPUT is
+    # corpus-sized (sessionize: one row per session), where toArrow()
+    # hits spark.driver.maxResultSize at sf100 purely as a harness
+    # artifact (a real pipeline lands such results in a table). Rows
+    # are then counted in a separate (untimed) pass.
+    noop = os.environ.get("SPARK_GRAFT_PROBE_SINK") == "noop"
+
+    def execute(df) -> int:
+        if noop:
+            df.write.format("noop").mode("overwrite").save()
+            return -1
+        return df.toArrow().num_rows
+
     out: dict[str, dict] = {}
     for name in (subset or PROBE_QUERIES):
         fn = QUERIES[name]
         spark._jvm.System.gc()
         try:
             t0 = time.time()
-            n = fn(spark, sf_dir).toArrow().num_rows
+            n = execute(fn(spark, sf_dir))
             cold = time.time() - t0
             t0 = time.time()
-            fn(spark, sf_dir).toArrow()
+            execute(fn(spark, sf_dir))
             warm = time.time() - t0
+            if noop:
+                n = fn(spark, sf_dir).count()
         except Exception as exc:  # a blown query must not kill the probe
             out[name] = {"error": f"{type(exc).__name__}"}
             print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
