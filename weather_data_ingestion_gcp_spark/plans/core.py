@@ -2492,26 +2492,54 @@ def gapfill_daily_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dau_wau_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / trailing-7-day WAU (stickiness): sliding-window COUNT
-    DISTINCT, which no window frame computes directly — each active
-    (user, day) is exploded into the 7 future days it keeps the user
-    "weekly active" for, then one hash aggregate per day counts distinct
-    users. The explode multiplies the (already day-deduped) activity
-    relation by 7, NOT raw events — the standard scale trick for sliding
-    distinct counts; the aggregate's map-side partials absorb it."""
+    DISTINCT, which no window frame computes directly.
+
+    Round-9 redesign (the r7 sf100 probe measured the explode-x7 +
+    per-day COUNT DISTINCT form at exponent 1.24 — the per-day distinct
+    hash state is 7x the activity relation): the sliding distinct is
+    computed as INTERVAL STABBING instead. Per user, consecutive
+    presence days gap <= 6 apart merge into coverage intervals
+    [first, last+6] (one lag + one running-sum window over the
+    day-deduped activity relation — linear, user-partitioned, the
+    sessionize shuffle class); each interval emits (+1 at start, -1
+    after end) deltas, and WAU(d) is the running sum of per-day deltas.
+    Distinctness is structural (a user's merged intervals are disjoint,
+    so each contributes at most 1 per day) — NO distinct aggregate
+    state anywhere; post-aggregation state is O(distinct days),
+    calendar-bounded, so the final running-sum window over days is a
+    bounded single-partition pass by construction."""
+    from pyspark.sql.window import Window
+
     e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     active = e.select("user_id", F.to_date("ts").alias("d")).distinct()
     dau = active.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    contrib = active.select(
-        "user_id",
-        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("d"),
+    wu = Window.partitionBy("user_id").orderBy("d")
+    prev = F.lag("d").over(wu)
+    new_iv = F.when(
+        prev.isNull() | (F.datediff(F.col("d"), prev) > 6), 1
+    ).otherwise(0)
+    iv = (
+        active.select("user_id", "d", new_iv.alias("_niv"))
+        .select("user_id", "d", F.sum("_niv").over(wu).alias("_g"))
+        .groupBy("user_id", "_g")
+        .agg(F.min("d").alias("_s"), F.date_add(F.max("d"), 6).alias("_e"))
     )
-    wau = contrib.groupBy("d").agg(
-        F.count_distinct("user_id").cast("long").alias("wau")
+    deltas = iv.select(
+        F.col("_s").alias("d"), F.lit(1).cast("long").alias("_dl")
+    ).unionAll(
+        iv.select(F.date_add("_e", 1).alias("d"), F.lit(-1).cast("long"))
+    )
+    day_dl = deltas.groupBy("d").agg(F.sum("_dl").alias("_dl"))
+    # full join: every delta day must enter the running sum, active or
+    # not; the relation here is O(distinct days), calendar-bounded
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = dau.join(day_dl, "d", "full").select(
+        "d", "dau", F.sum(F.coalesce("_dl", F.lit(0))).over(wd).alias("wau")
     )
     return (
-        dau.join(wau, "d")
+        merged.filter(F.col("dau").isNotNull())
         .select(
-            "d", "dau", "wau",
+            "d", "dau", F.col("wau").cast("long").alias("wau"),
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
         .orderBy("d")
