@@ -43,9 +43,14 @@ from . import round8  # noqa: F401,E402
 #    round's changes; minhash_estimate_contract additionally gains the
 #    sampled accuracy contract this round (VERDICT #3) and
 #    decontaminate_bloom_prefilter the 3rd-decade flattening (#4).
-# 3. rolling_7d_user_value — yielded its r8 slot, re-confirms here.
+# 3. rolling_7d_user_value — yielded its r8 slot, re-confirms here;
+#    dau_wau_engagement — its WAU redesigned THIS round (interval
+#    stabbing replaces the explode-x7 distinct; plans/core.py), so the
+#    r05 verdict predates the new code and it re-proves here (it took
+#    the slot of incremental_ingest_dedup, which stays r05-vintage and
+#    unchanged).
 # 4. r05-vintage dedup-family stragglers adjacent to the block
-#    (dedup_simhash, dedup_source_syndication, incremental_ingest_dedup).
+#    (dedup_simhash, dedup_source_syndication).
 # 5. Fill to 50 with the remaining r04 vintage: the TPC-H block +
 #    function-breadth + sketch entries.
 # Ordering: changed-code entries first (freshest evidence for the
@@ -73,9 +78,9 @@ DRIVER_WINDOW = [
     "pretrain_data_build",
     "decontaminate_bloom_prefilter",
     "rolling_7d_user_value",
+    "dau_wau_engagement",
     "dedup_simhash",
     "dedup_source_syndication",
-    "incremental_ingest_dedup",
     "array_hof_breadth_2",
     "bitwise_function_breadth",
     "conditional_null_breadth",
