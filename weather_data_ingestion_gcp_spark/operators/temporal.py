@@ -165,3 +165,57 @@ def asof_join_nearest(
         .alias("asof_gap_us"),
     ]
     return filled.select(*cols)
+
+
+def daily_engagement(active: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU / trailing-``window_days`` active users per day from a
+    day-deduped (user_id, d) activity relation — the sliding COUNT
+    DISTINCT computed as INTERVAL STABBING (round-9 redesign; the
+    explode-xW + per-day COUNT DISTINCT form carried W-times-activity
+    distinct hash state and measured exponent 1.24 at the sf100 probe).
+
+    Per user, presence days <= W-1 apart merge into coverage intervals
+    [first, last + W-1] (one lag + one running-sum window — linear,
+    user-partitioned); each interval emits (+1 at start, -1 after end)
+    and WAU(d) is the running sum of per-day deltas. Distinctness is
+    structural — a user's merged intervals are disjoint, so each
+    contributes at most 1 to any day — and post-aggregation state is
+    O(distinct days), calendar-bounded, so the final running-sum window
+    is a bounded single-partition pass by construction.
+
+    Output: (d, dau, wau, stickiness) for ACTIVE days only (dau >= 1),
+    matching the declarative sliding-distinct definition exactly.
+    Shared by the batch query (plans/core.py dau_wau_engagement) and
+    the streaming profile sink (streaming/engagement.py) so the two
+    grains cannot drift."""
+    span = window_days - 1
+    dau = active.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wu = Window.partitionBy("user_id").orderBy("d")
+    prev = F.lag("d").over(wu)
+    new_iv = F.when(
+        prev.isNull() | (F.datediff(F.col("d"), prev) > span), 1
+    ).otherwise(0)
+    iv = (
+        active.select("user_id", "d", new_iv.alias("_niv"))
+        .select("user_id", "d", F.sum("_niv").over(wu).alias("_g"))
+        .groupBy("user_id", "_g")
+        .agg(F.min("d").alias("_s"), F.date_add(F.max("d"), span).alias("_e"))
+    )
+    deltas = iv.select(
+        F.col("_s").alias("d"), F.lit(1).cast("long").alias("_dl")
+    ).unionAll(
+        iv.select(F.date_add("_e", 1).alias("d"), F.lit(-1).cast("long"))
+    )
+    day_dl = deltas.groupBy("d").agg(F.sum("_dl").alias("_dl"))
+    # full join: every delta day must enter the running sum, active or
+    # not; the relation here is O(distinct days), calendar-bounded
+    wd = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = dau.join(day_dl, "d", "full").select(
+        "d", "dau", F.sum(F.coalesce("_dl", F.lit(0))).over(wd).alias("wau")
+    )
+    return merged.filter(F.col("dau").isNotNull()).select(
+        "d", "dau", F.col("wau").cast("long").alias("wau"),
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )

@@ -2507,43 +2507,15 @@ def dau_wau_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each contributes at most 1 per day) — NO distinct aggregate
     state anywhere; post-aggregation state is O(distinct days),
     calendar-bounded, so the final running-sum window over days is a
-    bounded single-partition pass by construction."""
-    from pyspark.sql.window import Window
+    bounded single-partition pass by construction. The computation
+    lives in operators/temporal.py daily_engagement — shared verbatim
+    with the streaming profile sink (streaming/engagement.py), so the
+    two grains cannot drift."""
+    from ..operators.temporal import daily_engagement
 
     e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     active = e.select("user_id", F.to_date("ts").alias("d")).distinct()
-    dau = active.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    wu = Window.partitionBy("user_id").orderBy("d")
-    prev = F.lag("d").over(wu)
-    new_iv = F.when(
-        prev.isNull() | (F.datediff(F.col("d"), prev) > 6), 1
-    ).otherwise(0)
-    iv = (
-        active.select("user_id", "d", new_iv.alias("_niv"))
-        .select("user_id", "d", F.sum("_niv").over(wu).alias("_g"))
-        .groupBy("user_id", "_g")
-        .agg(F.min("d").alias("_s"), F.date_add(F.max("d"), 6).alias("_e"))
-    )
-    deltas = iv.select(
-        F.col("_s").alias("d"), F.lit(1).cast("long").alias("_dl")
-    ).unionAll(
-        iv.select(F.date_add("_e", 1).alias("d"), F.lit(-1).cast("long"))
-    )
-    day_dl = deltas.groupBy("d").agg(F.sum("_dl").alias("_dl"))
-    # full join: every delta day must enter the running sum, active or
-    # not; the relation here is O(distinct days), calendar-bounded
-    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    merged = dau.join(day_dl, "d", "full").select(
-        "d", "dau", F.sum(F.coalesce("_dl", F.lit(0))).over(wd).alias("wau")
-    )
-    return (
-        merged.filter(F.col("dau").isNotNull())
-        .select(
-            "d", "dau", F.col("wau").cast("long").alias("wau"),
-            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
-        )
-        .orderBy("d")
-    )
+    return daily_engagement(active).orderBy("d")
 
 
 @register(

@@ -1,0 +1,92 @@
+"""Streaming engagement profile: DAU / trailing-7-day WAU maintained
+incrementally across micro-batches — the streaming-grain twin of the
+batch ``dau_wau_engagement`` query (plans/core.py), built from the same
+pieces the reference's pipeline uses at daily grain
+(Load-gcs-to-bq/main.py:71-84 append + the stored procedures'
+delete-and-recompute of the current day): exactly-once presence ingest +
+idempotent day-scoped recompute of exactly the output days a batch can
+change.
+
+Why not a stateful streaming aggregation: a trailing-7-day DISTINCT
+count keeps per-user state for 7 days; the
+applyInPandasWithState/transformWithState route carries that state in
+the checkpoint, is protobuf-gated in this environment, and recovers by
+replaying state — while this table-backed design recovers by
+RECOMPUTING from the presence table, which is already exactly-once.
+The batch body is three bounded steps:
+
+1. presence ingest — the batch's distinct (user_id, d) rows, anti-joined
+   against the presence table and appended under an (app_id, batch_id)
+   txn key (the streaming/ingest_dedup.py recipe at (user, day) grain):
+   crash replays are commit-level no-ops.
+2. affected-day bounds from the BATCH's own min/max day — not from the
+   post-anti-join novelty: if a crash lands between the presence append
+   and the profile refresh, the replayed batch sees zero novel presence
+   rows but must still refresh the profile days it touched. Using the
+   batch bounds makes the refresh self-healing.
+3. day-scoped recompute: output days a presence day p can change are
+   [p, p+6], so the batch affects [min_d, max_d+6]; computing WAU for
+   day d needs presence back to d-6, so the input slice is
+   [min_d-6, max_d+6]. The slice runs through the SAME
+   operators/temporal.py daily_engagement used by the batch query (the
+   two grains cannot drift), and lands as one atomic
+   ``replace_where`` commit — idempotent at the value level, so replays
+   and overlapping batches converge to the batch query's answer.
+
+Scale: the presence table is O(users x active days) — the day-deduped
+relation every engagement system materializes anyway; the per-batch
+recompute reads only the affected day slice (partition-prunable by d at
+scale) and the anti-join ships (user_id, d) pairs, never event payloads.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.temporal import daily_engagement
+from ..sources.txlog import TxLogTable
+
+#: trailing window width in days (the batch query's 7)
+_WINDOW_DAYS = 7
+
+
+def engagement_sink(presence: TxLogTable, profile: TxLogTable, app_id: str):
+    """A ``foreachBatch`` body maintaining (d, dau, wau, stickiness)
+    incrementally. See the module docstring for the three-step design
+    and its crash-replay reasoning."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            batch_df.filter(F.col("user_id").isNotNull())
+            .select("user_id", F.to_date("ts").alias("d"))
+            .distinct()
+        )
+        # batch-day bounds BEFORE the anti-join (self-healing replays);
+        # one bounded driver-side row
+        b = new.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).first()
+        if presence.exists():
+            cur = presence.read(spark).select("user_id", "d")
+            new = new.join(cur, ["user_id", "d"], "left_anti")
+        # empty batches still commit so the txn map stays monotone
+        presence.append(new, txn=(app_id, batch_id))
+        if b is None or b["lo"] is None:
+            return
+        out_lo, out_hi = b["lo"], b["hi"] + dt.timedelta(days=_WINDOW_DAYS - 1)
+        in_lo = b["lo"] - dt.timedelta(days=_WINDOW_DAYS - 1)
+        sl = presence.read(spark).filter(
+            (F.col("d") >= F.lit(in_lo)) & (F.col("d") <= F.lit(out_hi))
+        )
+        prof = daily_engagement(
+            sl.select("user_id", "d"), window_days=_WINDOW_DAYS
+        ).filter((F.col("d") >= F.lit(out_lo)) & (F.col("d") <= F.lit(out_hi)))
+        profile.replace_where(
+            spark,
+            f"d >= DATE'{out_lo.isoformat()}' AND d <= DATE'{out_hi.isoformat()}'",
+            prof,
+        )
+
+    return _sink
