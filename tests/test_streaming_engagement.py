@@ -149,3 +149,39 @@ def test_streaming_engagement_matches_batch_operator(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_engagement_survives_fully_deleted_presence(spark, tmp_path):
+    """Regression (round-9 advice): a presence table with COMMITS but an
+    empty active file set (retention delete_where removed every row) must
+    read as empty, not crash — at both hazard sites: the anti-join read
+    before the append, and the slice read after a txn-no-op replay
+    (where the replayed append lands nothing, so the table STAYS empty
+    into the recompute)."""
+    presence = TxLogTable(str(tmp_path / "presence"))
+    profile = TxLogTable(str(tmp_path / "profile"))
+    sink = engagement_sink(presence, profile, "engage-empty")
+
+    b0 = spark.createDataFrame(
+        [(0, 1, _BASE), (1, 2, _BASE + dt.timedelta(days=1))], _SCHEMA
+    )
+    sink(b0, 0)
+    assert presence.read(spark).count() == 2
+
+    # retention wipes the table: commits remain, zero active files
+    presence.delete_where(spark, "d >= DATE'2024-01-01'")
+    assert presence.exists() and not presence.active_files()
+
+    # hazard 2 first: REPLAY batch 0 — the txn key makes the append a
+    # no-op, so the slice recompute reads the still-empty table; the
+    # table's truth is "no presence", so the range must come back empty
+    sink(b0, 0)
+    assert presence.exists() and not presence.active_files()
+    assert _profile_rows(spark, profile) == {}
+
+    # hazard 1: a NEW batch anti-joins against the empty table, lands its
+    # rows, and the recompute sees exactly those rows
+    b1 = spark.createDataFrame([(2, 3, _BASE + dt.timedelta(days=2))], _SCHEMA)
+    sink(b1, 1)
+    assert presence.read(spark).count() == 1
+    assert _profile_rows(spark, profile) == _brute_force({3: {2}})

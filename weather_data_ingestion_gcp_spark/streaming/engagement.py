@@ -58,6 +58,16 @@ def engagement_sink(presence: TxLogTable, profile: TxLogTable, app_id: str):
     incrementally. See the module docstring for the three-step design
     and its crash-replay reasoning."""
 
+    def _read_presence(spark, template: DataFrame) -> DataFrame:
+        # a table with commits but an EMPTY active file set (every row
+        # removed by a retention delete_where) is a legal state:
+        # TxLogTable.read raises FileNotFoundError there, so mirror
+        # TxLogTableStorage.read and treat it as an empty typed frame —
+        # the table's truth is "no presence", not a crash
+        if presence.exists() and not presence.active_files():
+            return template.sparkSession.createDataFrame([], template.schema)
+        return presence.read(spark).select("user_id", "d")
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = (
@@ -69,15 +79,14 @@ def engagement_sink(presence: TxLogTable, profile: TxLogTable, app_id: str):
         # one bounded driver-side row
         b = new.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).first()
         if presence.exists():
-            cur = presence.read(spark).select("user_id", "d")
-            new = new.join(cur, ["user_id", "d"], "left_anti")
+            new = new.join(_read_presence(spark, new), ["user_id", "d"], "left_anti")
         # empty batches still commit so the txn map stays monotone
         presence.append(new, txn=(app_id, batch_id))
         if b is None or b["lo"] is None:
             return
         out_lo, out_hi = b["lo"], b["hi"] + dt.timedelta(days=_WINDOW_DAYS - 1)
         in_lo = b["lo"] - dt.timedelta(days=_WINDOW_DAYS - 1)
-        sl = presence.read(spark).filter(
+        sl = _read_presence(spark, new).filter(
             (F.col("d") >= F.lit(in_lo)) & (F.col("d") <= F.lit(out_hi))
         )
         prof = daily_engagement(
