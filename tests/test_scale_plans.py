@@ -171,6 +171,7 @@ _BOUNDED_NESTED_LOOP_ALLOWLIST = {
     "doc_unigram_logprob",  # 1-row (n, v) corpus-totals scalar broadcast
     "hard_negative_topk",  # bounded 8-row probe-set broadcast (brute_force_topk shape)
     "graph_pagerank_neardup",  # 1-row node-count scalar broadcast per round
+    "graph_pagerank_neardup_capped",  # same scalar broadcast, capped edges
     "kmv_join_cardinality",  # 1-row sketch-estimate scalar cross joins
     "pca_power_iteration",  # 1-row n / max|y| scalar broadcasts per round
     "doc_bigram_interp_logprob",  # 1-row (n, v) corpus-totals scalar broadcast

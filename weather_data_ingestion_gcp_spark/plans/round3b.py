@@ -576,8 +576,13 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERS = 3
 
 
-def _pagerank_oracle(iters: int) -> str:
-    pairs = ORACLE["dedup_minhash_lsh"]
+def _pagerank_oracle(iters: int, pairs: str | None = None) -> str:
+    """PageRank oracle over ANY verified-pairs SQL: the edge CTE composes
+    the pairs query verbatim, so the capped variant differs from the
+    uncapped one ONLY in which relation it composes — exactly like the
+    Spark side."""
+    if pairs is None:
+        pairs = ORACLE["dedup_minhash_lsh"]
     parts = [
         f"e AS (SELECT id_a, id_b FROM ({pairs}))",
         """sym AS (
@@ -619,21 +624,12 @@ def _pagerank_oracle(iters: int) -> str:
     )
 
 
-@register("graph_pagerank_neardup", oracle=_pagerank_oracle(_PR_ITERS))
-def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-round power iteration on the near-dup graph, integer nano-unit
-    scores: contrib(u) = (85 * (s(u) // deg(u))) // 100, s'(v) = base +
-    sum(contribs) — every operation is BIGINT, so accumulation order
-    cannot move a bit and both engines agree exactly. Per round: one join
-    of scores onto the (cached) symmetric edge list + one aggregate; the
-    edge relation re-uses the session-cached minhash pairs, and score
-    state is O(nodes), never materialized on the driver."""
+def _pagerank_frame(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """3-round power iteration over a verified-pairs edge relation —
+    shared by the uncapped and capped graph entries (the algorithm is
+    edge-source-agnostic; only the pairs derivation differs)."""
     from ..operators import dedup
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
-    )
     # every power-iteration round re-scans the edge list; persist it so
     # the minhash chain runs once, not once per round (dedup.
     # cache_pairs_frame — released with the shingle-cache registry),
@@ -692,8 +688,27 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _triangle_oracle() -> str:
-    pairs = ORACLE["dedup_minhash_lsh"]
+@register("graph_pagerank_neardup", oracle=_pagerank_oracle(_PR_ITERS))
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round power iteration on the near-dup graph, integer nano-unit
+    scores: contrib(u) = (85 * (s(u) // deg(u))) // 100, s'(v) = base +
+    sum(contribs) — every operation is BIGINT, so accumulation order
+    cannot move a bit and both engines agree exactly. Per round: one join
+    of scores onto the (cached) symmetric edge list + one aggregate; the
+    edge relation re-uses the session-cached minhash pairs, and score
+    state is O(nodes), never materialized on the driver."""
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+    return _pagerank_frame(d, pairs)
+
+
+def _triangle_oracle(pairs: str | None = None) -> str:
+    if pairs is None:
+        pairs = ORACLE["dedup_minhash_lsh"]
     return f"""
     WITH e AS (SELECT id_a, id_b FROM ({pairs})),
     tri AS (
@@ -728,6 +743,14 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_near_duplicates(
         d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
     )
+    return _triangle_frame(pairs)
+
+
+def _triangle_frame(pairs: DataFrame) -> DataFrame:
+    """Triangle enumeration over a verified-pairs edge relation — shared
+    by the uncapped and capped graph entries."""
+    from ..operators import dedup
+
     # the wedge join scans the edge list three times in one plan
     e = dedup.cache_pairs_frame(pairs.select("id_a", "id_b"))
     e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -744,6 +767,52 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("doc_id")
     )
+
+
+# The registered uncapped entries above analyze the graph a curation run
+# builds from the RAW banded-LSH pairs; the quadratic skew hazard in that
+# edge source (one degenerate band bucket of n docs emits O(n^2) pairs —
+# 575M pairs from one 9,105-doc bucket measured at the sf100 probe) is
+# exactly what dedup_minhash_lsh_capped's bucket cap removes. These
+# variants are the 100 TB composition: the SAME graph algorithms over the
+# CAPPED pair relation (bucket cap 50, unigram shingles — the
+# dedup_minhash_lsh_capped parameters), with oracles composing the capped
+# pairs SQL verbatim exactly as the uncapped oracles compose the uncapped
+# SQL. Edge volume is linear in corpus size at the fixed cap, so the
+# per-round score join / wedge join inherit that bound.
+def _capped_pairs(spark: SparkSession, sf_dir: str):
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=1,
+        threshold=0.5, max_bucket_size=50,
+    )
+    return d, pairs
+
+
+@register(
+    "graph_pagerank_neardup_capped",
+    oracle=_pagerank_oracle(_PR_ITERS, ORACLE["dedup_minhash_lsh_capped"]),
+)
+def graph_pagerank_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the CAPPED near-dup pairs — the scale-safe
+    edge source (linear pair volume at the fixed bucket cap); same
+    integer-exact power iteration as graph_pagerank_neardup."""
+    d, pairs = _capped_pairs(spark, sf_dir)
+    return _pagerank_frame(d, pairs)
+
+
+@register(
+    "graph_triangle_counts_capped",
+    oracle=_triangle_oracle(ORACLE["dedup_minhash_lsh_capped"]),
+)
+def graph_triangle_counts_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the CAPPED near-dup pairs — same
+    wedge-join enumeration as graph_triangle_counts, edge volume bounded
+    linear by the bucket cap."""
+    _, pairs = _capped_pairs(spark, sf_dir)
+    return _triangle_frame(pairs)
 
 
 # ---------------------------------------------------------------------------
