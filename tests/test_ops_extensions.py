@@ -932,3 +932,57 @@ def test_semantic_prune_bucket_cap_sub_blocks(spark):
         small, tau=0.35, max_bucket_size=4
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_blocked_jaccard_grouped_matches_pairs_join_form(spark):
+    """The capped path's grouped-intersection execution (round 10: group
+    the sub-block-keyed shingle relation instead of materializing
+    pairs x shingles — the form whose verify shuffle hit the sf100 disk
+    ceiling) must produce identical (pair, jaccard) rows to the
+    pairs-join-verify form it replaced, on data where the cap both does
+    and does not bite."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "en", "web", "the quick brown fox jumps over dog %d" % i)
+         for i in range(7)]
+        + [(20, "de", "web", "ein schneller brauner fuchs springt hoch"),
+           (21, "de", "web", "ein schneller brauner fuchs springt weit"),
+           (30, "fr", "news", "contenu totalement different ici")]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.blocked_jaccard_pairs(
+            df, "doc_id", "text", ["lang", "source"], shingle_n=2,
+            threshold=0.05, max_block_size=3,
+        ).collect()
+    }
+    # reference: the pairs-join form over the SAME sub-block assignment
+    counts = df.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("_n"))
+    n_sub = F.expr("(_n + 2) div 3")
+    salt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % n_sub
+    )
+    base = (
+        df.join(F.broadcast(counts), ["lang", "source"])
+        .select("doc_id", "lang", "source", salt.alias("_s"))
+    )
+    a = base.toDF("id_a", "lang", "source", "_s")
+    b = base.toDF("id_b", "lang", "source", "_s")
+    pairs = (
+        a.join(b, ["lang", "source", "_s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    sh = dedup.shingles(df, "doc_id", "text", n=2)
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.verify_jaccard(pairs, sh)
+        .filter(F.col("jaccard") >= 0.05)
+        .collect()
+    }
+    assert got == want and len(got) >= 3

@@ -85,11 +85,23 @@ def _words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
     """Distinct word n-gram shingles, one row per (id, shingle).
 
     Row-per-shingle (vs array column) keeps downstream joins/aggregations
     JVM-native and lets Spark redistribute shingle skew across partitions.
+
+    ``carry_cols``: extra columns of ``df`` to carry through the explode
+    unchanged (e.g. a blocking key) — carrying a key through the narrow
+    explode costs a few bytes per row, while attaching it afterwards
+    costs a full shuffle join of the corpus-sized shingle relation
+    against the documents table.
 
     The tokenization is materialized in its own projection BEFORE the
     n-gram transform: the lambda references the split result ~3n times per
@@ -98,8 +110,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame
     split re-evaluates per element_at (measured 12.5s -> ~1s for 260k
     shingles at sf0.1).
     """
+    carry = list(carry_cols or [])
     base = df.select(
-        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_ws")
+        F.col(id_col).alias("doc_id"), *carry,
+        _words(F.col(text_col)).alias("_ws"),
     )
     ws = F.col("_ws")
     if n == 1:
@@ -118,7 +132,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame
                 ),
             )
         )
-    return base.select("doc_id", F.explode(sh).alias("shingle"))
+    return base.select("doc_id", *carry, F.explode(sh).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -621,7 +635,28 @@ def blocked_jaccard_pairs(
     bounded instead of useless. ``None`` keeps uncapped behavior for
     small-cardinality blocking schemes. Empirical: the sf0.1 -> sf1
     (10x) probe measured 0 super-linear growth with cap=100 (BASELINE.md
-    round-6 table)."""
+    round-6 table).
+
+    Execution shape (capped + positive threshold): the intersection is
+    computed by GROUPING the sub-block-keyed shingle relation on
+    (block, sub, shingle) and emitting each group's doc-id pairs — one
+    wide shuffle of the carried shingle relation, with per-group pair
+    fan-out bounded by the sub-block cap. The alternative
+    pairs-join-shingles form (verify_jaccard) materializes
+    |pairs| x ~shingles/doc intermediate rows, almost all of which are
+    non-matches (pair rows where the other side lacks the shingle): at
+    the sf100 probe that intermediate's shuffle exceeded the single
+    box's ~73 GB spill ceiling (ENOSPC, round 9), while the grouped form
+    shuffles each shingle row once and materializes only ACTUAL
+    co-occurrences. Zero-intersection pairs never appear, which is
+    exactly the >= threshold output for any threshold > 0; threshold <= 0
+    (or uncapped blocks, where a mega-group's pair fan-out would land on
+    one task) keeps the pairs-join form."""
+    if max_block_size is not None and threshold > 0:
+        return _sub_blocked_jaccard_grouped(
+            df, id_col, text_col, block_cols, shingle_n, threshold,
+            max_block_size,
+        )
     base = df.select(F.col(id_col).alias("doc_id"), *block_cols)
     if max_block_size is not None:
         # internal column names must not shadow a caller's block column
@@ -655,6 +690,96 @@ def blocked_jaccard_pairs(
     b = base.toDF("id_b", *block_cols)
     pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+def _sub_blocked_jaccard_grouped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_n: int,
+    threshold: float,
+    max_block_size: int,
+) -> DataFrame:
+    """Grouped-intersection form of capped blocked Jaccard (see
+    blocked_jaccard_pairs): shingle rows carry their (block, sub-block)
+    key through the explode, one groupBy on (block, sub, shingle) emits
+    each group's doc-id pairs, and a pair count IS the exact
+    intersection size. Per-group pair fan-out is bounded by the
+    sub-block cap (<= ~cap ids per group), so no task ever holds a
+    quadratic blob; total shuffle is the carried shingle relation once —
+    linear in corpus size — plus the actual co-occurrence rows."""
+    # internal names must not shadow a caller's block column (the
+    # ingest-dedup '_rn' probing pattern)
+    taken = set(df.columns)
+
+    def _fresh(name: str) -> str:
+        while name in taken:
+            name = "_" + name
+        taken.add(name)
+        return name
+
+    bn, sub, ids, p = _fresh("_bn"), _fresh("_sub"), _fresh("_ids"), _fresh("_p")
+    counts = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias(bn))
+    n_sub = F.expr(
+        f"(`{bn}` + {int(max_block_size) - 1}) div {int(max_block_size)}"
+    )
+    hex4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    salt = F.conv(hex4, 16, 10).cast("long") % n_sub
+    # counts is block-cardinality-sized -> broadcast side; the salt is
+    # computable in the same projection, so the blocking key rides the
+    # narrow explode instead of a corpus-sized join afterwards
+    keyed = df.join(F.broadcast(counts), block_cols).select(
+        F.col(id_col), F.col(text_col), *block_cols, salt.alias(sub)
+    )
+    sh = shingles(
+        keyed, id_col, text_col, n=shingle_n, carry_cols=[*block_cols, sub]
+    )
+    # 8-byte shingle hashes (the verify_jaccard trick): distinctness per
+    # doc is preserved at row grain, collisions only nudge one n_inter
+    # with odds ~|shingles|^2 / 2^64. Persisted: sizes and the group
+    # aggregate both scan it; MEMORY_ONLY because recompute beats
+    # disk-round-tripping the exploded form (persist_tracked big=True).
+    hashed = persist_tracked(
+        sh.select(
+            "doc_id", *block_cols, sub, F.xxhash64("shingle").alias("shingle")
+        ),
+        big=True,
+    )
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    grp = (
+        hashed.groupBy(*block_cols, sub, "shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias(ids))
+        .filter(F.size(ids) >= 2)
+    )
+    # ascending ids -> (ids[i], ids[j]) with i < j already satisfies
+    # id_a < id_b; slice is 1-based, length 0 at the last element
+    combos = F.expr(
+        f"flatten(transform({ids}, (x, i) -> "
+        f"transform(slice({ids}, i + 2, size({ids}) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    inter = (
+        grp.select(F.explode(combos).alias(p))
+        .select(F.col(f"{p}.id_a").alias("id_a"), F.col(f"{p}.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
