@@ -20,6 +20,7 @@ from . import round6c  # noqa: F401,E402
 from . import round6d  # noqa: F401,E402
 from . import round7  # noqa: F401,E402
 from . import round8  # noqa: F401,E402
+from . import round10  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50
@@ -29,87 +30,74 @@ from . import round8  # noqa: F401,E402
 # re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green),
 # r5 the final 50 never-checked entries (50/50 green -> cumulative 200/200
 # over the round-4 registry).
-# Round 9 window (VERDICT r8 "Next round" #1 — re-verdict the late-r8
-# verify_jaccard/loop_frame refactor's consumers and the r04 vintage;
-# after this window no entry's latest verdict predates r05 or its
-# current code):
-# 1. Every consumer of the verify-prune path whose CODE changed again
-#    THIS round (the r8-advice broadcast-hint removal in
-#    operators/dedup.py verify_jaccard): the LSH/minhash family block,
-#    documents-scan adjacent so the shared shingle/wide/pairs caches
-#    stay hot across the window (dedup_minhash_lsh anchors them).
-# 2. The graph/contract/winnow/pretrain leads the r8 verdict names —
-#    their latest verdicts (r04) predate both the r8 refactor and this
-#    round's changes; minhash_estimate_contract additionally gains the
-#    sampled accuracy contract this round (VERDICT #3) and
-#    decontaminate_bloom_prefilter the 3rd-decade flattening (#4).
-# 3. rolling_7d_user_value — yielded its r8 slot, re-confirms here;
-#    dau_wau_engagement — its WAU redesigned THIS round (interval
-#    stabbing replaces the explode-x7 distinct; plans/core.py), so the
-#    r05 verdict predates the new code and it re-proves here (it took
-#    the slot of incremental_ingest_dedup, which stays r05-vintage and
-#    unchanged).
-# 4. r05-vintage dedup-family stragglers adjacent to the block
-#    (dedup_simhash, dedup_source_syndication).
-# 5. Fill to 50 with the remaining r04 vintage: the TPC-H block +
-#    function-breadth + sketch entries.
-# Ordering: changed-code entries first (freshest evidence for the
-# newest code), documents-scan entries adjacent, RUN_AFTER anchors
-# (graph_triangle_counts -> minhash_estimate_contract) kept adjacent.
+# Round 10 window (VERDICT r9 "Next round" #3 — lead with every entry
+# whose code moved THIS round, then retire the r05 vintage; after this
+# window no entry's latest verdict predates r06):
+# 1. Changed-code entries first: dedup_ngram_jaccard (grouped-
+#    intersection verify rewrite in operators/dedup.py), the NEW
+#    capped-pairs graph entries (VERDICT r9 #1), and the NEW
+#    rows-only streaming-engagement-sink equivalence entry (#5).
+# 2. The full 42-entry r05 vintage, grouped by scan family so shared
+#    relations stay hot: documents-scan block, embeddings block,
+#    distinct-sketch block (approx_distinct_users pulled in as an r06
+#    fill so hll_distinct_contract keeps its RUN_AFTER adjacency
+#    inside the window), then the events-scan block.
+# 3. Remaining fills from the r06 vintage: daily_rollup_events (the
+#    flagship), tpch_q1_pricing_summary, window_topk_per_group.
 # Pinned by tests/test_registry_contract so a new registration cannot
 # silently evict driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_clusters",
-    "neardup_cluster_stats",
-    "dedup_shrinkage_by_source",
-    "containment_near_dup",
-    "lsh_recall_contract",
-    "lsh_recall_contract_sampled",
-    "split_leakage_safe",
-    "similarity_ann_rp_lsh",
-    "curation_pipeline_keep",
-    "graph_pagerank_neardup",
-    "graph_triangle_counts",
-    "minhash_estimate_contract",
-    "winnow_overlap_pairs",
-    "pretrain_data_build",
-    "decontaminate_bloom_prefilter",
-    "rolling_7d_user_value",
-    "dau_wau_engagement",
-    "dedup_simhash",
-    "dedup_source_syndication",
-    "array_hof_breadth_2",
-    "bitwise_function_breadth",
-    "conditional_null_breadth",
-    "json_function_breadth",
-    "map_function_breadth",
-    "regexp_function_breadth",
-    "try_cast_breadth",
-    "stats_aggregate_breadth",
-    "window_value_functions_breadth",
-    "set_operations_all",
-    "grouping_sets_priority",
-    "ordered_listagg_by_type",
-    "countmin_heavy_hitters",
-    "heavy_hitters_mg",
-    "dataset_card_summary",
-    "lm_eval_train_test_split",
-    "tpch_q2_max_acctbal_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_case_sum",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
+    "dedup_ngram_jaccard",
+    "graph_pagerank_neardup_capped",
+    "graph_triangle_counts_capped",
+    "streaming_engagement_sink_equiv",
+    "code_markdown_signals",
+    "doc_unigram_logprob",
+    "doc_bigram_interp_logprob",
+    "gopher_repetition_flags",
+    "quality_repetition_signals",
+    "langid_confusion_matrix",
+    "token_fertility_by_lang",
+    "ngram_bigram_topk",
+    "zipf_slope_by_source",
+    "source_vocab_jaccard",
+    "dup_inflation_by_source",
+    "text_fingerprint",
+    "shard_pack_by_tokens",
+    "packing_padding_efficiency",
+    "dataset_mix_temperature",
+    "multimodal_payload_meta",
+    "label_centroid_cosine",
+    "vector_l2_normalize",
+    "pandas_zscore_normalize",
+    "approx_distinct_users",
+    "hll_distinct_contract",
+    "cumulative_distinct_users",
+    "daily_rollup_events",
+    "asof_join_nearest_views",
+    "attribution_last_touch",
+    "attribution_linear_multi_touch",
+    "conversion_wilson_by_day",
+    "event_anomaly_zscore",
+    "event_transition_matrix",
+    "gapfill_daily_interpolation",
+    "histogram_event_values",
+    "histogram_equidepth_deciles",
+    "journey_top_paths",
+    "rfm_user_segments",
+    "robust_mad_outlier_counts",
+    "winsorized_robust_stats",
+    "incremental_ingest_dedup",
+    "table_checksum_by_flag",
+    "zorder_layout_buckets",
+    "join_skew_profile",
+    "k_anonymity_audit",
+    "dq_expectation_checks",
+    "profile_table_columns",
+    "cube_lang_source_stats",
+    "tpch_q1_pricing_summary",
+    "window_topk_per_group",
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules
@@ -127,16 +115,28 @@ RUN_AFTER = {
     "hll_distinct_contract": "approx_distinct_users",
     "dataset_mix_temperature": "dataset_mix_by_lang",
     "packing_padding_efficiency": "chunk_documents_overlap",
+    # --- the trigram-minhash dedup block (VERDICT r9 #4): every
+    # consumer of the shared trigram shingle / wide-signature /
+    # verified-pairs caches anchors FLAT on dedup_minhash_lsh, so the
+    # cache build always lands on the designated first entry and
+    # in-suite times stop flapping with rotation (r8<->r9 measured
+    # dedup_minhash_lsh 2.3<->8.1 s purely by which query built the
+    # cache first). Dict order = suite order after the anchor; chains
+    # (follower anchoring on a follower) are NOT supported by
+    # _apply_driver_window — keep this flat. lsh_recall_contract sits
+    # immediately before ppjoin_prefix_similarity, preserving the r8
+    # fix (they share the full-corpus ppjoin_pairs_frame pipeline).
     "neardup_cluster_stats": "dedup_minhash_lsh",
     "dedup_shrinkage_by_source": "dedup_minhash_lsh",
-    # evicted from the r4 window: shares the graph block's shingle +
-    # verified-pairs caches (r4 measured 9.5s cold vs 1.4s warm-adjacent)
-    "minhash_estimate_contract": "graph_triangle_counts",
-    # shares the full-corpus ppjoin_pairs_frame pipeline (tok/prefix
-    # caches) with lsh_recall_contract — the r8 in-suite ppjoin
-    # regression (4.57 -> 6.50 s while isolated-warm improved) was this
-    # adjacency rotating out of reach
-    "ppjoin_prefix_similarity": "lsh_recall_contract",
+    "dedup_clusters": "dedup_minhash_lsh",
+    "dedup_clusters_star": "dedup_minhash_lsh",
+    "graph_pagerank_neardup": "dedup_minhash_lsh",
+    "graph_triangle_counts": "dedup_minhash_lsh",
+    # shares the graph block's shingle + verified-pairs caches (r4
+    # measured 9.5s cold vs 1.4s warm-adjacent)
+    "minhash_estimate_contract": "dedup_minhash_lsh",
+    "lsh_recall_contract": "dedup_minhash_lsh",
+    "ppjoin_prefix_similarity": "dedup_minhash_lsh",
     # shares the persisted winnow fingerprint-array relation (r4 verdict:
     # 4.1 s isolated because the relation was rebuilt per invocation)
     "winnow_overlap_pairs": "text_winnow_fingerprints",
