@@ -481,7 +481,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated within a sub-block only — total pair count ~N*50, linear,
     at a deterministic recall cost (cross-sub pairs belong to the banded
     LSH / PPJoin paths). The cap binds at sf0.1 (largest block 112
-    rows), so the sub-block path is exercised by the standard sweep."""
+    rows), so the sub-block path is exercised by the standard sweep.
+    Round 10: executes as grouped intersection (one shuffle of the
+    sub-block-keyed shingle relation; only actual co-occurrences
+    materialize), which took the sf100 probe from ENOSPC to 220 s —
+    see blocked_jaccard_pairs."""
     d = load_table(spark, sf_dir, "documents")
     out = dedup.blocked_jaccard_pairs(
         d, "doc_id", "text", block_cols=["lang", "source"], shingle_n=2,
