@@ -53,10 +53,19 @@ def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFra
     from ..sources.txlog import TxLogTable
     from ..streaming.engagement import engagement_sink
 
+    # The sink's unit of work is distinct (user, day) presence — dedupe
+    # to that grain ONCE and persist it, instead of letting each of the
+    # three staged batches re-scan the events parquet for every action
+    # the sink runs (bounds agg + anti-join + recompute = ~6 scans).
+    # ``ts`` stays the column name: to_date over an already-DATE column
+    # is a pass-through, so the sink body is exercised unchanged.
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
-        .select("user_id", "ts")
+        .select("user_id", F.to_date("ts").alias("ts"))
+        .distinct()
+        .withColumn("_b", F.pmod(F.xxhash64("user_id"), F.lit(3)))
+        .persist()
     )
     os.makedirs(_SCRATCH, exist_ok=True)
     root = tempfile.mkdtemp(prefix="engagement_sink_", dir=_SCRATCH)
@@ -70,7 +79,10 @@ def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFra
     profile = TxLogTable(os.path.join(root, "profile"))
     sink = engagement_sink(presence, profile, "driver-equiv")
     for i in range(3):
-        sink(e.filter(F.pmod(F.xxhash64("user_id"), F.lit(3)) == i), i)
+        sink(e.filter(F.col("_b") == i).drop("_b"), i)
+    # everything below reads from the txlog tables the sink wrote, not
+    # from the staged input — release it before building the result plan
+    e.unpersist()
 
     def _read_or_empty(t: TxLogTable, ddl: str) -> DataFrame:
         # empty input: the sink commits empty batches (txn monotonicity)
