@@ -277,6 +277,40 @@ def test_multimodal_header_parser_pure():
         )
 
 
+def test_multimodal_udf_payload_is_self_contained(tmp_path):
+    """The mapInPandas helpers must pickle BY VALUE: a Python worker whose
+    sys.path lacks this repo (an executor the package was never shipped
+    to; observed with a driver launched from another cwd) otherwise dies
+    with ModuleNotFoundError on the first decode task. Proof: unpickle
+    and CALL the helper in a subprocess that cannot import the package."""
+    import subprocess
+    import sys as _sys
+
+    from pyspark import cloudpickle
+
+    from weather_data_ingestion_gcp_spark.operators.multimodal import (
+        _decode_image_bytes,
+    )
+
+    blob = tmp_path / "helper.pkl"
+    blob.write_bytes(cloudpickle.dumps(_decode_image_bytes))
+    png = tmp_path / "img.png"
+    png.write_bytes(_png_bytes(3, 2, 6))
+    probe = (
+        "import pickle, sys\n"
+        "sys.modules['weather_data_ingestion_gcp_spark'] = None\n"  # poison
+        f"fn = pickle.loads(open({str(blob)!r}, 'rb').read())\n"
+        f"print(fn(open({str(png)!r}, 'rb').read(), False))\n"
+    )
+    env = {"PATH": "/usr/bin:/bin"}
+    out = subprocess.run(
+        [_sys.executable, "-c", probe],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "(3, 2, 4, 'png')"
+
+
 def test_scalar_function_helpers(spark):
     from weather_data_ingestion_gcp_spark.functions import (
         filename_cleanup,

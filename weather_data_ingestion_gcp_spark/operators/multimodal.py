@@ -19,12 +19,26 @@ executor memory.
 from __future__ import annotations
 
 import struct
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The mapInPandas closures below are pickled by value (they are nested
+# functions), but they call module-level helpers (_parse_image_header,
+# _decode_image_bytes, _parse_wav_header) which cloudpickle serializes by
+# REFERENCE — so a Python worker whose sys.path lacks this repo (any
+# executor the package was not shipped to; measured: a driver process
+# launched from another cwd) dies with ModuleNotFoundError on the first
+# decode task. Registering the module pickles those helpers by value too:
+# the UDF payload becomes self-contained stdlib-only bytecode, no worker-
+# side import of this package required. The helpers are small pure
+# functions, so the per-UDF payload cost is a few KB, once per task launch.
+_cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 #: Output schema of decode_metadata — stable contract for downstream ops.
 DECODE_META_SCHEMA = (
