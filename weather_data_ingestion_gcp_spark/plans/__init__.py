@@ -137,6 +137,25 @@ RUN_AFTER = {
     "minhash_estimate_contract": "dedup_minhash_lsh",
     "lsh_recall_contract": "dedup_minhash_lsh",
     "ppjoin_prefix_similarity": "dedup_minhash_lsh",
+    # r10 bench finding: the window rotation scattered these four family
+    # members 60-100 suite positions from their relation builders, and
+    # each re-paid its full cold build late in the session where the
+    # accumulated storage region turns the rebuild into eviction thrash
+    # (lsh_recall_contract_sampled: 2.9 s in-suite r9 -> 42.7 s r10,
+    # cold-alone 13.2 s, isolated-warm 1.3 s). test_split runs the same
+    # trigram-shingle -> minhash -> verify pipeline as the block;
+    # sampled's pipelines reduce to the full-corpus plans at driver SFs
+    # (_sample_pct=100), so adjacency restores the cache hits.
+    "decontaminate_test_split": "dedup_minhash_lsh",
+    "lsh_recall_contract_sampled": "dedup_minhash_lsh",
+    # shares random_hyperplane_bands(16 bits, 4 bands) over the same
+    # embeddings relation (in-suite 3.4 s r9 -> 30.6 s r10 at tail)
+    "dedup_semantic_prune": "similarity_ann_rp_lsh",
+    # composes the SAME persisted dsir_scored_docs relation
+    "dsir_select_topp": "dsir_importance_weights",
+    # both compose the char-pair/merge relations of the BPE learner
+    "bpe_learn_merges": "bpe_char_pair_counts",
+    "bpe_apply_encode": "bpe_char_pair_counts",
     # shares the persisted winnow fingerprint-array relation (r4 verdict:
     # 4.1 s isolated because the relation was rebuilt per invocation)
     "winnow_overlap_pairs": "text_winnow_fingerprints",
