@@ -200,3 +200,49 @@ def test_load_table_memoizes_per_session_and_dir(spark):
     e = load_table(spark, "/root/testdata/sf0.001", "events")
     assert e is load_table(spark, "/root/testdata/sf0.001", "events")
     assert dict(e.dtypes)["ts"] == "timestamp"
+
+
+def test_run_after_graph_is_flat_and_resolvable():
+    """_apply_driver_window does not support follower chains (a follower
+    anchoring on another follower would be silently appended at the
+    tail, exactly the cache-adjacency break the map exists to prevent)
+    and an unregistered anchor would likewise dump its follower at the
+    tail. Pin both properties, plus: every follower actually lands
+    immediately after its anchor in the final suite order (or inside
+    the contiguous follower run of that anchor), unless the follower
+    itself is pulled into the driver window."""
+    from weather_data_ingestion_gcp_spark.plans import (
+        DRIVER_WINDOW,
+        RUN_AFTER,
+    )
+
+    followers = set(RUN_AFTER)
+    for follower, anchor in RUN_AFTER.items():
+        assert anchor in QUERIES, f"anchor {anchor} not registered"
+        assert anchor not in followers, (
+            f"{follower} anchors on {anchor}, itself a follower — "
+            "chains are unsupported; anchor FLAT on the block head"
+        )
+    order = list(QUERIES)
+    window = set(DRIVER_WINDOW)
+    pos = {n: i for i, n in enumerate(order)}
+    for follower, anchor in RUN_AFTER.items():
+        if follower in window:
+            continue  # the window orders it explicitly
+        if anchor in window:
+            # window-internal anchors: their followers form the
+            # post-window prefix (ordered by anchor position); require
+            # only that nothing NON-follower separates them from the
+            # boundary — two window anchors' groups legally queue
+            for between in order[50 : pos[follower]]:
+                assert RUN_AFTER.get(between) in window, (
+                    f"{between} separates {follower} from the window "
+                    f"boundary (anchor {anchor} is inside the window)"
+                )
+            continue
+        # contiguity: everything between the anchor and this follower
+        # is a follower of the SAME anchor
+        for between in order[pos[anchor] + 1 : pos[follower]]:
+            assert RUN_AFTER.get(between) == anchor, (
+                f"{between} separates {follower} from its anchor {anchor}"
+            )
