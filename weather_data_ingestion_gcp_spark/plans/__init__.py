@@ -151,7 +151,8 @@ RUN_AFTER = {
     # shares random_hyperplane_bands(16 bits, 4 bands) over the same
     # embeddings relation (in-suite 3.4 s r9 -> 30.6 s r10 at tail)
     "dedup_semantic_prune": "similarity_ann_rp_lsh",
-    # composes the SAME persisted dsir_scored_docs relation
+    # both compose _dsir_scored_shared (round7) — one session-persisted
+    # scored relation; the follower's scoring pipeline is a cache hit
     "dsir_select_topp": "dsir_importance_weights",
     # both compose the char-pair/merge relations of the BPE learner
     "bpe_learn_merges": "bpe_char_pair_counts",

@@ -119,6 +119,27 @@ _DSIR_ORACLE = rf"""
 """
 
 
+def _dsir_scored_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The with_meta=True scored relation, session-persisted and memoized
+    per (session, sf dir) — ONE cache entry feeding both
+    ``dsir_importance_weights`` and ``dsir_select_topp`` (its RUN_AFTER
+    follower), the repo-wide shared-relation discipline. O(raw-pool
+    docs) x 5 narrow columns — bounded far below corpus size, safe to
+    persist at any scale."""
+    from ..operators.dedup import persist_tracked
+
+    memo: dict[str, DataFrame] | None = getattr(spark, "_graft_dsir_memo", None)
+    if memo is None:
+        memo = {}
+        setattr(spark, "_graft_dsir_memo", memo)
+    hit = memo.get(str(sf_dir))
+    if hit is not None:
+        return hit
+    df = persist_tracked(dsir_scored_docs(spark, sf_dir, with_meta=True))
+    memo[str(sf_dir)] = df
+    return df
+
+
 def dsir_scored_docs(
     spark: SparkSession, sf_dir: str, with_meta: bool = False
 ) -> DataFrame:
@@ -129,6 +150,10 @@ def dsir_scored_docs(
     meta columns ride the doc-level groupBy keys (doc_id is unique, so
     they're determined and free)."""
     d = load_table(spark, sf_dir, "documents")
+    # both registered consumers pass with_meta=True so they compose ONE
+    # canonical plan (doc_id is unique, so the meta keys are determined
+    # and value-free); with_meta=False would fork a second full scoring
+    # pipeline the CacheManager cannot share
     meta = ["lang", "source"] if with_meta else ["source"]
     base = d.select("doc_id", *meta, words(F.col("text")).alias("_ws"))
     ws = F.col("_ws")
@@ -191,9 +216,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR: score every raw-pool doc (source != 'src0') by its summed
     hashed-bigram log importance ratio against the 'src0' target domain;
     emit the 100 best resampling candidates. See module docstring for
-    the arithmetic and scale shape."""
+    the arithmetic and scale shape.
+
+    Composes the SAME persisted with_meta=True scored relation as
+    round-8's ``dsir_select_topp`` (its RUN_AFTER follower), so the
+    scoring pipeline runs once for the pair; the projection here drops
+    the meta keys without touching the per-doc sums."""
     return (
-        dsir_scored_docs(spark, sf_dir)
+        _dsir_scored_shared(spark, sf_dir)
         .select("doc_id", "n_bigrams", "weight_nano")
         .orderBy(F.col("weight_nano").desc(), "doc_id")
         .limit(100)

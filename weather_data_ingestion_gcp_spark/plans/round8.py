@@ -64,7 +64,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import persist_tracked
 from .registry import _sql_hex4_to_int, register
-from .round7 import _DSIR_B, _DSIR_TARGET, dsir_scored_docs
+from .round7 import _DSIR_B, _DSIR_TARGET
 
 #: keep the top 1/_DSIR_KEEP_DIV of the scored pool (ceil)
 _DSIR_KEEP_DIV = 10
@@ -202,10 +202,14 @@ def dsir_select_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram, identically on both engines) and report the kept-vs-pool
     composition per (lang, source) in exact ppm. See module docstring
     for the rank's scale shape."""
-    doc = persist_tracked(
-        dsir_scored_docs(spark, sf_dir, with_meta=True).select(
-            "doc_id", "lang", "source", "weight_nano"
-        )
+    # compose the session-shared scored relation (one cache entry with
+    # dsir_importance_weights, its RUN_AFTER anchor); the projection is
+    # a cheap scan of the cached base, so no second persist needed even
+    # though the rank below reads it twice
+    from .round7 import _dsir_scored_shared
+
+    doc = _dsir_scored_shared(spark, sf_dir).select(
+        "doc_id", "lang", "source", "weight_nano"
     )
     ranked = global_range_rank(
         doc, F.col("weight_nano").desc(), F.col("doc_id")
