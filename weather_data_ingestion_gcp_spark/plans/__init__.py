@@ -154,7 +154,11 @@ RUN_AFTER = {
     # both compose _dsir_scored_shared (round7) — one session-persisted
     # scored relation; the follower's scoring pipeline is a cache hit
     "dsir_select_topp": "dsir_importance_weights",
-    # both compose the char-pair/merge relations of the BPE learner
+    # learner + encoder compose word_freq_shared (round3) — one
+    # session-persisted word-frequency relation; anchoring both on the
+    # char-pair entry keeps the flat-anchor rule while making the two
+    # sharers adjacent to EACH OTHER (cpc itself is a different pipeline
+    # over the same documents scan — locality only)
     "bpe_learn_merges": "bpe_char_pair_counts",
     "bpe_apply_encode": "bpe_char_pair_counts",
     # shares the persisted winnow fingerprint-array relation (r4 verdict:

@@ -601,6 +601,33 @@ def _bpe_oracle(n_rounds: int) -> str:
     return "WITH " + ",\n    ".join(parts) + f"\n    {unions}\n    ORDER BY merge_rank"
 
 
+def word_freq_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus word-frequency relation (w, n), session-persisted and
+    memoized per (session, sf dir) — one cache entry feeding
+    ``bpe_learn_merges`` and its RUN_AFTER-adjacent ``bpe_apply_encode``
+    (round3b), which otherwise each re-run the documents scan + explode
+    + groupBy (the learner's internal loop cache is built FROM this and
+    released at return, so nothing else survives across the pair).
+    O(vocabulary) rows — bounded far below corpus size at any scale."""
+    from ..operators.dedup import persist_tracked
+
+    memo: dict[str, DataFrame] | None = getattr(spark, "_graft_wfreq_memo", None)
+    if memo is None:
+        memo = {}
+        setattr(spark, "_graft_wfreq_memo", memo)
+    hit = memo.get(str(sf_dir))
+    if hit is not None:
+        return hit
+    df = persist_tracked(
+        _docs_words(spark, sf_dir)
+        .select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    memo[str(sf_dir)] = df
+    return df
+
+
 @register("bpe_learn_merges", oracle=_bpe_oracle(_BPE_ROUNDS))
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 5 BPE merges over the corpus word-frequency table — the
@@ -609,12 +636,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame-side on the vocabulary-sized relation)."""
     from ..operators import bpe
 
-    wx = (
-        _docs_words(spark, sf_dir)
-        .select(F.explode("ws").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    wx = word_freq_shared(spark, sf_dir)
     return bpe.bpe_learn_merges(wx, "w", "n", n_merges=_BPE_ROUNDS).orderBy(
         "merge_rank"
     )

@@ -1786,14 +1786,11 @@ def _bpe_apply_oracle(rounds: int, k: int = 20) -> str:
 @register("bpe_apply_encode", oracle=_bpe_apply_oracle(5))
 def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
-    from .round3 import _docs_words
+    from .round3 import word_freq_shared
 
-    wx = (
-        _docs_words(spark, sf_dir)
-        .select(F.explode("ws").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    # the session-shared word-frequency relation (one cache entry with
+    # bpe_learn_merges, this entry's RUN_AFTER-adjacent predecessor)
+    wx = word_freq_shared(spark, sf_dir)
     merges = bpe.bpe_learn_merges(wx, "w", "n", n_merges=5).collect()  # O(model)
     enc = wx.select("w", "n", bpe.spell(F.col("w")).alias("seq"))
     for m in sorted(merges, key=lambda r: r["merge_rank"]):
