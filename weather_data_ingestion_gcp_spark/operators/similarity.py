@@ -294,14 +294,27 @@ def rp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "hp",
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane (sign) LSH: candidates are
     pairs sharing ANY signature band; exact cosine ranks them. The
     candidate step is an equi-join on (band, bsig) — at scale the corpus is
     bucketed by band signature so a query touches only colliding buckets,
     the same access pattern as the MinHash-LSH dedup path.
+
+    ``corpus_bands``: optionally a precomputed (id, band, bsig) relation
+    for the corpus (a persisted ANN index shared across queries — what a
+    real deployment maintains instead of re-signing the corpus per
+    lookup). Must come from :func:`random_hyperplane_bands` with the
+    SAME band parameters.
     """
-    cb = random_hyperplane_bands(corpus, id_col, vec_col, n_bits, band_bits, dim, seed)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else random_hyperplane_bands(
+            corpus, id_col, vec_col, n_bits, band_bits, dim, seed
+        )
+    )
     qb = random_hyperplane_bands(queries, id_col, vec_col, n_bits, band_bits, dim, seed)
     pairs = (
         qb.withColumnRenamed(id_col, "q_id")
@@ -563,6 +576,7 @@ def semantic_dedup_prune(
     dim: int = 64,
     seed: str = "hp",
     max_bucket_size: int | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """SemDedup-style semantic pruning (Abbas et al. '23, arXiv:2303.09540):
     drop any vector with a semantically-near LOWER-ID neighbor, keeping the
@@ -592,7 +606,13 @@ def semantic_dedup_prune(
     where the quadratic would bite; cross-sub near-dups are the
     documented recall trade (a greedy keep-first dedup tolerates it).
     """
-    bands = random_hyperplane_bands(emb, id_col, vec_col, n_bits, band_bits, dim, seed)
+    # ``bands``: optionally the same precomputed persisted (id, band,
+    # bsig) relation rp_lsh_topk accepts — one sign-LSH index serves
+    # both the ANN lookups and this prune
+    if bands is None:
+        bands = random_hyperplane_bands(
+            emb, id_col, vec_col, n_bits, band_bits, dim, seed
+        )
     if max_bucket_size is not None:
         counts = bands.groupBy("band", "bsig").agg(
             F.count(F.lit(1)).alias("_bn")

@@ -148,8 +148,9 @@ RUN_AFTER = {
     # (_sample_pct=100), so adjacency restores the cache hits.
     "decontaminate_test_split": "dedup_minhash_lsh",
     "lsh_recall_contract_sampled": "dedup_minhash_lsh",
-    # shares random_hyperplane_bands(16 bits, 4 bands) over the same
-    # embeddings relation (in-suite 3.4 s r9 -> 30.6 s r10 at tail)
+    # both compose emb_bands_shared (llm_ops) — one session-persisted
+    # sign-LSH band index; the follower's Arrow signature UDF pass is a
+    # cache hit (in-suite 3.4 s r9 -> 30.6 s r10 when scattered to tail)
     "dedup_semantic_prune": "similarity_ann_rp_lsh",
     # both compose _dsir_scored_shared (round7) — one session-persisted
     # scored relation; the follower's scoring pipeline is a cache hit

@@ -724,12 +724,18 @@ def _semantic_dedup_oracle(
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup over the embeddings table: kept flag + neighborhood size
     per vector (see operators.similarity.semantic_dedup_prune; bucket
-    cap rationale at _SEM_CAP)."""
+    cap rationale at _SEM_CAP). Composes the session-shared sign-LSH
+    band index (one cache entry with similarity_ann_rp_lsh, this
+    entry's RUN_AFTER anchor)."""
     from ..operators import similarity
+    from .llm_ops import emb_bands_shared
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup_prune(
-        emb, tau=_SEM_TAU, max_bucket_size=_SEM_CAP
+        emb,
+        tau=_SEM_TAU,
+        max_bucket_size=_SEM_CAP,
+        bands=emb_bands_shared(spark, sf_dir),
     ).orderBy("vec_id")
 
 
