@@ -137,15 +137,17 @@ RUN_AFTER = {
     "minhash_estimate_contract": "dedup_minhash_lsh",
     "lsh_recall_contract": "dedup_minhash_lsh",
     "ppjoin_prefix_similarity": "dedup_minhash_lsh",
-    # r10 bench finding: the window rotation scattered these four family
+    # r10 bench finding: the window rotation scattered these family
     # members 60-100 suite positions from their relation builders, and
     # each re-paid its full cold build late in the session where the
     # accumulated storage region turns the rebuild into eviction thrash
-    # (lsh_recall_contract_sampled: 2.9 s in-suite r9 -> 42.7 s r10,
-    # cold-alone 13.2 s, isolated-warm 1.3 s). test_split runs the same
-    # trigram-shingle -> minhash -> verify pipeline as the block;
-    # sampled's pipelines reduce to the full-corpus plans at driver SFs
-    # (_sample_pct=100), so adjacency restores the cache hits.
+    # (lsh_recall_contract_sampled: 2.9 s in-suite r9 -> 42.7 s r10).
+    # test_split composes the block's persisted trigram-shingle /
+    # signature plans verbatim (same 8/2/3 params) — CacheManager hits.
+    # The SAMPLED contract's plans sit atop its 20% hash-filtered docs,
+    # so nothing CacheManager-shares; its adjacency buys locality only
+    # (documents page cache + the block's JVM-warm codegen), which is
+    # what its r9 in-suite 2.9 s vs scattered 42.7 s measured.
     "decontaminate_test_split": "dedup_minhash_lsh",
     "lsh_recall_contract_sampled": "dedup_minhash_lsh",
     # both compose emb_bands_shared (llm_ops) — one session-persisted
