@@ -311,6 +311,27 @@ def test_multimodal_udf_payload_is_self_contained(tmp_path):
     assert out.stdout.strip() == "(3, 2, 4, 'png')"
 
 
+def test_pickle_by_value_registry_is_bounded():
+    """cloudpickle's by-value registration is process-global state: every
+    dump that references anything from a registered module inlines it.
+    Only the tiny pure-parser module may be registered — never the full
+    multimodal module (whose namespace imports pandas/pyspark), and never
+    anything else from the package (a test module registering itself,
+    tests/test_bigquery_binding.py, is test-process-local and fine)."""
+    from pyspark import cloudpickle
+
+    registered = {
+        m if isinstance(m, str) else m.__name__
+        for m in cloudpickle.list_registry_pickle_by_value()
+    }
+    pkg_registered = {
+        n for n in registered if n.startswith("weather_data_ingestion_gcp_spark")
+    }
+    assert pkg_registered == {
+        "weather_data_ingestion_gcp_spark.operators._mm_parsers"
+    }
+
+
 def test_scalar_function_helpers(spark):
     from weather_data_ingestion_gcp_spark.functions import (
         filename_cleanup,

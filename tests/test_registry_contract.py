@@ -234,7 +234,7 @@ def test_run_after_graph_is_flat_and_resolvable():
             # post-window prefix (ordered by anchor position); require
             # only that nothing NON-follower separates them from the
             # boundary — two window anchors' groups legally queue
-            for between in order[50 : pos[follower]]:
+            for between in order[len(DRIVER_WINDOW) : pos[follower]]:
                 assert RUN_AFTER.get(between) in window, (
                     f"{between} separates {follower} from the window "
                     f"boundary (anchor {anchor} is inside the window)"

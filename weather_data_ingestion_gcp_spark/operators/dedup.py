@@ -31,12 +31,22 @@ from pyspark.sql import functions as F
 #: release explicitly instead of leaning on LRU block eviction.
 _SHINGLE_CACHE: list[DataFrame] = []
 
+#: Session-attached memo dicts handed out by session_memo_persist. Memo
+#: values are persist_tracked handles, so a release_shingle_caches() that
+#: unpersisted them but left the memos populated would silently hand
+#: later callers unpersisted DataFrames — the documented session
+#: persistence never restored (round-10 ADVICE). Registering every memo
+#: here lets release clear them in the same sweep.
+_SESSION_MEMOS: list[dict] = []
+
 
 def release_shingle_caches(blocking: bool = False) -> int:
     """Unpersist every shingle relation cached by
     ``minhash_near_duplicates`` and return how many were released. Call
     after a dedup block completes in a long-running session (the bench
-    harness does, once, after the suite)."""
+    harness does, once, after the suite). Also invalidates every
+    ``session_memo_persist`` memo, so the next call rebuilds + re-persists
+    instead of returning a stale unpersisted handle."""
     n = 0
     for cached in _SHINGLE_CACHE:
         try:
@@ -45,6 +55,8 @@ def release_shingle_caches(blocking: bool = False) -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     _SHINGLE_CACHE.clear()
+    for memo in _SESSION_MEMOS:
+        memo.clear()
     return n
 
 
@@ -449,6 +461,32 @@ def persist_tracked(df: DataFrame, big: bool = False) -> DataFrame:
     )
     _SHINGLE_CACHE.append(out)
     return out
+
+
+def session_memo_persist(spark, key: str, sf_dir: str, builder, big: bool = False) -> DataFrame:
+    """Session-lifetime persisted relation, built at most once per
+    (session, key, sf dir): the shared-relation discipline behind the
+    RUN_AFTER adjacencies (one word-frequency table feeding both BPE
+    entries, one sign-LSH band index feeding ANN lookup + SemDedup, one
+    DSIR-scored relation feeding weights + top-p). ``builder`` is a
+    zero-arg callable returning the DataFrame to persist; storage level
+    per ``persist_tracked``. The memo dict rides on the SparkSession (a
+    new session naturally starts cold) and is registered for
+    invalidation by ``release_shingle_caches`` — round 10 grew three
+    copies of this getattr/setattr boilerplate, each inventing its own
+    session attribute and none invalidated on release."""
+    memo: dict | None = getattr(spark, "_graft_session_memo", None)
+    if memo is None:
+        memo = {}
+        setattr(spark, "_graft_session_memo", memo)
+        _SESSION_MEMOS.append(memo)
+    k = (key, str(sf_dir))
+    hit = memo.get(k)
+    if hit is not None:
+        return hit
+    df = persist_tracked(builder(), big=big)
+    memo[k] = df
+    return df
 
 
 def cache_pairs_frame(pairs: DataFrame) -> DataFrame:

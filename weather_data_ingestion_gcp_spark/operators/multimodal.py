@@ -19,110 +19,35 @@ executor memory.
 from __future__ import annotations
 
 import struct
-import sys
 from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# The mapInPandas closures below are pickled by value (they are nested
-# functions), but they call module-level helpers (_parse_image_header,
-# _decode_image_bytes, _parse_wav_header) which cloudpickle serializes by
-# REFERENCE — so a Python worker whose sys.path lacks this repo (any
-# executor the package was not shipped to; measured: a driver process
-# launched from another cwd) dies with ModuleNotFoundError on the first
-# decode task. Registering the module pickles those helpers by value too:
-# the UDF payload becomes self-contained stdlib-only bytecode, no worker-
-# side import of this package required. The helpers are small pure
-# functions, so the per-UDF payload cost is a few KB, once per task launch.
-_cloudpickle.register_pickle_by_value(sys.modules[__name__])
+# The parser helpers the mapInPandas closures call live in _mm_parsers,
+# a module registered with cloudpickle for by-value pickling: the UDF
+# payload is self-contained stdlib-only bytecode, so a Python worker
+# whose sys.path lacks this repo still runs the decode tasks. They are
+# re-imported here (not just used) because they ARE this module's public
+# parsing surface — tests and downstream callers address them as
+# multimodal._parse_image_header etc. Keeping the registered module to
+# the three pure parsers bounds cloudpickle's process-global by-value
+# state to a few KB of stateless bytecode (round-10 registered THIS
+# module, leaking the whole pandas/pyspark-importing namespace into any
+# pickle that touched it).
+from ._mm_parsers import (  # noqa: F401  (re-exported parsing surface)
+    _PNG_CHANNELS,
+    _decode_image_bytes,
+    _parse_image_header,
+    _parse_wav_header,
+)
 
 #: Output schema of decode_metadata — stable contract for downstream ops.
 DECODE_META_SCHEMA = (
     "doc_id bigint, byte_len bigint, width int, height int, channels int, format string"
 )
-
-#: PNG color type -> sample count (PNG spec, IHDR color-type field).
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-
-
-def _parse_image_header(p: bytes) -> tuple[int, int, int, str]:
-    """(width, height, channels, format) parsed from real container bytes.
-
-    Pure-bytes, dependency-free readers for the four ubiquitous formats —
-    all per their public specs:
-
-    - PNG: 8-byte signature, then the IHDR chunk at a fixed offset —
-      width/height are big-endian u32 at bytes 16/20, color type at 25.
-    - JPEG: walk the marker stream to the first SOF frame header
-      (0xC0–0xCF minus DHT/JPG/DAC); height/width are big-endian u16 at
-      +5/+7 inside it, component count at +9.
-    - GIF: 6-byte version signature then little-endian u16 logical-screen
-      width/height; palette formats decode to RGB (3 channels).
-    - BMP: 'BM' + BITMAPINFOHEADER — little-endian i32 width/height at
-      18/22, bits-per-pixel at 28 (height may be negative = top-down).
-
-    Raises ``ValueError`` on anything else — the caller surfaces it as a
-    per-row decode error, the honest behavior for corrupt media at scale.
-    """
-    if len(p) >= 26 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
-        w, h = struct.unpack(">II", p[16:24])
-        color_type = p[25]
-        return w, h, _PNG_CHANNELS.get(color_type, 3), "png"
-    if len(p) >= 4 and p[:2] == b"\xff\xd8":
-        i = 2
-        while i + 9 < len(p):
-            if p[i] != 0xFF:
-                i += 1
-                continue
-            marker = p[i + 1]
-            if marker == 0xFF:  # legal fill/padding byte before a marker
-                i += 1
-                continue
-            if marker == 0xD9:  # EOI — end of image, no SOF found
-                break
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone markers carry no length
-                continue
-            seg_len = struct.unpack(">H", p[i + 2 : i + 4])[0]
-            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h, w = struct.unpack(">HH", p[i + 5 : i + 9])
-                return w, h, p[i + 9], "jpeg"
-            i += 2 + seg_len
-        raise ValueError("jpeg: no SOF frame header found")
-    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = struct.unpack("<HH", p[6:10])
-        return w, h, 3, "gif"
-    if len(p) >= 30 and p[:2] == b"BM":
-        w, h = struct.unpack("<ii", p[18:26])
-        bpp = struct.unpack("<H", p[28:30])[0]
-        return w, abs(h), max(1, bpp // 8), "bmp"
-    raise ValueError("unsupported or corrupt image container")
-
-
-def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, int, str]:
-    """(width, height, channels, format) for one payload.
-
-    Real path: Pillow when available (full decode), else the pure-bytes
-    header parse above — works on genuine PNG/JPEG/GIF/BMP files with no
-    image library in the container. Fake path: deterministic in payload
-    length, mirrored arithmetic in the DuckDB oracles.
-    """
-    if fake:
-        n = len(payload)
-        return (n % 640 + 1, (n * 7) % 480 + 1, 3, "fake-rgb")
-    try:
-        import io
-
-        from PIL import Image  # optional; not in this container
-
-        with Image.open(io.BytesIO(payload)) as im:
-            return (im.width, im.height, len(im.getbands()), im.format.lower())
-    except ImportError:
-        return _parse_image_header(bytes(payload))
 
 
 def with_binary_payload(df: DataFrame, src_col: str, id_col: str) -> DataFrame:
@@ -244,40 +169,6 @@ AUDIO_META_SCHEMA = (
     "doc_id bigint, byte_len bigint, sample_rate int, channels int, "
     "bits_per_sample int, n_samples bigint, duration_ms bigint, format string"
 )
-
-
-def _parse_wav_header(p: bytes) -> tuple[int, int, int, int, int, str]:
-    """(sample_rate, channels, bits, n_samples, duration_ms, format) from
-    real RIFF/WAVE bytes, per the public WAVE spec: 'RIFF' + size +
-    'WAVE', then a chunk walk — 'fmt ' carries channels/rate/bits at
-    fixed little-endian offsets, 'data''s size gives the sample count.
-    Chunk sizes pad to even offsets (RIFF rule). Raises ValueError on
-    anything else — corrupt media surfaces per-row, as with images."""
-    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE container")
-    i = 12
-    fmt = None
-    data_len = None
-    while i + 8 <= len(p):
-        cid = p[i : i + 4]
-        size = struct.unpack("<I", p[i + 4 : i + 8])[0]
-        body = p[i + 8 : i + 8 + size]
-        if cid == b"fmt " and len(body) >= 16:
-            channels = struct.unpack("<H", body[2:4])[0]
-            rate = struct.unpack("<I", body[4:8])[0]
-            bits = struct.unpack("<H", body[14:16])[0]
-            fmt = (rate, channels, bits)
-        elif cid == b"data":
-            data_len = size
-        i += 8 + size + (size & 1)  # chunks pad to even offsets
-    if fmt is None or data_len is None:
-        raise ValueError("wav: missing fmt or data chunk")
-    rate, channels, bits = fmt
-    if rate <= 0 or channels <= 0 or bits <= 0:
-        raise ValueError("wav: degenerate fmt chunk")
-    n_samples = data_len // (channels * max(1, bits // 8))
-    duration_ms = (n_samples * 1000) // rate
-    return rate, channels, bits, n_samples, duration_ms, "wav"
 
 
 def audio_metadata(media: DataFrame) -> DataFrame:

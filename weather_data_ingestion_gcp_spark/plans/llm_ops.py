@@ -720,21 +720,15 @@ def emb_bands_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow signature UDF over the full table. This is what a real
     deployment maintains: a persisted ANN index consulted by every
     lookup, not re-signed per query. O(corpus x 4 bands) narrow rows."""
-    from ..operators.dedup import persist_tracked
+    from ..operators.dedup import session_memo_persist
     from ..operators.similarity import random_hyperplane_bands
 
-    memo: dict[str, DataFrame] | None = getattr(spark, "_graft_bands_memo", None)
-    if memo is None:
-        memo = {}
-        setattr(spark, "_graft_bands_memo", memo)
-    hit = memo.get(str(sf_dir))
-    if hit is not None:
-        return hit
-    df = persist_tracked(
-        random_hyperplane_bands(load_table(spark, sf_dir, "embeddings"))
+    return session_memo_persist(
+        spark,
+        "emb_bands",
+        sf_dir,
+        lambda: random_hyperplane_bands(load_table(spark, sf_dir, "embeddings")),
     )
-    memo[str(sf_dir)] = df
-    return df
 
 
 @register("similarity_ann_rp_lsh", oracle=_rp_lsh_oracle())

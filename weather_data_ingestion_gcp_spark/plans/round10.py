@@ -4,12 +4,14 @@ streaming_engagement_sink_equiv makes the foreachBatch engagement sink
 (streaming/engagement.py) driver-visible: the sink is a non-SQL surface
 (stateful multi-commit table maintenance), so the entry registers
 WITHOUT an oracle — the driver records the weaker rows-only check — but
-the returned frame carries its own equivalence verdict: every profile
+the returned frame ENFORCES its own equivalence verdict: every profile
 row is compared against the batch-grain answer computed by the same
 operators/temporal.daily_engagement over the identical presence
-relation, and a disagreement or a day present on only one side would
-flip ``agrees_with_batch`` to false (and a missing day changes the row
-count the driver pins).
+relation, and a disagreement or a day present on only one side raises
+at execution (raise_error), turning the driver's rows-only row into err
+instead of a green frame full of false verdicts (round-10 VERDICT
+"What's wrong" #1; a missing day additionally changes the row count the
+driver pins).
 """
 
 from __future__ import annotations
@@ -105,6 +107,19 @@ def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("wau").alias("_bw"),
         F.col("stickiness").alias("_bs"),
     )
+    agrees = (
+        F.col("dau").eqNullSafe(F.col("_bd"))
+        & F.col("wau").eqNullSafe(F.col("_bw"))
+        & F.col("stickiness").eqNullSafe(F.col("_bs"))
+    )
+    # The driver records only the rows-only check for this oracle-less
+    # entry (rows > 0), so a verdict COLUMN cannot fail it — if the sink
+    # ever drifted, every row would flip to false and the driver would
+    # stay green (round-10 VERDICT "What's wrong" #1). Enforce instead of
+    # report: any disagreeing day raises at execution (CaseWhen evaluates
+    # branches lazily, so raise_error fires only on drift), turning the
+    # driver's row into err. The column stays in the schema — all-true on
+    # every surviving run — so the row count and shape are unchanged.
     return (
         prof.join(b, "d", "full")
         .select(
@@ -112,11 +127,19 @@ def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFra
             "dau",
             "wau",
             "stickiness",
-            (
-                F.col("dau").eqNullSafe(F.col("_bd"))
-                & F.col("wau").eqNullSafe(F.col("_bw"))
-                & F.col("stickiness").eqNullSafe(F.col("_bs"))
-            ).alias("agrees_with_batch"),
+            F.when(agrees, F.lit(True))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "engagement sink drifted from the batch-grain "
+                            "answer on day "
+                        ),
+                        F.col("d").cast("string"),
+                    )
+                )
+            )
+            .alias("agrees_with_batch"),
         )
         .orderBy("d")
     )

@@ -609,23 +609,19 @@ def word_freq_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     + groupBy (the learner's internal loop cache is built FROM this and
     released at return, so nothing else survives across the pair).
     O(vocabulary) rows — bounded far below corpus size at any scale."""
-    from ..operators.dedup import persist_tracked
+    from ..operators.dedup import session_memo_persist
 
-    memo: dict[str, DataFrame] | None = getattr(spark, "_graft_wfreq_memo", None)
-    if memo is None:
-        memo = {}
-        setattr(spark, "_graft_wfreq_memo", memo)
-    hit = memo.get(str(sf_dir))
-    if hit is not None:
-        return hit
-    df = persist_tracked(
-        _docs_words(spark, sf_dir)
-        .select(F.explode("ws").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
+    return session_memo_persist(
+        spark,
+        "word_freq",
+        sf_dir,
+        lambda: (
+            _docs_words(spark, sf_dir)
+            .select(F.explode("ws").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
     )
-    memo[str(sf_dir)] = df
-    return df
 
 
 @register("bpe_learn_merges", oracle=_bpe_oracle(_BPE_ROUNDS))

@@ -126,18 +126,14 @@ def _dsir_scored_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     follower), the repo-wide shared-relation discipline. O(raw-pool
     docs) x 5 narrow columns — bounded far below corpus size, safe to
     persist at any scale."""
-    from ..operators.dedup import persist_tracked
+    from ..operators.dedup import session_memo_persist
 
-    memo: dict[str, DataFrame] | None = getattr(spark, "_graft_dsir_memo", None)
-    if memo is None:
-        memo = {}
-        setattr(spark, "_graft_dsir_memo", memo)
-    hit = memo.get(str(sf_dir))
-    if hit is not None:
-        return hit
-    df = persist_tracked(dsir_scored_docs(spark, sf_dir, with_meta=True))
-    memo[str(sf_dir)] = df
-    return df
+    return session_memo_persist(
+        spark,
+        "dsir_scored",
+        sf_dir,
+        lambda: dsir_scored_docs(spark, sf_dir, with_meta=True),
+    )
 
 
 def dsir_scored_docs(
