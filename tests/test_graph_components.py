@@ -43,14 +43,18 @@ def test_edge_direction_is_irrelevant(spark):
     assert _cc(spark, [1, 2], [(1, 2)]) == {1: 1, 2: 1}
 
 
-def _cc_star(spark, node_ids, edge_pairs):
+def _cc_star(spark, node_ids, edge_pairs, **kw):
     nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id BIGINT")
     edges = spark.createDataFrame(
         [(a, b) for a, b in edge_pairs] or [(None, None)], "id_a BIGINT, id_b BIGINT"
     )
     if not edge_pairs:
         edges = edges.filter("id_a IS NOT NULL")
-    out = connected_components_star(nodes, edges)
+    # small_graph_edges=0 forces the distributed star rounds — these tests
+    # exist to exercise the contraction algorithm, and every fixture here
+    # is far below the adaptive union-find cap
+    kw.setdefault("small_graph_edges", 0)
+    out = connected_components_star(nodes, edges, **kw)
     return {r.doc_id: r.component for r in out.collect()}
 
 
@@ -81,7 +85,9 @@ def test_star_matches_label_propagation_on_random_graph(spark):
     }
     star = {
         r.doc_id: r.component
-        for r in connected_components_star(nodes, edges_df).collect()
+        for r in connected_components_star(
+            nodes, edges_df, small_graph_edges=0
+        ).collect()
     }
     assert star == lp
 
@@ -89,6 +95,22 @@ def test_star_matches_label_propagation_on_random_graph(spark):
 def test_star_no_edges_and_direction_irrelevant(spark):
     assert _cc_star(spark, [5, 6, 7], []) == {5: 5, 6: 6, 7: 7}
     assert _cc_star(spark, [1, 2], [(2, 1)]) == {1: 1, 2: 1}
+
+
+def test_star_small_graph_path_matches_star_rounds(spark):
+    """connected_components_star is size-adaptive (union-find under the
+    cap, star rounds above it) — both paths must produce identical
+    labelings on the same graph, including the chain+clique+isolated mix
+    and the exact-boundary edge count."""
+    node_ids = list(range(20)) + [99]
+    edge_pairs = [(i, i + 1) for i in range(9)] + [(15, 16), (16, 17), (15, 17)]
+    forced_star = _cc_star(spark, node_ids, edge_pairs)  # cap=0 via helper
+    adaptive = _cc_star(spark, node_ids, edge_pairs, small_graph_edges=200_000)
+    at_boundary = _cc_star(
+        spark, node_ids, edge_pairs, small_graph_edges=len(edge_pairs)
+    )
+    assert adaptive == forced_star
+    assert at_boundary == forced_star
 
 
 def test_cluster_stats(spark):

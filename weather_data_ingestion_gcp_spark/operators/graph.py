@@ -80,29 +80,7 @@ def connected_components(
     pairs = deduped.limit(small_graph_edges + 1).collect()
     if len(pairs) <= small_graph_edges:
         deduped.unpersist()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for p in pairs:
-            ra, rb = find(p["src"]), find(p["dst"])
-            if ra != rb:  # union by MIN id -> root IS the component label
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        labeled = [(x, find(x)) for x in parent]
-        spark = nodes.sparkSession
-        active = spark.createDataFrame(
-            labeled or [(None, None)], f"{id_col} long, component long"
-        ).filter(F.col(id_col).isNotNull())
-        return nodes.select(id_col).join(F.broadcast(active), id_col, "left").select(
-            id_col, F.coalesce("component", F.col(id_col)).alias("component")
-        )
+        return _solve_collected(nodes, id_col, pairs, "src", "dst")
     sym = (
         deduped.union(
             deduped.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -148,6 +126,42 @@ def connected_components(
     finally:
         sym.unpersist()
         deduped.unpersist()
+
+
+def _solve_collected(
+    nodes: DataFrame,
+    id_col: str,
+    pairs: list,
+    src_field: str,
+    dst_field: str,
+) -> DataFrame:
+    """Driver union-find over an already-collected (bounded) edge list,
+    broadcast-joined back onto the corpus-size ``nodes`` relation — the
+    shared small-graph path of both connected-components variants. Union
+    by MIN id, so the root IS the component label."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for p in pairs:
+        ra, rb = find(p[src_field]), find(p[dst_field])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labeled = [(x, find(x)) for x in parent]
+    spark = nodes.sparkSession
+    active = spark.createDataFrame(
+        labeled or [(None, None)], f"{id_col} long, component long"
+    ).filter(F.col(id_col).isNotNull())
+    return nodes.select(id_col).join(F.broadcast(active), id_col, "left").select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("component")
+    )
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -196,6 +210,7 @@ def connected_components_star(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 50,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC'14).
@@ -209,6 +224,15 @@ def connected_components_star(
     dedup-shaped graphs (tiny cliques) label propagation's cheaper rounds
     win. Both are shuffle-per-round on the edge list; no data touches the
     driver except a two-scalar convergence fingerprint per round.
+
+    Size-adaptive like :func:`connected_components`: an edge list within
+    ``small_graph_edges`` is already fully collected by the strategy probe
+    and solved with driver union-find (the star rounds' value is bounding
+    ROUNDS on billion-edge graphs; on a graph small enough to collect,
+    each distributed round is pure scheduling floor — measured 5.7 s warm
+    for ~9 rounds over a 5k-edge chain graph at sf0.1 vs ~0.5 s solved
+    directly). Pass ``small_graph_edges=0`` to force the star path (the
+    unit tests exercising contraction do).
     """
     # Each round references the previous edge set ~16 times (two symmetric
     # self-joins per star phase), so plans nest EXPONENTIALLY if lineage is
@@ -225,6 +249,12 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if small_graph_edges > 0:
+        # Same bounded probe-and-fetch as connected_components: <= cap
+        # rows back means the list is the complete canonical edge set.
+        pairs = e.limit(small_graph_edges + 1).collect()
+        if len(pairs) <= small_graph_edges:
+            return _solve_collected(nodes, id_col, pairs, "u", "v")
     prev_fp = None
     for _ in range(max_iter):
         # Lazy checkpoint: the logical plan is truncated to an RDD leaf
