@@ -30,74 +30,81 @@ from . import round10  # noqa: F401,E402
 # re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green),
 # r5 the final 50 never-checked entries (50/50 green -> cumulative 200/200
 # over the round-4 registry).
-# Round 10 window (VERDICT r9 "Next round" #3 — lead with every entry
-# whose code moved THIS round, then retire the r05 vintage; after this
-# window no entry's latest verdict predates r06):
-# 1. Changed-code entries first: dedup_ngram_jaccard (grouped-
-#    intersection verify rewrite in operators/dedup.py), the NEW
-#    capped-pairs graph entries (VERDICT r9 #1), and the NEW
-#    rows-only streaming-engagement-sink equivalence entry (#5).
-# 2. The full 42-entry r05 vintage, grouped by scan family so shared
-#    relations stay hot: documents-scan block, embeddings block,
-#    distinct-sketch block (approx_distinct_users pulled in as an r06
-#    fill so hll_distinct_contract keeps its RUN_AFTER adjacency
-#    inside the window), then the events-scan block.
-# 3. Remaining fills from the r06 vintage: daily_rollup_events (the
-#    flagship), tpch_q1_pricing_summary, window_topk_per_group.
+# Round 11 window (VERDICT r10 "Next round" #3 — lead with every entry
+# whose code moves in r11, then retire the full 41-entry r06 vintage;
+# after this window no entry's latest verdict predates r07):
+# 1. Changed-code entries first: streaming_engagement_sink_equiv (the
+#    equivalence verdict is now raise_error-ENFORCED, VERDICT r10 #2),
+#    dedup_clusters_star (size-adaptive union-find path, #4), the six
+#    session_memo_persist consumers (shared-relation memo extraction +
+#    release invalidation — ADVICE r10; similarity_ann_rp_lsh is left
+#    out for space: its memo path is identical to in-window
+#    dedup_semantic_prune's and its r09 vintage is the youngest of the
+#    six), and the two multimodal mapInPandas entries (the UDF-payload
+#    helpers moved to the by-value-registered _mm_parsers module).
+# 2. The full 41-entry r06 vintage, grouped by scan family so shared
+#    relations stay hot: documents block, embeddings block (after the
+#    embeddings-scanning lead dedup_semantic_prune), events block,
+#    lineitem/orders block.
 # Pinned by tests/test_registry_contract so a new registration cannot
 # silently evict driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    "dedup_ngram_jaccard",
-    "graph_pagerank_neardup_capped",
-    "graph_triangle_counts_capped",
+    # changed-code leads
     "streaming_engagement_sink_equiv",
-    "code_markdown_signals",
-    "doc_unigram_logprob",
-    "doc_bigram_interp_logprob",
-    "gopher_repetition_flags",
-    "quality_repetition_signals",
-    "langid_confusion_matrix",
-    "token_fertility_by_lang",
-    "ngram_bigram_topk",
-    "zipf_slope_by_source",
-    "source_vocab_jaccard",
-    "dup_inflation_by_source",
-    "text_fingerprint",
-    "shard_pack_by_tokens",
-    "packing_padding_efficiency",
-    "dataset_mix_temperature",
-    "multimodal_payload_meta",
-    "label_centroid_cosine",
-    "vector_l2_normalize",
-    "pandas_zscore_normalize",
-    "approx_distinct_users",
-    "hll_distinct_contract",
-    "cumulative_distinct_users",
-    "daily_rollup_events",
-    "asof_join_nearest_views",
-    "attribution_last_touch",
-    "attribution_linear_multi_touch",
-    "conversion_wilson_by_day",
-    "event_anomaly_zscore",
-    "event_transition_matrix",
-    "gapfill_daily_interpolation",
-    "histogram_event_values",
-    "histogram_equidepth_deciles",
-    "journey_top_paths",
-    "rfm_user_segments",
-    "robust_mad_outlier_counts",
-    "winsorized_robust_stats",
-    "incremental_ingest_dedup",
-    "table_checksum_by_flag",
-    "zorder_layout_buckets",
-    "join_skew_profile",
-    "k_anonymity_audit",
-    "dq_expectation_checks",
-    "profile_table_columns",
-    "cube_lang_source_stats",
-    "tpch_q1_pricing_summary",
-    "window_topk_per_group",
+    "dedup_clusters_star",
+    "bpe_learn_merges",
+    "bpe_apply_encode",
+    "dsir_importance_weights",
+    "dsir_select_topp",
+    "multimodal_decode_meta",
+    "multimodal_feature_extract",
+    # r06 vintage: documents scans
+    "good_turing_vocab_coverage",
+    "regression_words_chars",
+    "rouge_overlap_eval",
+    "source_distinctive_terms",
+    "string_function_breadth",
+    "training_shuffle_shards",
+    "mix_apply_temperature",
+    "fuzzy_name_pairs",
+    "array_higher_order_breadth",
+    # embeddings scans (changed-code lead + r06 fill)
+    "dedup_semantic_prune",
+    "rerank_two_stage_topk",
+    # r06 vintage: events scans
+    "clean_restructure_events",
+    "cohort_retention",
+    "ewma_daily_event_value",
+    "event_type_daily_corr",
+    "funnel_view_click_purchase",
+    "incremental_rollup_equivalence",
+    "l_diversity_audit",
+    "skew_adaptive_salted_agg",
+    "skew_salted_join_agg",
+    "sliding_window_agg",
+    "tumbling_window_agg",
+    "window_rank_functions",
+    "approx_distinct_kmv",
+    "approx_percentile_contract",
+    "datetime_function_breadth",
+    "contingency_chi_square",
+    # r06 vintage: lineitem/orders scans
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity_avg",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "join_inner_agg",
+    "join_left_order_counts",
+    "join_full_outer_activity",
+    "join_null_safe_buckets",
+    "case_over_aggregate",
+    "month_partition_rollup",
+    "percentile_stats",
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules
