@@ -15,18 +15,17 @@ them. Run with a query-name argument list to bench a subset.
 
 Full-suite runs self-calibrate: a pinned two-query probe runs isolated at
 suite start/middle/end and the record carries
-``calibration.host_factor`` (median probe / pinned quiet-box expectation)
-plus ``calibrated_s_per_query`` and ``host_noise`` (in-suite > 5x
-isolated-warm) — so a degraded-host record is readable as such without
-cross-referencing BASELINE.md (round-10's 751 s record needed hand
-forensics to attribute to a host storm).
+``calibration.host_factor`` (best probe / pinned quiet-box expectation,
+floored at 1.0) plus ``calibrated_s_per_query`` and ``host_noise``
+(in-suite > 5x isolated-warm) — so a degraded-host record is readable as
+such without cross-referencing BASELINE.md (round-10's 751 s record
+needed hand forensics to attribute to a host storm).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -40,10 +39,16 @@ CALIBRATION_QUERIES = ("daily_rollup_events", "tpch_q6_forecast_revenue")
 
 #: Pinned expected warm probe time at sf0.1 on a quiet round-11 box:
 #: median 0.93 s over 7 isolated runs (range 0.86-1.58, decaying with
-#: JIT warmup; see BASELINE.md round-11 calibration). host_factor =
-#: median(probe_s) / expected_s; a reader divides the suite total by
-#: host_factor to compare across rounds without BASELINE.md prose.
-#: Only meaningful at the default sf0.1.
+#: JIT warmup), and the full-suite protocol's best probe measured 0.93 s
+#: on the same box (see BASELINE.md round-11 calibration). host_factor =
+#: MIN(probes_s) / expected_s — min, not median: sustained host slowness
+#: (the r10 regime's 1.85x same-code A/B) dilates every probe, while
+#: end-of-suite session wear and one-off stalls lift only some probes
+#: (the quiet-box protocol measured [2.6, 0.93, 1.9] purely from JIT +
+#: heap debt; per-query stalls are flagged separately via host_noise).
+#: A reader divides the suite total by host_factor to compare across
+#: rounds without BASELINE.md prose. Only meaningful at the default
+#: sf0.1.
 CALIBRATION_EXPECTED_S = 0.9
 
 
@@ -67,8 +72,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session startup (the driver compares across rounds)
-    QUERIES["daily_rollup_events"](spark, sf_dir).collect()
+    # queries, not session startup (the driver compares across rounds).
+    # Both calibration queries run here so the START probe measures the
+    # host, not tpch_q6's first-ever codegen + lineitem footer read
+    # (measured: 2.6 s start probe vs 0.93 s isolated on a quiet box).
+    for _name in CALIBRATION_QUERIES:
+        QUERIES[_name](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     # GC cadence: PERIODIC, not per-query and not never. Measured at
@@ -144,7 +153,7 @@ def main() -> int:
         sf_val = sf
 
     # Self-calibration (VERDICT r10 #1): the record carries its own host
-    # deflator. host_factor = median isolated probe / pinned expectation
+    # deflator. host_factor = BEST isolated probe / pinned expectation
     # (1.0 = the quiet reference box; the r10 driver run would have
     # recorded ~1.9-3+). calibrated_s_per_query = total / n / factor is
     # the number the 2x acceptance bar applies to — readable straight
@@ -153,16 +162,16 @@ def main() -> int:
     # victims, not plan regressions.
     calibration = None
     if probes_s:
-        probe_med = round(statistics.median(probes_s), 3)
+        probe_best = min(probes_s)
         factor = (
-            round(probe_med / CALIBRATION_EXPECTED_S, 2)
+            round(max(1.0, probe_best / CALIBRATION_EXPECTED_S), 2)
             if sf_val == 0.1
             else None  # expectation pinned at sf0.1 only
         )
         calibration = {
             "probe_queries": list(CALIBRATION_QUERIES),
             "probes_s": probes_s,
-            "probe_s": probe_med,
+            "probe_s": probe_best,
             "expected_s": CALIBRATION_EXPECTED_S if sf_val == 0.1 else None,
             "host_factor": factor,
         }
