@@ -348,6 +348,45 @@ def test_compact_bin_packs_atomically(spark, tmp_path):
     assert t.compact(spark, target_files=1) == v  # already compact: no-op
 
 
+def test_small_append_auto_compacts_to_one_file(spark, tmp_path):
+    """A small staged write must land as ONE parquet file (the Delta
+    auto-compact analog): a 32-partition df otherwise stages dozens of
+    near-empty files per commit and every snapshot read pays per-file
+    overhead. Values, a timestamp column (micros-coerced — a nanos file
+    would throw on a bare Spark read), and row-level delete time travel
+    must all survive the driver-side merge."""
+    t = TxLogTable(str(tmp_path / "t"))
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    ).repartition(16)
+    t.append(df)
+    assert len(t.active_files()) == 1
+    back = t.read(spark)
+    assert back.count() == 1000
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    assert back.agg(F.sum("id")).first()[0] == 499500
+    got_ts = back.filter("id = 3").select("ts").first()[0]
+    assert got_ts == dt.datetime.fromtimestamp(1700000003, dt.timezone.utc).replace(tzinfo=None)
+    # the compacted file participates in row-level ops like any other
+    v = t.delete_where(spark, "k = 0")
+    assert t.read(spark).count() == 1000 - 143
+    assert t.read(spark, version=v - 1).count() == 1000
+
+
+def test_large_append_is_not_compacted(spark, tmp_path, monkeypatch):
+    """Writes over the bound keep their parallel file layout — the
+    compaction is a small-write policy, not a global coalesce (at scale
+    a single-file rewrite would serialize the write path and the bound
+    is also the driver-memory cap for the merge)."""
+    monkeypatch.setattr(TxLogTable, "COMPACT_SMALL_WRITES_BYTES", 1)
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(_df(spark, 1000).repartition(8))
+    assert len(t.active_files()) == 8
+    assert t.read(spark).count() == 1000
+
+
 # ---------------------------------------------------------------------------
 # Model-based property test: random op sequences vs an exact in-memory
 # model. If ANY interleaving of append/delete/merge/compact/checkpoint

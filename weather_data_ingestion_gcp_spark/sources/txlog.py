@@ -69,6 +69,19 @@ def _sql_lit(v) -> str:
 
 
 class TxLogTable:
+    #: Small-write compaction bound (the Delta auto-compact analog): a
+    #: staged write whose parquet parts total at most this many bytes is
+    #: merged driver-side into ONE file before the commit references it.
+    #: A df carrying 32 shuffle partitions otherwise stages 32 near-empty
+    #: files per commit, and every subsequent snapshot read pays
+    #: per-file listing + footer + task overhead (the streaming
+    #: engagement sink commits 6 times over two tables per run; measured
+    #: 96 presence files for ~100k rows at sf0.1). At scale the bound
+    #: makes this a no-op — a large append's bytes exceed it and the
+    #: files land as written — so driver memory for the merge is capped
+    #: by the bound itself. Class attribute so tests can tighten it.
+    COMPACT_SMALL_WRITES_BYTES = 32 << 20
+
     def __init__(self, root: str):
         self.root = root
         self.log_dir = os.path.join(root, "_log")
@@ -210,15 +223,40 @@ class TxLogTable:
     def _write_data_files(self, df: DataFrame) -> list[str]:
         """Write df as new parquet files under a unique staging dir and
         return their table-relative paths. Staged files are invisible
-        until a commit references them (write-then-publish, like Delta)."""
+        until a commit references them (write-then-publish, like Delta).
+
+        Small writes (<= COMPACT_SMALL_WRITES_BYTES total) are compacted
+        to a single file while still staged — timestamps coerced to
+        micros so the compacted file stays readable by a bare Spark scan
+        (nanos parquet throws PARQUET_TYPE_ILLEGAL, the TESTDATA.md
+        gotcha)."""
         stage = f"data-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.root, stage)
         df.write.mode("error").parquet(out_dir)
-        rel = []
-        for name in sorted(os.listdir(out_dir)):
-            if name.endswith(".parquet"):
-                rel.append(f"{stage}/{name}")
-        return rel
+        names = [
+            n for n in sorted(os.listdir(out_dir)) if n.endswith(".parquet")
+        ]
+        paths = [os.path.join(out_dir, n) for n in names]
+        if (
+            len(names) > 1
+            and sum(os.path.getsize(p) for p in paths)
+            <= self.COMPACT_SMALL_WRITES_BYTES
+        ):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            merged = pa.concat_tables([pq.read_table(p) for p in paths])
+            compacted = "part-00000-compacted.parquet"
+            pq.write_table(
+                merged,
+                os.path.join(out_dir, compacted),
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+            for p in paths:
+                os.remove(p)
+            return [f"{stage}/{compacted}"]
+        return [f"{stage}/{n}" for n in names]
 
     def append_with_retry(self, df: DataFrame,
                           txn: tuple[str, int] | None = None,
