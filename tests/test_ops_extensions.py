@@ -661,6 +661,67 @@ def test_ngram_exact_overlap_counts_and_df_cap(spark):
     assert got_capped == {(0, 1): 2}
 
 
+def test_repeated_spans_maximal_and_aligned(spark):
+    """Span semantics: a shared L-token substring must come back as ONE
+    span of token_len L at the right positions in both docs; two shared
+    substrings at different alignments stay separate spans; a match that
+    is long in one doc but split in the other does not merge."""
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token substring
+    rows = [
+        (0, "x1 x2 " + shared + " x3 x4"),       # span at pos 3..12
+        (1, shared + " y1 y2 y3"),               # span at pos 1..10
+        # doc 2 contains the substring TWICE -> two diagonals vs doc 1
+        (2, shared + " z1 z2 " + shared),
+        (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),   # no overlap
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    g = dedup.positioned_shingles(d, "doc_id", "text", n=4)
+    out = dedup.repeated_spans(g, n=4, min_tokens=10, max_gram_occ=20)
+    got = {
+        (r.id_a, r.id_b): sorted(
+            (q.start_a, q.start_b, q.token_len)
+            for q in out.collect()
+            if (q.id_a, q.id_b) == (r.id_a, r.id_b)
+        )
+        for r in out.collect()
+    }
+    # 0-1: one maximal 10-token span, starts 3 (doc0) / 1 (doc1)
+    assert got[(0, 1)] == [(3, 1, 10)]
+    # 1-2: the substring appears twice in doc 2 -> two 10-token spans on
+    # two diagonals (starts 1 and 13 in doc 2), never merged
+    assert got[(1, 2)] == [(1, 1, 10), (1, 13, 10)]
+    # 0-2: same two alignments from doc 0's single copy
+    assert got[(0, 2)] == [(3, 1, 10), (3, 13, 10)]
+    assert not any(3 in pair for pair in got)
+
+
+def test_repeated_spans_occurrence_cap_drops_boilerplate(spark):
+    """The stop-gram guard counts OCCURRENCES corpus-wide: a gram pasted
+    everywhere (boilerplate) is dropped before the self-join, so no
+    span made only of over-cap grams survives."""
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    rows = [(i, boiler) for i in range(6)]  # every gram occurs 6x
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    g = dedup.positioned_shingles(d, "doc_id", "text", n=4)
+    assert dedup.repeated_spans(g, n=4, min_tokens=10, max_gram_occ=5).count() == 0
+    # raising the cap above the occurrence count restores the spans
+    out = dedup.repeated_spans(g, n=4, min_tokens=10, max_gram_occ=6)
+    assert out.count() == 15  # C(6,2) pairs, one full-doc span each
+    assert {r.token_len for r in out.collect()} == {10}
+
+
+def test_positioned_shingles_short_doc_and_positions(spark):
+    d = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b")], "doc_id bigint, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.pos, r.shingle)
+        for r in dedup.positioned_shingles(d, "doc_id", "text", n=4).collect()
+    )
+    # doc 1 is shorter than n -> no rows; doc 0: positions 1 and 2
+    assert got == [(0, 1, "a b c d"), (0, 2, "b c d e")]
+
+
 def test_pack_offsets_contiguous_and_chunk_spans(spark):
     from weather_data_ingestion_gcp_spark.operators import packing
 

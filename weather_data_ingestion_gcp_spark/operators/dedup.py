@@ -821,6 +821,112 @@ def _sub_blocked_jaccard_grouped(
 
 
 # ---------------------------------------------------------------------------
+# maximal repeated spans (exact substring dedup at the word grain)
+# ---------------------------------------------------------------------------
+
+
+def positioned_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Word n-grams WITH their 1-based token position: (doc_id, pos,
+    shingle), one row per occurrence. The distinct-set form
+    (:func:`shingles`) deliberately loses adjacency; span coalescing
+    needs it back — two grams only merge into one span if their
+    positions are consecutive in BOTH documents. Same tokenization
+    (lowercase, whitespace split) and the same pre-materialized split
+    barrier as shingles()."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return base.select(
+        "doc_id", F.posexplode(grams).alias("_p", "shingle")
+    ).select("doc_id", (F.col("_p") + 1).cast("long").alias("pos"), "shingle")
+
+
+def repeated_spans(
+    grams: DataFrame,
+    n: int = 8,
+    min_tokens: int = 12,
+    max_gram_occ: int = 20,
+) -> DataFrame:
+    """Maximal cross-document repeated token spans — exact substring
+    dedup at the word grain (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22; their suffix-array 50-token
+    spans, re-expressed relationally): coalesce runs of position-aligned
+    shared n-grams into maximal spans per (doc pair, alignment
+    diagonal). A repeated substring of L >= n tokens appears as exactly
+    L - n + 1 consecutive matching n-grams on one diagonal, so
+    ``token_len = run + n - 1`` recovers the true span length.
+
+    ``grams``: :func:`positioned_shingles` output. Scale shape:
+    - the self-join key is xxhash64(gram) — 8-byte keys shuffle ~7x
+      less than 8-word strings (64-bit collisions cannot FABRICATE a
+      span: a false span would need min_tokens-n+1 consecutive
+      colliding alignments; the one real risk is a collision inflating
+      a gram's occurrence count past the cap, vanishing at ~n_grams^2 /
+      2^65 and caught by the cross-engine oracle, which joins raw gram
+      strings — swap in a 128-bit hash if a corpus ever trips it);
+    - only grams seen 2..``max_gram_occ`` times corpus-wide enter the
+      self-join: occurrence 1 cannot match across documents (the vast
+      majority of grams — measured ~90%+ — never leave the count
+      aggregate), and the upper cap is the stop-gram guard bounding
+      every gram's fan-out by max_gram_occ^2 regardless of corpus size,
+      the same discipline as ngram_exact_overlap's df cap. Boilerplate
+      (license headers, nav text) is exactly what the cap drops;
+    - islands need ONE window over the matched rows (pos_a -
+      row_number() is constant per consecutive run within a diagonal —
+      positions are unique there, since (doc, pos) identifies an
+      occurrence), never a positions self-join.
+    Returns (id_a, id_b, start_a, start_b, token_len), id_a < id_b.
+    """
+    from pyspark.sql.window import Window
+
+    g = grams.select("doc_id", "pos", F.xxhash64("shingle").alias("h"))
+    kept = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter((F.col("_occ") >= 2) & (F.col("_occ") <= max_gram_occ))
+        .select("h")
+    )
+    # both self-join sides scan this relation; without the persist each
+    # side re-runs tokenize + explode + the repeated-gram semi-join
+    # (.explain showed the whole subtree twice). Post-filter it holds
+    # only REPEATED grams — a small fraction of the corpus — so
+    # MEMORY_AND_DISK (cheap to keep, expensive to recompute: the
+    # recompute is the full tokenize + count pass).
+    g = persist_tracked(g.join(kept, "h", "left_semi"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "h")
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    isl = m.withColumn("_isl", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("id_a", "id_b", "diag", "_isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("long").alias("token_len"),
+        )
+        .filter(F.col("token_len") >= min_tokens)
+        .select("id_a", "id_b", "start_a", "start_b", "token_len")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram contamination overlap
 # ---------------------------------------------------------------------------
 

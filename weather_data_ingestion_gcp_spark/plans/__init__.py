@@ -21,6 +21,7 @@ from . import round6d  # noqa: F401,E402
 from . import round7  # noqa: F401,E402
 from . import round8  # noqa: F401,E402
 from . import round10  # noqa: F401,E402
+from . import round11  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50
@@ -174,6 +175,10 @@ RUN_AFTER = {
     # shares the persisted winnow fingerprint-array relation (r4 verdict:
     # 4.1 s isolated because the relation was rebuilt per invocation)
     "winnow_overlap_pairs": "text_winnow_fingerprints",
+    # the scrub composes the finder's spans plan verbatim, so its
+    # persisted repeated-gram relation (positioned xxhash64 grams,
+    # occurrence-banded) is a CacheManager hit when adjacent
+    "dedup_span_scrub": "dedup_repeated_spans",
 }
 
 
