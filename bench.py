@@ -53,11 +53,22 @@ CALIBRATION_EXPECTED_S = 0.9
 
 
 def _run_calibration_probe(spark, queries, sf_dir: str) -> float:
+    """Min of 3 consecutive probe executions. A single execution is too
+    sensitive to mid-suite heap state: a run whose suite total and
+    host_noise said 'quiet box' still read single-probe samples of
+    1.45-1.74 s vs the 0.84-0.93 s the same box measures repeatedly —
+    and an inflated probe DEFLATES calibrated_s_per_query, the
+    flattering direction. Sustained host slowness dilates all three
+    executions; one-off heap/GC luck does not survive a min."""
     spark._jvm.System.gc()  # measure the probe, not accumulated heap debt
-    t0 = time.time()
-    for name in CALIBRATION_QUERIES:
-        queries[name](spark, sf_dir).toArrow().num_rows
-    return round(time.time() - t0, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        for name in CALIBRATION_QUERIES:
+            queries[name](spark, sf_dir).toArrow().num_rows
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
 
 
 def main() -> int:
