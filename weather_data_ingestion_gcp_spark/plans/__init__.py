@@ -38,11 +38,14 @@ from . import round11  # noqa: F401,E402
 #    equivalence verdict is now raise_error-ENFORCED, VERDICT r10 #2),
 #    dedup_clusters_star (size-adaptive union-find path, #4), the six
 #    session_memo_persist consumers (shared-relation memo extraction +
-#    release invalidation — ADVICE r10; similarity_ann_rp_lsh is left
-#    out for space: its memo path is identical to in-window
-#    dedup_semantic_prune's and its r09 vintage is the youngest of the
-#    six), and the two multimodal mapInPandas entries (the UDF-payload
-#    helpers moved to the by-value-registered _mm_parsers module).
+#    release invalidation — ADVICE r10; one consumer per shared
+#    relation: similarity_ann_rp_lsh, bpe_learn_merges, and
+#    dsir_importance_weights are left out for space because their memo
+#    paths are identical to their in-window sharers'), the two
+#    multimodal mapInPandas entries (the UDF-payload helpers moved to
+#    the by-value-registered _mm_parsers module), and the two NEW
+#    round-11 span-dedup entries, which have no driver verdict at all
+#    yet — strictly scarcer evidence than any old vintage.
 # 2. The full 41-entry r06 vintage, grouped by scan family so shared
 #    relations stay hot: documents block, embeddings block (after the
 #    embeddings-scanning lead dedup_semantic_prune), events block,
@@ -51,12 +54,12 @@ from . import round11  # noqa: F401,E402
 # silently evict driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # changed-code leads
+    # changed-code + new-entry leads
     "streaming_engagement_sink_equiv",
     "dedup_clusters_star",
-    "bpe_learn_merges",
+    "dedup_repeated_spans",
+    "dedup_span_scrub",
     "bpe_apply_encode",
-    "dsir_importance_weights",
     "dsir_select_topp",
     "multimodal_decode_meta",
     "multimodal_feature_extract",
