@@ -52,6 +52,33 @@ def test_rollup_partial_aggregation(spark):
     assert plan.count("Aggregate") >= 2
 
 
+def test_repeated_spans_plan_shape(spark):
+    """The span finder must be an equi-join on the gram hash (a
+    cartesian/nested-loop would be O(n^2) at scale), with a two-phase
+    occurrence aggregate (map-side combine before the shuffle) and
+    exactly one Window for the island coalescing — maximality must
+    never plan a positions self-join."""
+    from weather_data_ingestion_gcp_spark.operators.dedup import (
+        release_shingle_caches,
+    )
+
+    import re
+
+    plan = _formatted(QUERIES["dedup_repeated_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one Window NODE (formatted plans name each node twice: tree + detail)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final occurrence count
+    # the scrub's coverage test is an anti-join keyed on doc_id with the
+    # range as residual — same no-product requirement
+    plan2 = _formatted(QUERIES["dedup_span_scrub"](spark, SF))
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert "LeftAnti" in plan2
+    release_shingle_caches()
+
+
 def test_minhash_no_cartesian(spark):
     """The LSH candidate join must be an equi-join on band_key — a plan
     with a cartesian/nested-loop product would be O(n^2) at scale."""
