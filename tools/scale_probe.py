@@ -78,6 +78,9 @@ PROBE_QUERIES = [
     # rank) and the CMS frequency sketch (bounded 4096-cell broadcast)
     "dsir_select_topp",
     "cms_heavy_hitters",
+    # round-11 entries: the occurrence-banded repeated-span finder (its
+    # first cut measured super-linear exactly here — keep it probed)
+    "dedup_repeated_spans",
 ]
 
 
