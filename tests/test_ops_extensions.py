@@ -710,6 +710,68 @@ def test_repeated_spans_occurrence_cap_drops_boilerplate(spark):
     assert {r.token_len for r in out.collect()} == {10}
 
 
+def _zipf_corpus(n_docs=240, vocab=3000, seed=11):
+    """Realistic-vocabulary fixture (the r9 parked-item prerequisite):
+    Zipf-distributed words over a vocabulary large enough that most
+    word-3-gram shingles are DOCUMENT-UNIQUE — the opposite regime from
+    the 31-word generator corpus where nearly every shingle repeats.
+    ~8% of docs are near-copies (one word edited) so the LSH pipeline
+    has real positives to find."""
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    weights = [1.0 / (i + 1) for i in range(vocab)]
+    docs = []
+    for i in range(n_docs):
+        if i % 12 == 5 and docs:  # near-copy of the previous doc
+            base = docs[-1][1].split()
+            base[rng.randrange(len(base))] = rng.choices(words, weights)[0]
+            docs.append((i, " ".join(base)))
+        else:
+            n = rng.randrange(30, 80)
+            docs.append((i, " ".join(rng.choices(words, weights, k=n))))
+    return docs
+
+
+def test_verify_prune_unique_is_a_semantic_noop(spark):
+    """The unique-shingle verify prune (r9 parked item, landed r11) must
+    return BIT-IDENTICAL verified pairs with and without the prune, on
+    the realistic-vocabulary corpus where it actually removes most of
+    the pairs-x-shingles intermediate (a 31-word-vocabulary corpus
+    keeps ~every shingle and proves nothing)."""
+    d = spark.createDataFrame(_zipf_corpus(), "doc_id bigint, text string")
+    sh = dedup.shingles(d, "doc_id", "text", n=3)
+    wide = dedup.minhash_wide_signatures(sh, num_hashes=8)
+    sizes = wide.select("doc_id", F.col("_n_sh").alias("n"))
+    from weather_data_ingestion_gcp_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+    )
+
+    sig = wide.selectExpr(
+        "doc_id", "stack(8, 0, h0, 1, h1, 2, h2, 3, h3, 4, h4, 5, h5, 6, h6, 7, h7) AS (seed, minhash)"
+    )
+    bands = lsh_band_keys(sig, rows_per_band=2)
+    pairs = lsh_candidate_pairs(bands)
+    rows = lambda df: sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()
+    )
+    plain = rows(dedup.verify_jaccard(pairs, sh, sizes=sizes))
+    pruned = rows(
+        dedup.verify_jaccard(pairs, sh, sizes=sizes, prune_unique=True)
+    )
+    assert plain == pruned
+    assert plain  # the fixture's near-copies produce real candidates
+    # and the full pipeline (prune enabled on the LSH path) agrees too
+    full = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
+        threshold=0.5, cache_shingles=False,
+    )
+    expect = [t for t in plain if t[2] >= 0.5]
+    assert rows(full) == expect
+
+
 def test_positioned_shingles_short_doc_and_positions(spark):
     d = spark.createDataFrame(
         [(0, "a b c d e"), (1, "a b")], "doc_id bigint, text string"

@@ -226,6 +226,7 @@ def verify_jaccard(
     shingle_df: DataFrame,
     sizes: DataFrame | None = None,
     candidate_ids: DataFrame | None = None,
+    prune_unique: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via two shingle equi-joins (set
     sizes from one aggregate; intersection counts from a join on shingle).
@@ -286,6 +287,29 @@ def verify_jaccard(
         hashed = hashed.join(
             candidate_ids.select("doc_id"), "doc_id", "left_semi"
         )
+    # Unique-shingle prune (the repeated_spans ">= 2 occurrences" rule,
+    # r9 parked item landed in r11): a shingle held by exactly ONE doc
+    # in the (candidate-restricted) relation cannot match across any
+    # pair, so dropping it before the joins is a semantic no-op — sizes
+    # come from the UNPRUNED relation, so the union term is exact. What
+    # it buys: the verify cost is the pairs-x-shingles intermediate
+    # (every shingle of id_a per pair, most of which die at the second
+    # join probe on a realistic vocabulary where most shingles are
+    # document-unique); the prune removes them BEFORE that intermediate
+    # exists. What it costs: one partial-aggregated count over the
+    # candidate shingle slice + a semi-join — which is why it is opt-in:
+    # the LSH path (candidate-restricted slice, cheap count) enables it,
+    # dense-candidate callers on this generator's 31-word vocabulary
+    # (where nearly every shingle repeats and the prune keeps ~all rows)
+    # do not. Requires per-doc-distinct shingles (shingles() output).
+    if prune_unique:
+        shared = (
+            hashed.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= 2)
+            .select("shingle")
+        )
+        hashed = hashed.join(shared, "shingle", "left_semi")
     sa = hashed.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = hashed.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
@@ -402,6 +426,7 @@ def verified_pairs_from_wide(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    prune_unique: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs + exact-Jaccard verify, derived from an
     existing ``minhash_wide_signatures`` frame (pass a persisted one to
@@ -429,8 +454,22 @@ def verified_pairs_from_wide(
         .select("doc_id")
         .distinct()
     )
+    # prune_unique is OFF by default: the r9 parked-item hypothesis (a
+    # dense-verify win) does NOT survive measurement on top of the r8
+    # candidate semi-join. Once the shingle side is restricted to
+    # candidate docs, the remaining intermediate is small, and the
+    # prune's counting aggregate is pure added cost in BOTH measured
+    # regimes — this generator's 31-word vocabulary (dedup_minhash_lsh
+    # warm 2.3 s -> 3.8-4.6 s at sf0.1) AND a 20k-doc / 20k-word Zipf
+    # corpus (warm verify 8.2 s without vs 19.8 s with; identical 1667
+    # pairs). Its residual win case is candidate sets with mega
+    # duplicate clusters whose members still carry mostly-unshared
+    # shingles; equivalence for that day is pinned by
+    # tests/test_ops_extensions.py::test_verify_prune_unique_is_a_
+    # semantic_noop on a Zipf fixture.
     return verify_jaccard(
-        pairs, shingle_df, sizes=sizes, candidate_ids=cand_ids
+        pairs, shingle_df, sizes=sizes, candidate_ids=cand_ids,
+        prune_unique=prune_unique,
     ).filter(F.col("jaccard") >= threshold)
 
 
