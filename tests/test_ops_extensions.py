@@ -772,6 +772,39 @@ def test_verify_prune_unique_is_a_semantic_noop(spark):
     assert rows(full) == expect
 
 
+def test_cross_repeated_spans_provenance(spark):
+    """Cross-set spans: a probe doc sharing an L-token run with a corpus
+    doc reports one span with both start positions; matches WITHIN one
+    side never pair; the >= 2 occurrence floor must NOT apply (one
+    occurrence per side is a legitimate leak); the corpus-side cap
+    drops boilerplate."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    probe = spark.createDataFrame(
+        [(0, "p1 p2 " + shared)], "doc_id bigint, text string"
+    )
+    corpus_rows = [(10, shared + " c1 c2"), (11, "c3 c4 c5 c6 c7 c8 c9 c10")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    pg = dedup.positioned_shingles(probe, "doc_id", "text", n=4)
+    cg = dedup.positioned_shingles(corpus, "doc_id", "text", n=4)
+    got = [
+        (r.probe_id, r.corpus_id, r.start_probe, r.start_corpus, r.token_len)
+        for r in dedup.cross_repeated_spans(
+            pg, cg, n=4, min_tokens=10, max_corpus_occ=20
+        ).collect()
+    ]
+    # each shared gram occurs ONCE per side -> still matches (no 2-floor)
+    assert got == [(0, 10, 3, 1, 10)]
+    # boilerplate cap: replicate the corpus doc 6x -> every gram occurs
+    # 6x corpus-side, over a cap of 5 -> no spans survive
+    many = spark.createDataFrame(
+        [(10 + i, shared) for i in range(6)], "doc_id bigint, text string"
+    )
+    cg6 = dedup.positioned_shingles(many, "doc_id", "text", n=4)
+    assert dedup.cross_repeated_spans(
+        pg, cg6, n=4, min_tokens=10, max_corpus_occ=5
+    ).count() == 0
+
+
 def test_positioned_shingles_short_doc_and_positions(spark):
     d = spark.createDataFrame(
         [(0, "a b c d e"), (1, "a b")], "doc_id bigint, text string"

@@ -965,6 +965,62 @@ def repeated_spans(
     )
 
 
+def cross_repeated_spans(
+    probe_grams: DataFrame,
+    corpus_grams: DataFrame,
+    n: int = 8,
+    min_tokens: int = 12,
+    max_corpus_occ: int = 20,
+) -> DataFrame:
+    """Cross-set maximal repeated spans — :func:`repeated_spans` between
+    two DISJOINT relations instead of a self-join: for every (probe doc,
+    corpus doc) pair, the maximal verbatim token spans they share. The
+    contamination-provenance primitive: where whole-doc overlap counts
+    (ngram_exact_overlap) say THAT a test doc leaks, this says WHERE and
+    for HOW LONG, which is what an exclusion report cites.
+
+    Scale shape differs from the self-join case in one way: the >= 2
+    occurrence floor does NOT apply (a gram once in probe + once in
+    corpus is a legitimate match), so only the corpus-side stop-gram cap
+    bounds fan-out (probe-side grams are the small set by construction —
+    a test split, an eval suite). Islands are the same single window per
+    (pair, diagonal)."""
+    from pyspark.sql.window import Window
+
+    pg = probe_grams.select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("pos").alias("pa"),
+        F.xxhash64("shingle").alias("h"),
+    )
+    cg = corpus_grams.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("pos").alias("pb"),
+        F.xxhash64("shingle").alias("h"),
+    )
+    kept = (
+        cg.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= max_corpus_occ)
+        .select("h")
+    )
+    cg = cg.join(kept, "h", "left_semi")
+    m = pg.join(cg, "h").select(
+        "probe_id", "corpus_id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("probe_id", "corpus_id", "diag").orderBy("pa")
+    isl = m.withColumn("_isl", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("probe_id", "corpus_id", "diag", "_isl")
+        .agg(
+            F.min("pa").alias("start_probe"),
+            F.min("pb").alias("start_corpus"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("long").alias("token_len"),
+        )
+        .filter(F.col("token_len") >= min_tokens)
+        .select("probe_id", "corpus_id", "start_probe", "start_corpus", "token_len")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram contamination overlap
 # ---------------------------------------------------------------------------

@@ -206,3 +206,86 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _sql_docid_bucket() -> str:
+    """The doc-id hash-bucket split predicate shared with the other
+    decontamination oracles (llm_ops._SQL_DOCID_BUCKET) — imported
+    lazily to keep this module import-order independent."""
+    from .llm_ops import _SQL_DOCID_BUCKET
+
+    return _SQL_DOCID_BUCKET
+
+
+@register(
+    "decontaminate_span_provenance",
+    oracle=rf"""
+    WITH pg AS ({_SQL_POS_SHINGLES8}),
+    split AS (SELECT doc_id, {_sql_docid_bucket()} AS b FROM documents),
+    te AS (SELECT pg.doc_id AS probe_id, pos AS pa, shingle
+           FROM pg JOIN split USING (doc_id) WHERE split.b < 10),
+    tr0 AS (SELECT pg.doc_id AS corpus_id, pos AS pb, shingle
+            FROM pg JOIN split USING (doc_id) WHERE split.b >= 15),
+    kept AS (SELECT shingle FROM tr0 GROUP BY shingle HAVING COUNT(*) <= 20),
+    tr AS (SELECT tr0.* FROM tr0 JOIN kept USING (shingle)),
+    m AS (SELECT probe_id, corpus_id, pa, pb, pa - pb AS diag
+          FROM te JOIN tr USING (shingle)),
+    isl AS (SELECT *, pa - ROW_NUMBER() OVER (
+                PARTITION BY probe_id, corpus_id, diag ORDER BY pa) AS grp
+            FROM m),
+    spans AS (
+        SELECT probe_id, corpus_id,
+               CAST(MIN(pa) AS BIGINT) AS start_test,
+               CAST(MIN(pb) AS BIGINT) AS start_train,
+               CAST(COUNT(*) + 7 AS BIGINT) AS token_len
+        FROM isl GROUP BY probe_id, corpus_id, diag, grp
+        HAVING COUNT(*) + 7 >= 12),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY token_len DESC, corpus_id, start_test, start_train
+               ) AS rk FROM spans)
+    SELECT probe_id AS test_id, corpus_id AS train_id,
+           start_test, start_train, token_len
+    FROM ranked WHERE rk = 1 ORDER BY test_id
+    """,
+)
+def decontaminate_span_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination provenance (the GPT-3-appendix-style exclusion
+    report, upgraded from counts to SPANS): for every test-split doc
+    sharing a verbatim run of >= 12 tokens with a train-split doc,
+    report the LONGEST such span — which train doc, and where in both
+    texts. Composes the positioned-gram machinery cross-set
+    (operators/dedup.cross_repeated_spans): only the train side carries
+    the stop-gram cap (a gram once-in-test + once-in-train is a
+    legitimate leak), the probe side is the small split by
+    construction, islands are one window per (pair, diagonal), and the
+    per-test argmax is a deterministic ROW_NUMBER pick (token_len DESC,
+    then ids/positions). Same doc-id-hash split as
+    decontaminate_ngram_exact, so the two reports cross-reference."""
+    from ..operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    g = dedup.positioned_shingles(d, "doc_id", "text", n=8)
+    b = hash_bucket(F.col("doc_id"))
+    te = g.join(d.filter(b < 10).select("doc_id"), "doc_id", "left_semi")
+    tr = g.join(d.filter(b >= 15).select("doc_id"), "doc_id", "left_semi")
+    spans = dedup.cross_repeated_spans(
+        te, tr, n=8, min_tokens=12, max_corpus_occ=20
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("token_len").desc(), "corpus_id", "start_probe", "start_corpus"
+    )
+    return (
+        spans.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("probe_id").alias("test_id"),
+            F.col("corpus_id").alias("train_id"),
+            F.col("start_probe").alias("start_test"),
+            F.col("start_corpus").alias("start_train"),
+            "token_len",
+        )
+        .orderBy("test_id")
+    )
