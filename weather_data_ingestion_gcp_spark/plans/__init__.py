@@ -41,11 +41,14 @@ from . import round11  # noqa: F401,E402
 #    release invalidation — ADVICE r10; one consumer per shared
 #    relation: similarity_ann_rp_lsh, bpe_learn_merges, and
 #    dsir_importance_weights are left out for space because their memo
-#    paths are identical to their in-window sharers'), the two
-#    multimodal mapInPandas entries (the UDF-payload helpers moved to
-#    the by-value-registered _mm_parsers module), and the two NEW
-#    round-11 span-dedup entries, which have no driver verdict at all
-#    yet — strictly scarcer evidence than any old vintage.
+#    paths are identical to their in-window sharers'),
+#    multimodal_decode_meta (the one multimodal entry whose UDF calls
+#    the helpers moved to the by-value-registered _mm_parsers module;
+#    feature_extract's featurizer never touches them, so its r07
+#    vintage waits for the r12 retirement), and the three NEW round-11
+#    entries (span finder + scrub + contamination-span provenance),
+#    which have no driver verdict at all yet — strictly scarcer
+#    evidence than any old vintage.
 # 2. The full 41-entry r06 vintage, grouped by scan family so shared
 #    relations stay hot: documents block, embeddings block (after the
 #    embeddings-scanning lead dedup_semantic_prune), events block,
@@ -59,10 +62,10 @@ DRIVER_WINDOW = [
     "dedup_clusters_star",
     "dedup_repeated_spans",
     "dedup_span_scrub",
+    "decontaminate_span_provenance",
     "bpe_apply_encode",
     "dsir_select_topp",
     "multimodal_decode_meta",
-    "multimodal_feature_extract",
     # r06 vintage: documents scans
     "good_turing_vocab_coverage",
     "regression_words_chars",
