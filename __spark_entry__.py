@@ -5,8 +5,10 @@
   weather_data_query.sql:26-55, transplanted onto the events table).
 - ``queries()``: one entry per implemented operator family from
   SURVEY.md section 2 + the training-data-pipeline extensions.
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (omitted only for the
-  genuinely non-SQL-expressible entries -> rows-only driver check).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query — every registered
+  entry carries one as of round 12 (the streaming sink entry's converged
+  output is SQL-expressible; its incremental-vs-batch equivalence leg is
+  additionally raise_error-enforced inside the frame).
 """
 
 from __future__ import annotations

@@ -90,6 +90,18 @@ def main() -> int:
     for _name in CALIBRATION_QUERIES:
         QUERIES[_name](spark, sf_dir).collect()
 
+    def _storage_mb() -> float:
+        """Current cache footprint (memory + disk bytes of every cached
+        block) from the SparkContext status API — sampled after each
+        query so the record carries the suite's PEAK cache pressure
+        (round-11 VERDICT #7: ~6 session-memoized persisted relations +
+        shingle caches live across the suite; a cache-pressure
+        regression should be visible in the JSON the way host noise
+        is)."""
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos) / 1e6
+
+    peak_storage_mb = 0.0
     timings: dict[str, float] = {}
     # GC cadence: PERIODIC, not per-query and not never. Measured at
     # sf0.1 over the 139-query suite (totals vary +-20% with host load):
@@ -123,6 +135,7 @@ def main() -> int:
         # outputs)
         n = fn(spark, sf_dir).toArrow().num_rows
         timings[name] = round(time.time() - t0, 3)
+        peak_storage_mb = max(peak_storage_mb, _storage_mb())
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
         if gc_every and (i + 1) % gc_every == 0:
             spark._jvm.System.gc()
@@ -185,6 +198,12 @@ def main() -> int:
             "probe_s": probe_best,
             "expected_s": CALIBRATION_EXPECTED_S if sf_val == 0.1 else None,
             "host_factor": factor,
+            # expected_s is pinned to ONE box; on any other host the
+            # deflator is computed against an expectation that does not
+            # hold there (and the 1.0 floor hides faster hosts). The raw
+            # probes_s above are the primary cross-host artifact.
+            "reference_box": "round-11 quiet box (expected_s pinned there;"
+            " treat host_factor as same-box-only)",
         }
     host_noise = sorted(
         n
@@ -205,6 +224,7 @@ def main() -> int:
         "calibration": calibration,
         "host_noise": host_noise,
         "calibrated_s_per_query": cal_spq,
+        "peak_storage_mb": round(peak_storage_mb, 1),
         "sf": sf_val,
     }
     print(json.dumps(full))
@@ -226,6 +246,7 @@ def main() -> int:
                 "calibration": calibration,
                 "host_noise": host_noise,
                 "calibrated_s_per_query": cal_spq,
+                "peak_storage_mb": round(peak_storage_mb, 1),
                 "sf": sf_val,
                 "n_queries": len(timings),
             }

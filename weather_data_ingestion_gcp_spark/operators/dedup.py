@@ -21,6 +21,8 @@ hex->int conversion.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,13 +33,17 @@ from pyspark.sql import functions as F
 #: release explicitly instead of leaning on LRU block eviction.
 _SHINGLE_CACHE: list[DataFrame] = []
 
-#: Session-attached memo dicts handed out by session_memo_persist. Memo
+#: Sessions holding a memo dict handed out by session_memo_persist. Memo
 #: values are persist_tracked handles, so a release_shingle_caches() that
 #: unpersisted them but left the memos populated would silently hand
 #: later callers unpersisted DataFrames — the documented session
-#: persistence never restored (round-10 ADVICE). Registering every memo
-#: here lets release clear them in the same sweep.
-_SESSION_MEMOS: list[dict] = []
+#: persistence never restored (round-10 ADVICE). A WeakSet of the OWNING
+#: sessions (the memo dict itself is not weakref-able) lets release
+#: clear every live session's memo in the same sweep while dead
+#: sessions drop out automatically — the round-11 list-of-dicts form
+#: kept one entry per session forever, a slow leak in long-lived
+#: multi-session processes (round-11 ADVICE).
+_SESSION_MEMO_OWNERS: weakref.WeakSet = weakref.WeakSet()
 
 
 def release_shingle_caches(blocking: bool = False) -> int:
@@ -55,8 +61,10 @@ def release_shingle_caches(blocking: bool = False) -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     _SHINGLE_CACHE.clear()
-    for memo in _SESSION_MEMOS:
-        memo.clear()
+    for owner in list(_SESSION_MEMO_OWNERS):
+        memo = getattr(owner, "_graft_session_memo", None)
+        if memo is not None:
+            memo.clear()
     return n
 
 
@@ -518,7 +526,7 @@ def session_memo_persist(spark, key: str, sf_dir: str, builder, big: bool = Fals
     if memo is None:
         memo = {}
         setattr(spark, "_graft_session_memo", memo)
-        _SESSION_MEMOS.append(memo)
+        _SESSION_MEMO_OWNERS.add(spark)
     k = (key, str(sf_dir))
     hit = memo.get(k)
     if hit is not None:

@@ -1,21 +1,24 @@
 """Round-10 registry entries.
 
 streaming_engagement_sink_equiv makes the foreachBatch engagement sink
-(streaming/engagement.py) driver-visible: the sink is a non-SQL surface
-(stateful multi-commit table maintenance), so the entry registers
-WITHOUT an oracle — the driver records the weaker rows-only check — but
-the returned frame ENFORCES its own equivalence verdict: every profile
-row is compared against the batch-grain answer computed by the same
-operators/temporal.daily_engagement over the identical presence
+(streaming/engagement.py) driver-visible. The sink itself is a non-SQL
+surface (stateful multi-commit table maintenance), but its OUTPUT — the
+converged per-day dau/wau/stickiness profile — is deterministic and
+SQL-expressible, so the entry carries the same DuckDB oracle as the
+batch-grain sibling ``dau_wau_engagement`` (round-11 VERDICT "Next
+round" #2): the union of the staged batches is the full events table,
+so the converged profile must equal the batch query's answer. The
+sink-vs-batch leg additionally stays ENFORCED at execution: every
+profile row is compared against the batch-grain answer computed by the
+same operators/temporal.daily_engagement over the identical presence
 relation, and a disagreement or a day present on only one side raises
-at execution (raise_error), turning the driver's rows-only row into err
-instead of a green frame full of false verdicts (round-10 VERDICT
-"What's wrong" #1; a missing day additionally changes the row count the
-driver pins).
+(raise_error), so the driver's row goes red on drift rather than
+hashing a frame of false verdicts (round-10 VERDICT "What's wrong" #1).
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import shutil
 import tempfile
@@ -31,42 +34,128 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".scratch")
 
 
-@register("streaming_engagement_sink_equiv")  # no oracle: non-SQL surface
+@register(
+    "streaming_engagement_sink_equiv",
+    # The converged profile equals the batch-grain DAU/WAU answer over
+    # the full events table (the staged batches partition it), so the
+    # oracle is dau_wau_engagement's SQL plus the all-true enforcement
+    # column — the sink-vs-batch leg is separately raise_error-enforced
+    # inside the frame, so a drifting sink errors rather than hashing.
+    oracle="""
+    WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events WHERE user_id IS NOT NULL),
+    dau AS (SELECT d, COUNT(*) AS dau FROM active GROUP BY d),
+    contrib AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                    CAST(d + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        FROM active),
+    wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY d)
+    SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 6) AS stickiness,
+           TRUE AS agrees_with_batch
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY dau.d
+    """,
+)
 def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the incremental DAU/WAU engagement sink over a staged
-    3-batch split of the events table (deterministic user-hash split, so
-    every batch interleaves late and repeated days) against fresh txlog
-    tables, then return the final profile with a per-day
-    ``agrees_with_batch`` verdict against the batch-grain computation
-    over the same presence relation.
+    3-batch split of the events table against fresh txlog tables, then
+    return the final profile with a per-day ``agrees_with_batch``
+    verdict against the batch-grain computation over the same presence
+    relation.
 
-    The equivalence is structural, not luck: a day's profile row is last
-    written by the last batch whose blast radius [min_d, max_d+6]
-    covers it, and no later batch can append a presence row affecting
-    that day (a row at day p only affects [p, p+6], inside its own
-    batch's radius) — so the last writer saw every relevant presence
-    row. The 3-way split exercises exactly that argument.
+    Staging (round-12 redesign): batches are TIME TERCILES with
+    deterministic late delivery — each row lands in the tercile of its
+    day, except a fixed user-hash slice of the last 7 days of terciles
+    0 and 1, which is withheld and delivered one batch LATE. That keeps
+    the hard cases the old user-hash split exercised (late rows force
+    replays of already-written profile days; boundary days are written
+    by two batches and must converge) while making each batch's blast
+    radius [min_d, max_d+6] span ~a third of the calendar instead of
+    all of it: the r11 user-hash split gave every batch the full day
+    range, so all three batches recomputed the whole profile — 3x the
+    recompute and the top fixed cost in the suite (round-11 VERDICT
+    "What's wrong" #1). Real streams arrive roughly time-ordered with a
+    bounded late tail; the terciles model that honestly.
+
+    The equivalence is structural, not luck, and split-independent: a
+    day's profile row is last written by the last batch whose blast
+    radius covers it, and no later batch can append a presence row
+    affecting that day (a row at day p only affects [p, p+6], inside
+    its own batch's radius) — so the last writer saw every relevant
+    presence row.
 
     Scale: the sink's per-batch work is the anti-join of the batch's
     (user, day) pairs plus a day-scoped recompute — O(batch + affected
     slice), never O(table); the final comparison is one join on the
     O(distinct days) profile."""
-    from ..operators.temporal import daily_engagement
-    from ..sources.txlog import TxLogTable
-    from ..streaming.engagement import engagement_sink
-
     # The sink's unit of work is distinct (user, day) presence — dedupe
     # to that grain ONCE and persist it, instead of letting each of the
     # three staged batches re-scan the events parquet for every action
     # the sink runs (bounds agg + anti-join + recompute = ~6 scans).
     # ``ts`` stays the column name: to_date over an already-DATE column
     # is a pass-through, so the sink body is exercised unchanged.
-    e = (
+    ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select("user_id", F.to_date("ts").alias("ts"))
-        .distinct()
-        .withColumn("_b", F.pmod(F.xxhash64("user_id"), F.lit(3)))
+    )
+    # The sink loop is ~15 tiny eager actions (bounds agg + txlog write
+    # + file-rewrite per batch) over bounded per-batch frames; with the
+    # session's cluster-scale defaults each action fans into several AQE
+    # stage-jobs of 32-partition shuffles, and the JOB overhead — not
+    # the data — was the entry's measured cost (61 jobs, the suite's #1
+    # fixed floor, round-11 VERDICT #1; 26 jobs / ~2.2x faster warm with
+    # the scoped confs below). A real deployment sizes per-batch shuffle
+    # width to batch volume in the stream conf exactly like this; scoped
+    # + restored so the rest of the suite keeps the cluster defaults.
+    _scoped = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    _saved = {k: spark.conf.get(k) for k in _scoped}
+    for _k, _v in _scoped.items():
+        spark.conf.set(_k, _v)
+    try:
+        return _staged_sink_run(spark, ev)
+    finally:
+        for _k, _v in _saved.items():
+            spark.conf.set(_k, _v)
+
+
+def _staged_sink_run(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Body of streaming_engagement_sink_equiv (runs under the scoped
+    per-batch confs; the returned frame executes later under the
+    caller-restored session defaults — it is one small join over the
+    O(distinct days) profile, conf-insensitive)."""
+    from ..operators.temporal import daily_engagement
+    from ..sources.txlog import TxLogTable
+    from ..streaming.engagement import engagement_sink
+
+    # calendar bounds come straight off the raw scan (min/max are
+    # distinct-invariant — no shuffle, aggregate pushdown applies)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).days if lo is not None else 0
+    c1 = F.lit(lo + dt.timedelta(days=span // 3)) if lo else F.lit(None)
+    c2 = F.lit(lo + dt.timedelta(days=2 * span // 3)) if lo else F.lit(None)
+    ts = F.col("ts")
+    tercile = F.when(ts <= c1, 0).when(ts <= c2, 1).otherwise(2)
+    # deterministic late slice: 1-in-7 users' rows from the last week of
+    # a tercile arrive one batch late (capped at the final batch — every
+    # row is delivered exactly once)
+    late = F.pmod(F.xxhash64("user_id"), F.lit(7)) == 0
+    shift = F.when(
+        late
+        & (
+            ((tercile == 0) & (ts > F.date_sub(c1, 7)))
+            | ((tercile == 1) & (ts > F.date_sub(c2, 7)))
+        ),
+        1,
+    ).otherwise(0)
+    e = (
+        ev.distinct()
+        .withColumn("_b", F.least(tercile + shift, F.lit(2)))
         .persist()
     )
     os.makedirs(_SCRATCH, exist_ok=True)
@@ -97,29 +186,45 @@ def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFra
     prof = _read_or_empty(
         profile, "d date, dau bigint, wau bigint, stickiness double"
     )
-    batch = daily_engagement(
-        _read_or_empty(presence, "user_id bigint, d date")
-        .select("user_id", "d")
+    # The batch-grain leg is materialized HERE, inside the scoped
+    # per-batch confs (its daily_engagement shuffles are the expensive
+    # part of the comparison; the returned frame executes later under
+    # the restored cluster defaults). Collecting it is bounded by
+    # construction: daily_engagement's output is O(distinct active
+    # days) — calendar-sized, never data-sized. The comparison itself
+    # stays lazy in the returned frame, reading the profile TABLE the
+    # sink wrote.
+    batch_rows = (
+        daily_engagement(
+            _read_or_empty(presence, "user_id bigint, d date")
+            .select("user_id", "d")
+        )
+        .select(
+            "d",
+            F.col("dau").alias("_bd"),
+            F.col("wau").alias("_bw"),
+            F.col("stickiness").alias("_bs"),
+        )
+        .collect()
     )
-    b = batch.select(
-        "d",
-        F.col("dau").alias("_bd"),
-        F.col("wau").alias("_bw"),
-        F.col("stickiness").alias("_bs"),
+    b = spark.createDataFrame(
+        batch_rows, "d date, _bd bigint, _bw bigint, _bs double"
     )
     agrees = (
         F.col("dau").eqNullSafe(F.col("_bd"))
         & F.col("wau").eqNullSafe(F.col("_bw"))
         & F.col("stickiness").eqNullSafe(F.col("_bs"))
     )
-    # The driver records only the rows-only check for this oracle-less
-    # entry (rows > 0), so a verdict COLUMN cannot fail it — if the sink
-    # ever drifted, every row would flip to false and the driver would
-    # stay green (round-10 VERDICT "What's wrong" #1). Enforce instead of
-    # report: any disagreeing day raises at execution (CaseWhen evaluates
-    # branches lazily, so raise_error fires only on drift), turning the
-    # driver's row into err. The column stays in the schema — all-true on
-    # every surviving run — so the row count and shape are unchanged.
+    # The DuckDB oracle hash-checks the converged OUTPUT, but the
+    # sink-vs-batch leg (did the incremental maintenance converge to the
+    # batch recompute over the same presence relation?) is not visible
+    # in the output values — a drifted sink could in principle disagree
+    # with the batch leg while some compensating bug matches the oracle.
+    # Enforce it at execution instead of reporting it: any disagreeing
+    # day raises (CaseWhen evaluates branches lazily, so raise_error
+    # fires only on drift), turning the driver's row into err. The
+    # column stays in the schema — all-true on every surviving run — so
+    # the row count and shape are unchanged (round-10 VERDICT #1).
     return (
         prof.join(b, "d", "full")
         .select(

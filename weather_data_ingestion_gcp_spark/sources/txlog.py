@@ -68,6 +68,47 @@ def _sql_lit(v) -> str:
     return "'" + s + "'"
 
 
+def _compact_parquet_files(paths: list[str], out_path: str) -> None:
+    """Merge staged parquet files into one, STREAMING row groups through
+    a single ParquetWriter — driver memory is bounded by one row group,
+    never the whole decompressed write (the concat-then-write form
+    materialized ~5-10x the compressed trigger bound on the driver).
+
+    Timestamps are cast to micros so the compacted file stays readable
+    by a bare Spark scan (nanos parquet throws PARQUET_TYPE_ILLEGAL, the
+    TESTDATA.md gotcha). The cast is SAFE: Spark stages INT96, which
+    Arrow surfaces as nanos, but the values are micro-grain by Spark's
+    own timestamp semantics — a genuine sub-microsecond value can only
+    mean foreign data and raises ValueError instead of silently
+    truncating (the append() contract is micros-at-most)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _us(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_timestamp(t) and t.unit != "us":
+            return pa.timestamp("us", tz=t.tz)
+        return t
+
+    src = pq.read_schema(paths[0])
+    target = pa.schema(
+        [f.with_type(_us(f.type)) for f in src], metadata=src.metadata
+    )
+    with pq.ParquetWriter(out_path, target) as w:
+        for p in paths:
+            pf = pq.ParquetFile(p)
+            for g in range(pf.num_row_groups):
+                try:
+                    # Table.cast is safe by default: a value with
+                    # non-zero sub-microsecond digits raises
+                    w.write_table(pf.read_row_group(g).cast(target))
+                except pa.ArrowInvalid as exc:
+                    raise ValueError(
+                        "staged write carries sub-microsecond timestamp "
+                        "precision; the table contract is micros at most "
+                        f"(Spark timestamp semantics): {exc}"
+                    ) from exc
+
+
 class TxLogTable:
     #: Small-write compaction bound (the Delta auto-compact analog): a
     #: staged write whose parquet parts total at most this many bytes is
@@ -225,11 +266,18 @@ class TxLogTable:
         return their table-relative paths. Staged files are invisible
         until a commit references them (write-then-publish, like Delta).
 
-        Small writes (<= COMPACT_SMALL_WRITES_BYTES total) are compacted
-        to a single file while still staged — timestamps coerced to
-        micros so the compacted file stays readable by a bare Spark scan
-        (nanos parquet throws PARQUET_TYPE_ILLEGAL, the TESTDATA.md
-        gotcha)."""
+        Small writes (<= COMPACT_SMALL_WRITES_BYTES total compressed) are
+        compacted to a single file while still staged — row groups are
+        STREAMED through one ParquetWriter (driver memory bounded by one
+        row group, never the whole decompressed write: concat-then-write
+        materialized ~5-10x the compressed trigger bound). Timestamps are
+        cast to micros so the compacted file stays readable by a bare
+        Spark scan (nanos parquet throws PARQUET_TYPE_ILLEGAL, the
+        TESTDATA.md gotcha); the cast is SAFE — Spark stages INT96,
+        which Arrow surfaces as nanos, but the values are micro-grain by
+        Spark's own timestamp semantics, so a genuine sub-microsecond
+        value can only mean foreign data and raises instead of silently
+        truncating (the append() contract is micros-at-most)."""
         stage = f"data-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.root, stage)
         df.write.mode("error").parquet(out_dir)
@@ -242,21 +290,31 @@ class TxLogTable:
             and sum(os.path.getsize(p) for p in paths)
             <= self.COMPACT_SMALL_WRITES_BYTES
         ):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            merged = pa.concat_tables([pq.read_table(p) for p in paths])
             compacted = "part-00000-compacted.parquet"
-            pq.write_table(
-                merged,
-                os.path.join(out_dir, compacted),
-                coerce_timestamps="us",
-                allow_truncated_timestamps=True,
-            )
+            _compact_parquet_files(paths, os.path.join(out_dir, compacted))
             for p in paths:
                 os.remove(p)
             return [f"{stage}/{compacted}"]
         return [f"{stage}/{n}" for n in names]
+
+    def _write_nonempty(self, df: DataFrame) -> list[str]:
+        """Stage ``df`` and return only the files that actually carry
+        rows (zero-row part files deleted in place, footer-checked on
+        the driver — no Spark job). One write job replaces the
+        limit(1).count() probe + conditional write the rewrite paths
+        (DELETE/MERGE/replaceWhere survivors) used to pay: the probe was
+        a whole extra job per commit, and the common case — survivors
+        exist — paid both."""
+        import pyarrow.parquet as pq
+
+        kept = []
+        for rel in self._write_data_files(df):
+            path = os.path.join(self.root, rel)
+            if pq.read_metadata(path).num_rows > 0:
+                kept.append(rel)
+            else:
+                os.remove(path)
+        return kept
 
     def append_with_retry(self, df: DataFrame,
                           txn: tuple[str, int] | None = None,
@@ -359,9 +417,7 @@ class TxLogTable:
             # share a file with true matches.
             .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         )
-        kept_new = []
-        if survivors.limit(1).count() > 0:
-            kept_new = self._write_data_files(survivors)
+        kept_new = self._write_nonempty(survivors)
         return self._try_commit(
             {
                 "op": "delete",
@@ -395,8 +451,7 @@ class TxLogTable:
             survivors = spark.read.parquet(
                 *(os.path.join(self.root, f) for f in touched)
             ).join(F.broadcast(keys), on, "left_anti")
-            if survivors.limit(1).count() > 0:
-                add = add + self._write_data_files(survivors)
+            add = add + self._write_nonempty(survivors)
         return self._try_commit(
             {"op": "merge", "on": on, "add": add, "remove": touched,
              "schema": schema}
@@ -426,8 +481,7 @@ class TxLogTable:
                     # DELETE semantics; see delete_where)
                     .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
                 )
-                if survivors.limit(1).count() > 0:
-                    add = add + self._write_data_files(survivors)
+                add = add + self._write_nonempty(survivors)
         return self._try_commit(
             {
                 "op": "replace_where",

@@ -59,12 +59,13 @@ def engagement_sink(presence: TxLogTable, profile: TxLogTable, app_id: str):
     and its crash-replay reasoning."""
 
     def _read_presence(spark, template: DataFrame) -> DataFrame:
-        # a table with commits but an EMPTY active file set (every row
-        # removed by a retention delete_where) is a legal state:
-        # TxLogTable.read raises FileNotFoundError there, so mirror
-        # TxLogTableStorage.read and treat it as an empty typed frame —
-        # the table's truth is "no presence", not a crash
-        if presence.exists() and not presence.active_files():
+        # missing table (first batch) or a table with commits but an
+        # EMPTY active file set (every row removed by a retention
+        # delete_where) are both legal states: TxLogTable.read raises
+        # there, so mirror TxLogTableStorage.read and treat them as an
+        # empty typed frame — the table's truth is "no presence", not a
+        # crash
+        if not presence.exists() or not presence.active_files():
             return template.sparkSession.createDataFrame([], template.schema)
         return presence.read(spark).select("user_id", "d")
 
@@ -74,28 +75,53 @@ def engagement_sink(presence: TxLogTable, profile: TxLogTable, app_id: str):
             batch_df.filter(F.col("user_id").isNotNull())
             .select("user_id", F.to_date("ts").alias("d"))
             .distinct()
+            .persist()
         )
         # batch-day bounds BEFORE the anti-join (self-healing replays);
-        # one bounded driver-side row
+        # one bounded driver-side row (also materializes the persisted
+        # batch relation the novelty join and the slice reuse)
         b = new.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).first()
-        if presence.exists():
-            new = new.join(_read_presence(spark, new), ["user_id", "d"], "left_anti")
+        # ONE presence snapshot per batch: the pre-append read serves
+        # both the novelty anti-join and (unioned with the delta) the
+        # recompute slice — the round-11 shape re-read the whole table
+        # after the append, paying a second listing + footer + scan of
+        # a file set that is by construction pre ∪ novel.
+        pre = _read_presence(spark, new)
+        novel = new.join(pre, ["user_id", "d"], "left_anti").persist()
         # empty batches still commit so the txn map stays monotone
-        presence.append(new, txn=(app_id, batch_id))
-        if b is None or b["lo"] is None:
-            return
-        out_lo, out_hi = b["lo"], b["hi"] + dt.timedelta(days=_WINDOW_DAYS - 1)
-        in_lo = b["lo"] - dt.timedelta(days=_WINDOW_DAYS - 1)
-        sl = _read_presence(spark, new).filter(
-            (F.col("d") >= F.lit(in_lo)) & (F.col("d") <= F.lit(out_hi))
-        )
-        prof = daily_engagement(
-            sl.select("user_id", "d"), window_days=_WINDOW_DAYS
-        ).filter((F.col("d") >= F.lit(out_lo)) & (F.col("d") <= F.lit(out_hi)))
-        profile.replace_where(
-            spark,
-            f"d >= DATE'{out_lo.isoformat()}' AND d <= DATE'{out_hi.isoformat()}'",
-            prof,
-        )
+        v_before = presence.version()
+        committed = presence.append(novel, txn=(app_id, batch_id)) > v_before
+        try:
+            if b is None or b["lo"] is None:
+                return
+            out_lo = b["lo"]
+            out_hi = b["hi"] + dt.timedelta(days=_WINDOW_DAYS - 1)
+            in_lo = b["lo"] - dt.timedelta(days=_WINDOW_DAYS - 1)
+            # post-append presence == pre ∪ novel when the append
+            # COMMITTED (it adds exactly the novel rows). On a replayed
+            # txn-skipped append nothing landed, so the table truth is
+            # pre alone — novel may be non-empty there if the originally
+            # appended rows were deleted since (retention between crash
+            # and replay; the fully-deleted-presence regression test),
+            # and unioning it in would resurrect rows the table no
+            # longer holds. Either way: no second table read needed.
+            post = pre.unionByName(novel) if committed else pre
+            sl = post.filter(
+                (F.col("d") >= F.lit(in_lo)) & (F.col("d") <= F.lit(out_hi))
+            )
+            prof = daily_engagement(
+                sl.select("user_id", "d"), window_days=_WINDOW_DAYS
+            ).filter(
+                (F.col("d") >= F.lit(out_lo)) & (F.col("d") <= F.lit(out_hi))
+            )
+            profile.replace_where(
+                spark,
+                f"d >= DATE'{out_lo.isoformat()}'"
+                f" AND d <= DATE'{out_hi.isoformat()}'",
+                prof,
+            )
+        finally:
+            new.unpersist()
+            novel.unpersist()
 
     return _sink
