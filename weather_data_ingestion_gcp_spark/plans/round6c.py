@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import load_table, register
-from .round6b import snm_candidates
+from .round6b import snm_candidates_shared
 
 #: per-field m = P(field agrees | records match), as exact rationals
 #: (numerator, denominator) so ln(m) and ln(1-m) take integer arguments
@@ -225,7 +225,7 @@ def record_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame
         wm_src.alias("wm_src"),
     )
 
-    cand = snm_candidates(d)
+    cand = snm_candidates_shared(spark, sf_dir)
     a = attr.select(
         F.col("doc_id").alias("id_a"),
         F.col("pfx").alias("pfx_a"),
