@@ -850,6 +850,40 @@ def test_session_memo_persist_invalidated_on_release(spark):
     dedup.release_shingle_caches()
 
 
+def test_session_memo_registry_adds_no_retention():
+    """Round-11 ADVICE: the memo registry kept one entry per session
+    forever (stopped sessions included) — a slow leak in long-lived
+    multi-session processes. The WeakSet of owning sessions must not
+    itself keep an owner alive: once the last outside reference drops,
+    the owner (and its memo dict) must leave the registry. Exercised
+    with a stand-in owner because PySpark itself pins real sessions
+    elsewhere — the property under test is OUR registry's retention,
+    not PySpark's."""
+    import gc
+
+    from weather_data_ingestion_gcp_spark.operators import dedup
+
+    class FakeDF:
+        def persist(self, *a, **k):
+            return self
+
+        def unpersist(self, *a, **k):
+            return self
+
+    class FakeSession:
+        pass
+
+    owner = FakeSession()
+    before = len(dedup._SESSION_MEMO_OWNERS)
+    df = dedup.session_memo_persist(owner, "t_weak", "/fake/sf", FakeDF)
+    assert isinstance(df, FakeDF)
+    assert len(dedup._SESSION_MEMO_OWNERS) == before + 1
+    del owner
+    gc.collect()
+    assert len(dedup._SESSION_MEMO_OWNERS) == before
+    dedup.release_shingle_caches()
+
+
 def test_dsir_topp_rank_is_range_partitioned_and_cached(spark):
     """The top-p cut needs an exact global rank over corpus-size
     weights; a bare `ROW_NUMBER() OVER (ORDER BY ...)` plans a
