@@ -489,3 +489,163 @@ def test_spark_and_duckdb_agree_on_join_shapes(spark, duck, q):
     spark_rows = _norm([tuple(r) for r in got.collect()], cols)
     duck_rows = _norm(duck.execute(sql).fetchall(), cols)
     assert spark_rows == duck_rows, f"\nSQL: {sql}\nspark n={len(spark_rows)} duck n={len(duck_rows)}"
+
+
+# --- three-valued-logic / CASE fuzz over nullable columns -------------------
+# events.value and events.user_id are BOTH nullable; this surface samples
+# CASE chains whose conditions evaluate to UNKNOWN on NULL inputs, mixed
+# with NULLIF/COALESCE and NULL-skipping aggregates — the classic
+# differential class where engines disagree on NULL propagation (a CASE
+# branch taken on UNKNOWN, a COUNT(expr) counting NULLs, a SUM over an
+# all-NULL group returning 0 instead of NULL).
+
+_TVL_COND = st.one_of(
+    # cents > c is UNKNOWN when value IS NULL
+    st.tuples(st.just("cents_gt"), st.integers(min_value=0, max_value=40_000)),
+    # user_id % k = r is UNKNOWN when user_id IS NULL
+    st.tuples(
+        st.just("user_mod"),
+        st.integers(min_value=2, max_value=5),
+        st.integers(min_value=0, max_value=4),
+    ),
+    st.tuples(st.just("etype_eq"), st.sampled_from(_EVENT_TYPES)),
+    # NULLIF(event_type, t) IS NULL — never UNKNOWN, exercises NULLIF
+    st.tuples(st.just("nullif_null"), st.sampled_from(_EVENT_TYPES)),
+)
+
+#: CASE output per branch: a constant, the (nullable) cents column, or
+#: an explicit NULL literal
+_TVL_OUT = st.one_of(
+    st.tuples(st.just("const"), st.integers(min_value=-100, max_value=100)),
+    st.just(("cents",)),
+    st.just(("null",)),
+)
+
+_TVL_QUERY = st.tuples(
+    st.lists(st.tuples(_TVL_COND, _TVL_OUT), min_size=1, max_size=3),  # WHEN arms
+    _TVL_OUT,                                        # ELSE
+    st.booleans(),                                   # negate first condition
+    st.booleans(),                                   # group by event_type?
+    st.lists(
+        st.sampled_from(
+            ["sum_e", "cnt_e", "cnt_all", "min_e", "max_e", "sum_c0"]
+        ),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+
+_CENTS_SQL = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+
+
+def _tvl_cond_sql(c) -> str:
+    if c[0] == "cents_gt":
+        return f"({_CENTS_SQL} > {c[1]})"
+    if c[0] == "user_mod":
+        return f"((user_id % {c[1]}) = {c[2]})"
+    if c[0] == "etype_eq":
+        return f"(event_type = '{c[1]}')"
+    return f"(NULLIF(event_type, '{c[1]}') IS NULL)"
+
+
+def _tvl_cond_spark(c):
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    if c[0] == "cents_gt":
+        return cents > c[1]
+    if c[0] == "user_mod":
+        return (F.col("user_id") % c[1]) == c[2]
+    if c[0] == "etype_eq":
+        return F.col("event_type") == c[1]
+    return F.nullif(F.col("event_type"), F.lit(c[1])).isNull()
+
+
+def _tvl_out_sql(o) -> str:
+    if o[0] == "const":
+        return str(o[1])
+    if o[0] == "cents":
+        return _CENTS_SQL
+    return "NULL"
+
+
+def _tvl_out_spark(o):
+    if o[0] == "const":
+        return F.lit(o[1]).cast("long")
+    if o[0] == "cents":
+        return F.round(F.col("value") * 100, 0).cast("long")
+    return F.lit(None).cast("long")
+
+
+_TVL_AGG_SQL = {
+    "sum_e": "CAST(SUM(e) AS BIGINT) AS sum_e",
+    "cnt_e": "CAST(COUNT(e) AS BIGINT) AS cnt_e",
+    "cnt_all": "CAST(COUNT(*) AS BIGINT) AS cnt_all",
+    "min_e": "CAST(MIN(e) AS BIGINT) AS min_e",
+    "max_e": "CAST(MAX(e) AS BIGINT) AS max_e",
+    # all-NULL group: SUM is NULL on both engines; pin the COALESCE form too
+    "sum_c0": "CAST(COALESCE(SUM(e), -1) AS BIGINT) AS sum_c0",
+}
+
+
+def _tvl_agg_spark(name):
+    e = F.col("e")
+    return {
+        "sum_e": F.sum(e).cast("long").alias("sum_e"),
+        "cnt_e": F.count(e).cast("long").alias("cnt_e"),
+        "cnt_all": F.count(F.lit(1)).cast("long").alias("cnt_all"),
+        "min_e": F.min(e).cast("long").alias("min_e"),
+        "max_e": F.max(e).cast("long").alias("max_e"),
+        "sum_c0": F.coalesce(F.sum(e), F.lit(-1)).cast("long").alias("sum_c0"),
+    }[name]
+
+
+@settings(
+    max_examples=_MAX_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=_TVL_QUERY)
+def test_spark_and_duckdb_agree_on_case_null_semantics(spark, duck, q):
+    arms, els, neg_first, by_type, aggs = q
+    e = load_table(spark, SF, "events")
+
+    arms_sql, case_col = [], None
+    whens = []
+    for i, (cond, out) in enumerate(arms):
+        csql, cspark = _tvl_cond_sql(cond), _tvl_cond_spark(cond)
+        if i == 0 and neg_first:
+            csql, cspark = f"(NOT {csql})", ~cspark
+        arms_sql.append(f"WHEN {csql} THEN {_tvl_out_sql(out)}")
+        whens.append((cspark, _tvl_out_spark(out)))
+    for cspark, ospark in whens:
+        case_col = (
+            F.when(cspark, ospark)
+            if case_col is None
+            else case_col.when(cspark, ospark)
+        )
+    case_col = case_col.otherwise(_tvl_out_spark(els)).cast("long")
+    case_sql = (
+        "CAST(CASE " + " ".join(arms_sql) + f" ELSE {_tvl_out_sql(els)} END"
+        " AS BIGINT)"
+    )
+
+    sdf = e.select("event_type", case_col.alias("e"))
+    agg_sql = ", ".join(_TVL_AGG_SQL[a] for a in aggs)
+    if by_type:
+        sql = (
+            f"SELECT event_type, {agg_sql} FROM "
+            f"(SELECT event_type, {case_sql} AS e FROM events) "
+            "GROUP BY event_type"
+        )
+        got = sdf.groupBy("event_type").agg(*[_tvl_agg_spark(a) for a in aggs])
+        cols = ["event_type"] + aggs
+    else:
+        sql = f"SELECT {agg_sql} FROM (SELECT {case_sql} AS e FROM events)"
+        got = sdf.agg(*[_tvl_agg_spark(a) for a in aggs])
+        cols = aggs
+
+    spark_rows = _norm([tuple(r) for r in got.select(*cols).collect()], cols)
+    duck_rows = _norm(duck.execute(sql).fetchall(), cols)
+    assert spark_rows == duck_rows, (
+        f"\nSQL: {sql}\nspark={spark_rows[:5]}\nduck={duck_rows[:5]}"
+    )
