@@ -911,3 +911,100 @@ def test_rewrite_commits_carry_no_empty_files(spark, tmp_path):
 
     for rel in t.active_files():
         assert pq.read_metadata(os.path.join(t.root, rel)).num_rows > 0
+
+
+def test_staged_compaction_converts_nested_timestamps(tmp_path):
+    """ADVICE r12: the micros cast must recurse through struct/list/map
+    nesting — a nanos timestamp inside a struct would leave the
+    compacted file unreadable by a bare Spark scan exactly like a
+    top-level one (PARQUET_TYPE_ILLEGAL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_data_ingestion_gcp_spark.sources.txlog import (
+        _compact_parquet_files,
+    )
+
+    ns = pa.timestamp("ns")
+    t = pa.table(
+        {
+            "rec": pa.array(
+                [{"at": 1_700_000_000_000_000_000, "n": 1}],
+                type=pa.struct([("at", ns), ("n", pa.int32())]),
+            ),
+            "hist": pa.array(
+                [[1_700_000_000_000_000_000, 1_700_000_001_000_000_000]],
+                type=pa.list_(ns),
+            ),
+            "tags": pa.array(
+                [[("a", 1_700_000_000_000_000_000)]],
+                type=pa.map_(pa.string(), ns),
+            ),
+        }
+    )
+    f0 = str(tmp_path / "a.parquet")
+    f1 = str(tmp_path / "b.parquet")
+    pq.write_table(t, f0)
+    pq.write_table(t, f1)
+    out = str(tmp_path / "merged.parquet")
+    _compact_parquet_files([f0, f1], out)
+    sch = pq.read_schema(out)
+    us = pa.timestamp("us")
+    assert sch.field("rec").type.field("at").type == us
+    assert sch.field("hist").type.value_type == us
+    assert sch.field("tags").type.item_type == us
+    assert pq.read_table(out).num_rows == 2
+
+
+def test_all_rows_deleted_rewrite_leaves_no_orphan_staging_dir(
+    spark, tmp_path
+):
+    """ADVICE r12: a rewrite whose survivors are empty used to delete
+    every part file but leave the staging dir holding _SUCCESS/.crc
+    markers forever (vacuum only removes *.parquet). The writer now
+    removes its own all-empty staging dir, and vacuum sweeps dirs left
+    with markers but no parquet at all (pre-fix orphans / aged-out
+    data)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,), (2,)], "id int"))
+    n_dirs_before = len(
+        [d for d in os.listdir(t.root) if d != "_log"]
+    )
+    # delete everything: survivors are empty, so the rewrite's staging
+    # dir must vanish with them
+    t.delete_where(spark, "id >= 0")
+    assert not t.active_files()
+    dirs = [d for d in os.listdir(t.root) if d != "_log"]
+    assert len(dirs) == n_dirs_before  # no new marker-only dir
+
+    # and vacuum clears a pre-existing marker-only orphan dir too
+    orphan = os.path.join(t.root, "data-orphaned0000")
+    os.makedirs(orphan)
+    marker = os.path.join(orphan, "_SUCCESS")
+    open(marker, "w").close()
+    old = 1.0  # epoch — far past any retention cutoff
+    os.utime(marker, (old, old))
+    os.utime(orphan, (old, old))
+    t.vacuum(retention_seconds=0)
+    assert not os.path.exists(orphan)
+
+
+def test_commit_info_distinguishes_own_commit_from_txn_skip(
+    spark, tmp_path
+):
+    """ADVICE r12: commit_info(version) is the race-free way to learn
+    whether a txn append COMMITTED — the returned version's own txn
+    entry is ours iff we committed, regardless of concurrent commits
+    (a version-delta check reads True when anyone else commits between
+    the version() read and the append)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "id int")
+    v = t.append(df, txn=("app", 0))
+    assert t.commit_info(v).get("txn") == ["app", 0]
+    # a concurrent commit (checkpoint: content-neutral) lands, then the
+    # txn replay is skipped — the returned version is the checkpoint's,
+    # whose entry carries no txn, so the caller reads "not committed"
+    t.checkpoint()
+    v2 = t.append(df, txn=("app", 0))
+    assert t.commit_info(v2).get("txn") != ["app", 0]
+    assert t.read(spark).count() == 1

@@ -85,8 +85,22 @@ def _compact_parquet_files(paths: list[str], out_path: str) -> None:
     import pyarrow.parquet as pq
 
     def _us(t: pa.DataType) -> pa.DataType:
+        # recurse through nesting: the writer-level coerce_timestamps
+        # option this replaces applied recursively, and a nanos
+        # timestamp hiding inside a struct/list/map would make the
+        # compacted file just as unreadable as a top-level one
         if pa.types.is_timestamp(t) and t.unit != "us":
             return pa.timestamp("us", tz=t.tz)
+        if pa.types.is_struct(t):
+            return pa.struct([f.with_type(_us(f.type)) for f in t])
+        if pa.types.is_large_list(t):
+            return pa.large_list(_us(t.value_type))
+        if pa.types.is_fixed_size_list(t):
+            return pa.list_(_us(t.value_type), t.list_size)
+        if pa.types.is_list(t):
+            return pa.list_(_us(t.value_type))
+        if pa.types.is_map(t):
+            return pa.map_(_us(t.key_type), _us(t.item_type))
         return t
 
     src = pq.read_schema(paths[0])
@@ -145,6 +159,16 @@ class TxLogTable:
 
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self._versions()]
+
+    def commit_info(self, version: int) -> dict:
+        """The commit entry at ``version`` — lets a caller check what a
+        specific commit actually did. The canonical use: a txn-keyed
+        ``append`` returns a version, and ONLY this entry's own ``txn``
+        field says whether that version is the caller's commit or a
+        txn-skipped replay's view of someone else's — inferring from a
+        version DELTA races any concurrent commit landing between the
+        caller's version() read and the append."""
+        return self._read_commit(version)
 
     def _read_commit(self, v: int) -> dict:
         with open(os.path.join(self.log_dir, f"{v:010d}.json")) as f:
@@ -308,12 +332,25 @@ class TxLogTable:
         import pyarrow.parquet as pq
 
         kept = []
+        stage_dirs: set[str] = set()
         for rel in self._write_data_files(df):
             path = os.path.join(self.root, rel)
+            stage_dirs.add(os.path.dirname(path))
             if pq.read_metadata(path).num_rows > 0:
                 kept.append(rel)
             else:
                 os.remove(path)
+        if not kept:
+            # every part was empty: the staging dir now holds only
+            # Spark's _SUCCESS/.crc markers, nothing will ever reference
+            # it, and vacuum() only removes *.parquet — without this it
+            # would orphan one marker-only dir per all-rows-deleted
+            # rewrite, forever. Private to this writer (uuid dir name,
+            # write already complete), so removing it races nothing.
+            import shutil
+
+            for d in stage_dirs:
+                shutil.rmtree(d, ignore_errors=True)
         return kept
 
     def append_with_retry(self, df: DataFrame,
@@ -568,6 +605,18 @@ class TxLogTable:
                 ):
                     os.remove(path)
                     removed.append(rel)
+            # a dir holding NO parquet at all (its last data file just
+            # aged out above, or a pre-fix all-rows-deleted rewrite left
+            # only _SUCCESS/.crc markers) is dead weight: clear marker
+            # FILES past the retention cutoff too — the age gate keeps an
+            # in-flight writer's staging dir safe, same as for data files
+            # — then rmdir if nothing (e.g. a _temporary subdir) remains.
+            left = os.listdir(full)
+            if not any(n.endswith(".parquet") for n in left):
+                for name in left:
+                    p = os.path.join(full, name)
+                    if os.path.isfile(p) and os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
             if not os.listdir(full):
                 os.rmdir(full)
         return removed
