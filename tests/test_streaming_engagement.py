@@ -213,3 +213,47 @@ def test_sink_equiv_entry_fails_loudly_on_drift(spark, monkeypatch):
     monkeypatch.setattr(temporal, "daily_engagement", skewed)
     with pytest.raises(Exception, match="drifted from the batch-grain"):
         entry(spark, "/root/testdata/sf0.001").collect()
+
+
+def test_replay_with_concurrent_commit_does_not_resurrect(spark, tmp_path):
+    """ADVICE r12: the sink used to infer "my append committed" from a
+    version DELTA — so on a txn-skipped replay, ANY concurrent commit
+    landing between the sink's version() read and its append (here: a
+    content-neutral checkpoint standing in for a racing retention job)
+    made committed read True, unioning the batch's novel rows — rows a
+    retention delete had already removed — back into the recompute
+    slice. The commit_info check reads the returned commit's own txn
+    entry instead, so the replay sees the table's real truth: empty."""
+    presence = TxLogTable(str(tmp_path / "presence"))
+    profile = TxLogTable(str(tmp_path / "profile"))
+    sink = engagement_sink(presence, profile, "engage-race")
+
+    b0 = spark.createDataFrame(
+        [(0, 1, _BASE), (1, 2, _BASE + dt.timedelta(days=1))], _SCHEMA
+    )
+    sink(b0, 0)
+    assert _profile_rows(spark, profile) == _brute_force({1: {0}, 2: {1}})
+
+    # retention wipes presence (commits remain, zero active files)
+    presence.delete_where(spark, "d >= DATE'2024-01-01'")
+    assert presence.exists() and not presence.active_files()
+
+    # interleave a concurrent commit INSIDE the replayed batch, between
+    # whatever the sink reads and its (txn-skipped) append — the window
+    # the delta-based check raced
+    real_append = presence.append
+
+    def racing_append(df, txn=None):
+        presence.checkpoint()  # concurrent writer lands a version
+        return real_append(df, txn=txn)
+
+    presence.append = racing_append
+    try:
+        sink(b0, 0)  # replay: txn (engage-race, 0) already committed
+    finally:
+        del presence.append
+
+    # table truth is "no presence" — the replayed batch must not
+    # resurrect the deleted rows into the profile
+    assert presence.exists() and not presence.active_files()
+    assert _profile_rows(spark, profile) == {}

@@ -1008,3 +1008,83 @@ def test_commit_info_distinguishes_own_commit_from_txn_skip(
     v2 = t.append(df, txn=("app", 0))
     assert t.commit_info(v2).get("txn") != ["app", 0]
     assert t.read(spark).count() == 1
+
+
+def test_replace_range_prunes_disjoint_files_via_log_stats(spark, tmp_path):
+    """replace_range derives its rewrite set from commit-log footer
+    stats (Delta data-skipping analog): a file provably disjoint from
+    the range is carried forward UNTOUCHED — same rel path in the
+    snapshot, no rewrite job ever sees it."""
+    t = TxLogTable(str(tmp_path / "t"))
+    jan = spark.createDataFrame(
+        [(dt.date(2024, 1, d), d) for d in (1, 2, 3)], "d date, v int"
+    )
+    mar = spark.createDataFrame(
+        [(dt.date(2024, 3, d), d) for d in (1, 2)], "d date, v int"
+    )
+    t.append(jan)
+    t.append(mar)
+    mar_files = set(t.active_files()) - set(t.active_files(version=0))
+    # stats landed in the commit entries
+    stats = t.file_stats()
+    assert all("d" in stats.get(f, {}) for f in t.active_files())
+
+    repl = spark.createDataFrame([(dt.date(2024, 1, 2), 99)], "d date, v int")
+    t.replace_range(spark, "d", dt.date(2024, 1, 1), dt.date(2024, 1, 31), repl)
+    # march file survived by identity — never a rewrite candidate
+    assert mar_files <= set(t.active_files())
+    got = {(r.d, r.v) for r in t.read(spark).collect()}
+    assert got == {(dt.date(2024, 1, 2), 99),
+                   (dt.date(2024, 3, 1), 1), (dt.date(2024, 3, 2), 2)}
+
+
+def test_replace_range_matches_replace_where_semantics(spark, tmp_path):
+    """Same committed content as the generic predicate form, including
+    NULL rows (predicate NULL -> row survives) and files without stats
+    (legacy commits: stats stripped -> file stays a candidate, content
+    still correct)."""
+    import json as _json
+
+    a = TxLogTable(str(tmp_path / "a"))
+    b = TxLogTable(str(tmp_path / "b"))
+    rows = [(dt.date(2024, 1, 1), 1), (dt.date(2024, 1, 5), 2),
+            (None, 3), (dt.date(2024, 2, 1), 4)]
+    df = lambda: spark.createDataFrame(rows, "d date, v int")  # noqa: E731
+    a.append(df())
+    b.append(df())
+    # strip stats from b's log: legacy-commit shape
+    log = os.path.join(b.log_dir, f"{0:010d}.json")
+    entry = _json.load(open(log))
+    entry.pop("stats", None)
+    os.remove(log)
+    with open(log, "w") as f:
+        _json.dump(entry, f)
+    assert b.file_stats() == {}
+
+    repl = spark.createDataFrame(
+        [(dt.date(2024, 1, 3), 9)], "d date, v int"
+    )
+    a.replace_where(
+        spark, "d >= DATE '2024-01-01' AND d <= DATE '2024-01-31'", repl
+    )
+    b.replace_range(spark, "d", dt.date(2024, 1, 1), dt.date(2024, 1, 31), repl)
+    want = {(dt.date(2024, 1, 3), 9), (None, 3), (dt.date(2024, 2, 1), 4)}
+    assert {(r.d, r.v) for r in a.read(spark).collect()} == want
+    assert {(r.d, r.v) for r in b.read(spark).collect()} == want
+
+
+def test_file_stats_survive_checkpoint_fold(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(dt.date(2024, 1, 1), 1)], "d date, v int"))
+    before = t.file_stats()
+    assert before
+    t.checkpoint()
+    assert t.file_stats() == before
+    # pruning still works across the fold: a disjoint replace_range
+    # leaves the original file untouched
+    orig = set(t.active_files())
+    t.replace_range(
+        spark, "d", dt.date(2025, 1, 1), dt.date(2025, 1, 2),
+        spark.createDataFrame([(dt.date(2025, 1, 1), 7)], "d date, v int"),
+    )
+    assert orig <= set(t.active_files())

@@ -117,6 +117,20 @@ def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFra
     # always-on variant SLOWER than session defaults (narrow static
     # shuffles + no AQE coalescing over 212 MB of events), exactly the
     # regime split a real deployment's per-stream conf encodes.
+    #
+    # Round-13 note on the in-suite/warm gap (r12 VERDICT #1): the
+    # codegen-per-batch hypothesis (day-bound literals forcing fresh
+    # whole-stage compile) was TESTED and came out backwards — routing
+    # the bounds through 1-row broadcast relations made the generated
+    # code batch-stable but the steady state ~2-3 s SLOWER (BNL joins
+    # replace pushed literal filters; probe table in BASELINE.md
+    # round-13). The floor that actually moved was per-batch JOB COUNT
+    # and plan size: one merged survivors+replacement write per commit
+    # (txlog replace_where/merge), rewrite candidates from commit-log
+    # footer stats instead of an input_file_name scan job
+    # (replace_range), the day-grain input contract (no per-batch
+    # distinct shuffle), and single-file novelty deltas — measured
+    # steady-state 10.5 -> ~7.9 s at sf0.1, quiet box.
     _bytes = sum(
         os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
         for f in ev.inputFiles()
@@ -131,13 +145,19 @@ def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFra
     for _k, _v in _scoped.items():
         spark.conf.set(_k, _v)
     try:
-        return _staged_sink_run(spark, ev)
+        # novelty_files=1 shares the small-input gate: a tiny per-batch
+        # delta wants to land as ONE file (skips the staged-write
+        # compaction merge per commit); a decade-scale delta wants its
+        # natural write parallelism
+        return _staged_sink_run(spark, ev, novelty_files=1)
     finally:
         for _k, _v in _saved.items():
             spark.conf.set(_k, _v)
 
 
-def _staged_sink_run(spark: SparkSession, ev: DataFrame) -> DataFrame:
+def _staged_sink_run(
+    spark: SparkSession, ev: DataFrame, novelty_files: int | None = None
+) -> DataFrame:
     """Body of streaming_engagement_sink_equiv (runs under the scoped
     per-batch confs; the returned frame executes later under the
     caller-restored session defaults — it is one small join over the
@@ -181,7 +201,17 @@ def _staged_sink_run(spark: SparkSession, ev: DataFrame) -> DataFrame:
             shutil.rmtree(p, ignore_errors=True)
     presence = TxLogTable(os.path.join(root, "presence"))
     profile = TxLogTable(os.path.join(root, "profile"))
-    sink = engagement_sink(presence, profile, "driver-equiv")
+    # day_grain_input: the staged relation is ev.distinct() over
+    # (user_id, to_date(ts)) — already (user, day)-deduped, and the
+    # terciles partition it, so each batch honors the sink's day-grain
+    # contract and the per-batch distinct shuffle is provably redundant
+    sink = engagement_sink(
+        presence,
+        profile,
+        "driver-equiv",
+        day_grain_input=True,
+        novelty_files=novelty_files,
+    )
     for i in range(3):
         sink(e.filter(F.col("_b") == i).drop("_b"), i)
     # everything below reads from the txlog tables the sink wrote, not

@@ -68,6 +68,30 @@ def _sql_lit(v) -> str:
     return "'" + s + "'"
 
 
+def _stat_encode(v) -> list | None:
+    """JSON-safe, order-preserving encoding of a parquet footer stat (or
+    a pruning bound) as a ``[kind, value]`` pair: numbers, dates (as
+    ordinals), strings. Kinds must match for a comparison to be valid —
+    everything else encodes to None, which disables pruning for that
+    column (the safe direction). Timestamps are deliberately excluded:
+    footer stats surface them with environment-dependent tz-awareness,
+    and a wrong ordinal silently skips files — day-grain pruning covers
+    the maintenance patterns this table serves."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return ["n", v]
+    if isinstance(v, _dt.datetime):  # before date: datetime is a date
+        return None
+    if isinstance(v, _dt.date):
+        return ["d", v.toordinal()]
+    if isinstance(v, str):
+        return ["s", v]
+    return None
+
+
 def _compact_parquet_files(paths: list[str], out_path: str) -> None:
     """Merge staged parquet files into one, STREAMING row groups through
     a single ParquetWriter — driver memory is bounded by one row group,
@@ -184,6 +208,15 @@ class TxLogTable:
         are invisible: ``_versions`` only matches 10-digit ``.json``
         names."""
         os.makedirs(self.log_dir, exist_ok=True)
+        if entry.get("add") and "stats" not in entry:
+            # per-file footer stats ride in the commit entry (the Delta
+            # data-skipping analog): file-skipping reads the LOG, never
+            # the data. Advisory — a failure to collect must never fail
+            # the commit (readers treat missing stats as "candidate").
+            try:
+                entry["stats"] = self._collect_stats(entry["add"])
+            except Exception:
+                pass
         v = self.version() + 1
         path = os.path.join(self.log_dir, f"{v:010d}.json")
         entry = {"version": v, "ts": time.time(), **entry}
@@ -253,6 +286,78 @@ class TxLogTable:
             files.difference_update(c.get("remove", []))
             files.update(c.get("add", []))
         return sorted(files)
+
+    def _collect_stats(self, rels: list[str]) -> dict[str, dict]:
+        """Per-file min/max column stats from the staged parquet footers
+        (driver-side metadata reads — no Spark job, no data pages).
+        Only top-level primitive columns of prunable kinds are kept;
+        a column with any stat-less or unencodable row group is dropped
+        for that file (reader treats absence as "candidate")."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in rels:
+            md = pq.read_metadata(os.path.join(self.root, rel))
+            cols: dict[str, list | None] = {}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for ci in range(rg.num_columns):
+                    c = rg.column(ci)
+                    path = c.path_in_schema
+                    if "." in path:  # nested leaf — not prunable here
+                        continue
+                    if path in cols and cols[path] is None:
+                        continue
+                    st = c.statistics
+                    enc = None
+                    if st is not None and st.has_min_max:
+                        mn, mx = _stat_encode(st.min), _stat_encode(st.max)
+                        if mn is not None and mx is not None:
+                            enc = [mn, mx]
+                    if enc is None:
+                        cols[path] = None
+                        continue
+                    cur = cols.get(path)
+                    if cur is None:
+                        cols[path] = enc
+                    else:
+                        cols[path] = [min(cur[0], enc[0]),
+                                      max(cur[1], enc[1])]
+            out[rel] = {c: v for c, v in cols.items() if v is not None}
+        return out
+
+    def file_stats(self) -> dict[str, dict]:
+        """rel path -> {col: [[kind, min], [kind, max]]} accumulated
+        from commit entries (collected at commit time from footers;
+        carried forward by checkpoints). Files without stats simply
+        don't appear — readers must treat them as rewrite candidates."""
+        out: dict[str, dict] = {}
+        for c in self.history():
+            out.update(c.get("stats") or {})
+        return out
+
+    def _overlapping_files(self, col: str, lo, hi) -> list[str]:
+        """Active files whose [min, max] for ``col`` overlaps [lo, hi]
+        — plus every file whose stats are missing or of a different
+        kind (pruning must only ever SKIP provably-disjoint files)."""
+        lo_e, hi_e = _stat_encode(lo), _stat_encode(hi)
+        stats = self.file_stats()
+        out = []
+        for rel in self.active_files():
+            st = (stats.get(rel) or {}).get(col)
+            if (
+                st is None
+                or lo_e is None
+                or hi_e is None
+                or st[0][0] != lo_e[0]
+                or st[1][0] != hi_e[0]
+            ):
+                out.append(rel)
+                continue
+            if st[0][1] > hi_e[1] or st[1][1] < lo_e[1]:
+                continue  # provably disjoint
+            out.append(rel)
+        return out
 
     # -- write path ---------------------------------------------------------
 
@@ -483,12 +588,18 @@ class TxLogTable:
         keys = source.select(*on).distinct()
         matched = target.join(F.broadcast(keys), on, "left_semi")
         touched = self._touched_files(matched)
-        add = self._write_data_files(source)
+        write_df = source
         if touched:
+            # survivors and the source land in ONE staged write: one
+            # Spark job (one plan analysis + one codegen pass) instead
+            # of two, same committed content
             survivors = spark.read.parquet(
                 *(os.path.join(self.root, f) for f in touched)
             ).join(F.broadcast(keys), on, "left_anti")
-            add = add + self._write_nonempty(survivors)
+            write_df = survivors.unionByName(
+                source, allowMissingColumns=True
+            )
+        add = self._write_nonempty(write_df)
         return self._try_commit(
             {"op": "merge", "on": on, "add": add, "remove": touched,
              "schema": schema}
@@ -504,8 +615,8 @@ class TxLogTable:
         them. Same file-grained rewrite as delete_where: only files
         containing matching rows are rewritten."""
         schema = self._check_schema(df)
-        add = self._write_data_files(df)
         touched: list[str] = []
+        write_df = df
         if self.active_files():
             scan = self.read(spark)
             touched = self._touched_files(scan.filter(predicate))
@@ -518,13 +629,61 @@ class TxLogTable:
                     # DELETE semantics; see delete_where)
                     .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
                 )
-                add = add + self._write_nonempty(survivors)
+                # one staged write for survivors + replacement rows:
+                # one job instead of two, same committed content
+                write_df = survivors.unionByName(
+                    df, allowMissingColumns=True
+                )
+        add = self._write_nonempty(write_df)
         return self._try_commit(
             {
                 "op": "replace_where",
                 "predicate": predicate,
                 "add": add,
                 "remove": touched,
+                "schema": schema,
+            }
+        )
+
+    def replace_range(self, spark: SparkSession, col: str, lo, hi,
+                      df: DataFrame) -> int:
+        """``replace_where`` specialized to the contiguous range
+        ``lo <= col <= hi``, with the rewrite set derived from
+        commit-log footer stats (file_stats — the Delta data-skipping
+        analog) instead of an ``input_file_name`` scan JOB: the driver
+        prunes to files whose [min, max] overlaps the range; a file
+        with missing/foreign-kind stats stays a candidate (safe), and a
+        candidate that turns out to hold no matching rows is rewritten
+        content-identical — pruning precision is a performance
+        property, never a correctness one. This is the maintenance
+        primitive a day-scoped recompute wants at scale: candidate
+        detection is O(active files) driver work on the log, zero data
+        reads, however large the table."""
+        predicate = (
+            f"{col} >= {_sql_lit(lo)} AND {col} <= {_sql_lit(hi)}"
+        )
+        schema = self._check_schema(df)
+        candidates = (
+            self._overlapping_files(col, lo, hi)
+            if self.active_files()
+            else []
+        )
+        write_df = df
+        if candidates:
+            survivors = (
+                spark.read.parquet(
+                    *(os.path.join(self.root, f) for f in candidates)
+                )
+                .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+            )
+            write_df = survivors.unionByName(df, allowMissingColumns=True)
+        add = self._write_nonempty(write_df)
+        return self._try_commit(
+            {
+                "op": "replace_where",
+                "predicate": predicate,
+                "add": add,
+                "remove": candidates,
                 "schema": schema,
             }
         )
@@ -561,12 +720,16 @@ class TxLogTable:
     def checkpoint(self) -> int:
         """Fold the log into one snapshot entry so replay is O(1) from
         here (Delta's parquet-checkpoint analog, JSON-simple). Carries
-        the txn map forward so idempotent appends survive the fold."""
+        the txn map and the live files' footer stats forward so
+        idempotent appends and file skipping survive the fold."""
+        files = self.active_files()
+        known = self.file_stats()
         return self._try_commit(
             {
                 "op": "checkpoint",
-                "files": self.active_files(),
+                "files": files,
                 "txns": self.committed_txns(),
+                "stats": {r: known[r] for r in files if r in known},
             }
         )
 

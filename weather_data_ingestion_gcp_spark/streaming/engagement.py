@@ -30,8 +30,10 @@ The batch body is three bounded steps:
    [min_d-6, max_d+6]. The slice runs through the SAME
    operators/temporal.py daily_engagement used by the batch query (the
    two grains cannot drift), and lands as one atomic
-   ``replace_where`` commit — idempotent at the value level, so replays
-   and overlapping batches converge to the batch query's answer.
+   ``replace_range`` commit — idempotent at the value level, so replays
+   and overlapping batches converge to the batch query's answer. The
+   rewrite set comes from commit-log footer stats (the Delta
+   data-skipping analog), never a table-scan job.
 
 Scale: the presence table is O(users x active days) — the day-deduped
 relation every engagement system materializes anyway; the per-batch
@@ -53,10 +55,32 @@ from ..sources.txlog import TxLogTable
 _WINDOW_DAYS = 7
 
 
-def engagement_sink(presence: TxLogTable, profile: TxLogTable, app_id: str):
+def engagement_sink(
+    presence: TxLogTable,
+    profile: TxLogTable,
+    app_id: str,
+    day_grain_input: bool = False,
+    novelty_files: int | None = None,
+):
     """A ``foreachBatch`` body maintaining (d, dau, wau, stickiness)
     incrementally. See the module docstring for the three-step design
-    and its crash-replay reasoning."""
+    and its crash-replay reasoning.
+
+    ``day_grain_input`` is a CONTRACT flag: the upstream already
+    delivers (user_id, day)-deduped rows (an ingest-dedup stage, or a
+    staged replay of a deduped relation), so the sink skips its own
+    per-batch ``distinct`` — one whole shuffle per batch. The presence
+    table's correctness depends on the contract holding; leave False
+    for raw event streams.
+
+    ``novelty_files`` is a per-stream SIZING hint (the conf analog of
+    sizing shuffle width to batch volume): coalesce the novelty delta
+    to this many files before the append. In the small-batch regime,
+    1 writes the delta as a single file and skips the staged-write
+    compaction merge the txlog would otherwise pay per commit; at
+    scale leave None — a large delta wants its natural write
+    parallelism and the compaction bound makes the merge a no-op
+    anyway."""
 
     def _read_presence(spark, template: DataFrame) -> DataFrame:
         # missing table (first batch) or a table with commits but an
@@ -71,12 +95,12 @@ def engagement_sink(presence: TxLogTable, profile: TxLogTable, app_id: str):
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        new = (
-            batch_df.filter(F.col("user_id").isNotNull())
-            .select("user_id", F.to_date("ts").alias("d"))
-            .distinct()
-            .persist()
+        new = batch_df.filter(F.col("user_id").isNotNull()).select(
+            "user_id", F.to_date("ts").alias("d")
         )
+        if not day_grain_input:
+            new = new.distinct()
+        new = new.persist()
         # batch-day bounds BEFORE the anti-join (self-healing replays);
         # one bounded driver-side row (also materializes the persisted
         # batch relation the novelty join and the slice reuse)
@@ -87,10 +111,22 @@ def engagement_sink(presence: TxLogTable, profile: TxLogTable, app_id: str):
         # after the append, paying a second listing + footer + scan of
         # a file set that is by construction pre ∪ novel.
         pre = _read_presence(spark, new)
-        novel = new.join(pre, ["user_id", "d"], "left_anti").persist()
-        # empty batches still commit so the txn map stays monotone
-        v_before = presence.version()
-        committed = presence.append(novel, txn=(app_id, batch_id)) > v_before
+        novel = new.join(pre, ["user_id", "d"], "left_anti")
+        if novelty_files:
+            novel = novel.coalesce(novelty_files)
+        novel = novel.persist()
+        # empty batches still commit so the txn map stays monotone.
+        # Whether OUR append committed comes from the returned commit's
+        # own txn entry, never from a version delta: a concurrent commit
+        # (e.g. a retention delete_where) landing between a version()
+        # read and the append would make a delta-based check read True
+        # on a txn-skipped replay — unioning ``novel`` rows the table no
+        # longer holds into the recompute slice (the resurrection case
+        # below).
+        v = presence.append(novel, txn=(app_id, batch_id))
+        committed = (
+            presence.commit_info(v).get("txn") == [app_id, int(batch_id)]
+        )
         try:
             if b is None or b["lo"] is None:
                 return
@@ -114,12 +150,11 @@ def engagement_sink(presence: TxLogTable, profile: TxLogTable, app_id: str):
             ).filter(
                 (F.col("d") >= F.lit(out_lo)) & (F.col("d") <= F.lit(out_hi))
             )
-            profile.replace_where(
-                spark,
-                f"d >= DATE'{out_lo.isoformat()}'"
-                f" AND d <= DATE'{out_hi.isoformat()}'",
-                prof,
-            )
+            # one commit, one staged write (survivors + replacement
+            # rows together), rewrite candidates from commit-log footer
+            # stats — no touched-file scan job (sources/txlog.py
+            # replace_range)
+            profile.replace_range(spark, "d", out_lo, out_hi, prof)
         finally:
             new.unpersist()
             novel.unpersist()
