@@ -1197,3 +1197,55 @@ def test_blocked_jaccard_grouped_matches_pairs_join_form(spark):
         .collect()
     }
     assert got == want and len(got) >= 3
+
+
+def test_multimodal_patch_stats_matches_numpy_reference(spark):
+    """patch_stats (plans/round13.py): per-channel patch statistics over
+    interleaved-RGB payload bytes must match an independent per-byte
+    reference — patch tiling (48 bytes per patch), tail patches shorter
+    than 16 samples, the 4-bucket histogram edges (means exactly on a
+    multiple of 64 land in the upper bucket), and empty payloads
+    (no rows)."""
+    from weather_data_ingestion_gcp_spark.plans.round13 import patch_stats
+
+    texts = [
+        (0, "a"),                      # 1 byte: channel 0 only, 1 patch
+        (1, "x" * 50),                 # spans two patches, uneven tail
+        (2, ""),                       # empty: no rows at all
+        (3, "".join(chr(32 + (i * 7) % 90) for i in range(123))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    media = multimodal.with_binary_payload(df, "text", "doc_id")
+    got = {
+        (r.doc_id, r.channel): r
+        for r in patch_stats(media).collect()
+    }
+
+    # independent reference: plain python dicts, per byte
+    want = {}
+    for doc_id, text in texts:
+        b = text.encode()
+        groups = {}
+        for i, v in enumerate(b):
+            groups.setdefault((i % 3, i // 48), []).append(v)
+        per_ch = {}
+        for (ch, _), vals in groups.items():
+            per_ch.setdefault(ch, []).append(vals)
+        for ch, patches in per_ch.items():
+            means = [sum(p) / len(p) for p in patches]
+            hist = [0, 0, 0, 0]
+            for m in means:
+                hist[min(int(m // 64), 3)] += 1
+            want[(doc_id, ch)] = (
+                len(patches),
+                round(sum(sum(p) for p in patches)
+                      / sum(len(p) for p in patches), 6),
+                round(max(means), 6),
+                tuple(hist),
+            )
+
+    assert set(got) == set(want)
+    for k, (n, mean_b, max_m, hist) in want.items():
+        r = got[k]
+        assert (r.n_patches, r.mean_byte, r.max_patch_mean) == (n, mean_b, max_m)
+        assert (r.p_dark, r.p_dim, r.p_mid, r.p_bright) == hist
