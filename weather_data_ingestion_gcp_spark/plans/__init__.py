@@ -22,6 +22,7 @@ from . import round7  # noqa: F401,E402
 from . import round8  # noqa: F401,E402
 from . import round10  # noqa: F401,E402
 from . import round11  # noqa: F401,E402
+from . import round13  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering. The correctness driver hard-checks the FIRST 50
@@ -31,88 +32,94 @@ from . import round11  # noqa: F401,E402
 # re-proofs + TPC-H + breadth/sketch/graph/round-3b block (50/50 green),
 # r5 the final 50 never-checked entries (50/50 green -> cumulative 200/200
 # over the round-4 registry).
-# Round 12 window (VERDICT r11 "Next round" #3 — lead with entries
-# whose code moves in r12, then retire the full 37-entry r07 vintage,
-# filling the remainder from the oldest r08 block; after this window no
-# entry's latest verdict predates r08):
-# 1. Changed-code entries first: streaming_engagement_sink_equiv (the
-#    entry gained a DuckDB oracle + the time-tercile staging redesign +
-#    the single-presence-read sink body, VERDICT r11 #1/#2), then
-#    dedup_sorted_neighborhood + record_linkage_fellegi_sunter
-#    back-to-back (both now compose the session-memoized
-#    snm_candidates_shared relation, VERDICT r11 #6 — the builder runs
-#    first so the linkage scorer exercises the memo-hit path under the
-#    driver's eyes).
-# 2. The full 37-entry r07 vintage, grouped by scan family so shared
-#    relations stay hot: documents block, embeddings block, events
-#    block, orders/customer block (bpe_char_pair_counts immediately
-#    before its word_freq_shared sharer bpe_learn_merges, pulled
-#    forward from the r08 fill to keep the RUN_AFTER adjacency inside
-#    the window).
-# 3. ~10 from the oldest r08 block (documents scans, standalone
-#    pipelines only — decontaminate_test_split stays OUT: it composes
-#    the trigram dedup block's persisted plans and must keep its
-#    RUN_AFTER anchor adjacency, the r10 42.7 s scatter lesson).
+# Round 13 window (VERDICT r12 "Next round" #2 — lead with entries
+# whose code moves in r13, then retire the full remaining 33-entry r08
+# vintage, filling the remainder from the oldest r09 block; after this
+# window no entry's latest verdict predates r09):
+# 1. Changed-code leads: streaming_engagement_sink_equiv (sink redesign
+#    round 2 — merged rewrite writes, footer-stats replace_range,
+#    day-grain contract, VERDICT r12 #1), scd2_customer_history (its
+#    merge() now stages source+survivors as ONE write), and the NEW
+#    multimodal_patch_stats entry (VERDICT r12 #5).
+# 2. The trigram-minhash block from the oldest r09 vintage, ordered so
+#    the designated cache builder (dedup_minhash_lsh) leads and the r08
+#    stragglers that compose its persisted relations
+#    (ppjoin_prefix_similarity after lsh_recall_contract — the r8 fix —
+#    and decontaminate_test_split) sit inside the block, preserving
+#    their RUN_AFTER adjacencies inside the window.
+# 3. The rest of the 33-entry r08 vintage grouped by scan family
+#    (documents, embeddings, events, scalar/dimension), with
+#    multimodal_frame_offsets adjacent to the new patch-stats entry
+#    (same binary-payload scan).
+# 4. Remaining slots from the oldest r09 block: standalone events/TPC-H
+#    scans.
 # Pinned by tests/test_registry_contract so a new registration cannot
 # silently evict driver coverage.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
     # changed-code leads
     "streaming_engagement_sink_equiv",
-    "dedup_sorted_neighborhood",
-    "record_linkage_fellegi_sunter",
-    # r07 vintage: documents scans
-    "bm25_lexical_topk",
-    "bpe_char_pair_counts",
-    "bpe_learn_merges",
-    "multimodal_feature_extract",
-    "chunk_documents_overlap",
-    "dataset_mix_by_lang",
-    "decontaminate_ngram_exact",
-    "dedup_exact",
-    "dedup_keep_best_quality",
-    "dedup_simhash_hamming",
-    "inverted_index_bigrams",
-    "ks_length_drift_by_source",
-    "mann_whitney_auc_by_source",
-    "quality_percentile_gate",
-    "sample_stratified_quota",
-    "sample_weighted_topk",
-    "sequence_pack_offsets",
-    "t_closeness_audit",
-    "text_entropy_quality",
-    "text_langid_scores",
-    "text_quality_scores",
-    "text_tfidf_top_terms",
-    "text_winnow_fingerprints",
-    "train_test_split_stats",
-    "word_pair_pmi",
-    # r08 fill: documents scans (standalone pipelines)
-    "boilerplate_prefix_groups",
-    "cms_heavy_hitters",
-    "decontaminate_semantic_topmatch",
-    "dsir_importance_weights",
-    "html_strip_markup",
-    "passage_dedup_rewrite",
-    "passage_exact_dedup",
-    "pii_scrub_counts",
-    "text_normalize_clean",
-    # r07 vintage: embeddings scans
-    "dedup_embedding_cosine",
-    "embedding_quantize_int8",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_kmeans",
-    "similarity_cosine_topk",
-    "similarity_mmr_diverse",
-    # r07 vintage: events scans
-    "asof_join_clicks_views",
-    "benford_digit_audit",
-    "interval_join_views_clicks",
-    "psi_value_drift",
-    "sessionize_events",
-    # r07 vintage: orders/customer scans
-    "range_join_price_bands",
     "scd2_customer_history",
+    # r09 trigram-minhash block (anchor first; cache-sharing followers
+    # adjacent — RUN_AFTER is a no-op inside the window, so the order
+    # here IS the adjacency)
+    "dedup_minhash_lsh",
+    "minhash_estimate_contract",
+    "lsh_recall_contract",
+    "ppjoin_prefix_similarity",  # r08; shares ppjoin_pairs_frame w/ above
+    "decontaminate_test_split",  # r08; composes the block's persisted plans
+    "lsh_recall_contract_sampled",
+    "dedup_clusters",
+    "dedup_shrinkage_by_source",
+    "neardup_cluster_stats",
+    "graph_pagerank_neardup",
+    "graph_triangle_counts",
+    # r09 embeddings: the sign-LSH band-index builder (its follower
+    # dedup_semantic_prune re-anchors via RUN_AFTER just past the window)
+    "similarity_ann_rp_lsh",
+    # r08 embeddings scans
+    "embedding_outlier_scores",
+    "hard_negative_topk",
+    "kmv_join_cardinality",
+    "pca_power_iteration",
+    # r08 documents scans (standalone pipelines)
+    "sample_hash_bernoulli",
+    "source_unigram_kl",
+    "text_token_counts",
+    "url_extract_normalize",
+    "vocab_oov_rate",
+    "bloom_membership_check",
+    # r08 events scans
+    "date_filter_single_day",
+    "distinct_exact",
+    "error_capture_routing",
+    "filter_dispatch",
+    "grouping_rollup",
+    "pivot_daily_event_values",
+    "retention_keep_side",
+    "set_operations",
+    "unpivot_event_metrics",
+    "window_running_analytics",
+    "order_limit_topn",
+    # r09 fill: standalone events/orders scans
+    "dau_wau_engagement",
+    "rolling_7d_user_value",
+    "set_operations_all",
+    "tpch_q4_order_priority",
+    # r08 scalar/dimension scans
+    "base64_roundtrip",
+    "broadcast_route_lookup",
+    "join_anti",
+    "join_semi",
+    "log_path_and_format",
+    "path_stem_extract",
+    "regex_filename_cleanup",
+    "sql_api_passthrough",
+    "uuid_stable",
+    # r08 multimodal plumbing + the NEW r13 analytic over the same
+    # binary payloads (adjacent: same documents/multimodal scan)
+    "multimodal_frame_offsets",
+    "multimodal_patch_stats",
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules
