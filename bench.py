@@ -14,9 +14,12 @@ final small result), matching how the driver's correctness harness consumes
 them. Run with a query-name argument list to bench a subset.
 
 Full-suite runs self-calibrate: a pinned two-query probe runs isolated at
-suite start/middle/end and the record carries
+suite start, after every 50 queries, and at suite end; the record carries
 ``calibration.host_factor`` (best probe / pinned quiet-box expectation,
-floored at 1.0) plus ``calibrated_s_per_query`` and ``host_noise``
+floored at 1.0), per-segment probes with
+``degraded_segment_queries`` (queries whose segment's bounding probes
+exceed 2x the suite best — read those via their segment factor, round-12
+VERDICT #3), plus ``calibrated_s_per_query`` and ``host_noise``
 (in-suite > 5x isolated-warm) — so a degraded-host record is readable as
 such without cross-referencing BASELINE.md (round-10's 751 s record
 needed hand forensics to attribute to a host storm).
@@ -31,7 +34,7 @@ import time
 
 #: Calibration probe: two cheap, stable, fixed queries (the flagship
 #: scan-agg + a TPC-H single-pass filter-agg) run ISOLATED — gc first,
-#: nothing else in flight — at suite start, middle, and end. Round-10
+#: nothing else in flight — at suite start, every 50 queries, and end. Round-10
 #: forensics: same-code suite totals ranged 316-663 s in one day purely
 #: from host weather, and nothing in the committed JSON said so; the
 #: probe gives every bench record its own deflator (VERDICT r10 #1).
@@ -115,33 +118,52 @@ def main() -> int:
     # SPARK_GRAFT_BENCH_NO_GC=1) disables.
     gc_every_raw = os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8")
     gc_every = 0 if os.environ.get("SPARK_GRAFT_BENCH_NO_GC") == "1" else int(gc_every_raw)
-    # start / middle / end isolated probes (full-suite runs only — subset
-    # runs are dev loops and must stay cheap)
+    # SEGMENTED isolated probes (full-suite runs only — subset runs are
+    # dev loops and must stay cheap): one probe at suite start, one
+    # after every PROBE_EVERY queries, one at suite end. Start/middle/
+    # end probes (round 11) let a mid-suite host collapse hide inside
+    # one best-probe deflator (round 12: probes [1.31x, 1.18x, 4.20x]
+    # and nothing said WHICH queries ran on the degraded box) — the
+    # per-segment probes make a degraded-host record per-query readable
+    # without a separate clean run (VERDICT r12 "Next round" #3).
+    PROBE_EVERY = 50
     probes_s: list[float] = []
-    run_names = [n for n in QUERIES if not only or n in only]
-    midpoint = run_names[len(run_names) // 2] if run_names else None
-    if not only:
+    #: parallel to probes_s: how many queries had finished at the probe
+    probe_at: list[int] = []
+    #: query name -> index of the segment (between consecutive probes)
+    segment_of: dict[str, int] = {}
+
+    def _probe(done: int, label: str) -> None:
         probes_s.append(_run_calibration_probe(spark, QUERIES, sf_dir))
-        print(f"# calibration probe (start): {probes_s[-1]:.2f}s", file=sys.stderr)
+        probe_at.append(done)
+        print(
+            f"# calibration probe ({label}, after {done}):"
+            f" {probes_s[-1]:.2f}s",
+            file=sys.stderr,
+        )
+
+    if not only:
+        _probe(0, "start")
+    n_done = 0
     for i, (name, fn) in enumerate(QUERIES.items()):
         if only and name not in only:
             continue
-        if not only and name == midpoint:
-            probes_s.append(_run_calibration_probe(spark, QUERIES, sf_dir))
-            print(f"# calibration probe (middle): {probes_s[-1]:.2f}s", file=sys.stderr)
         t0 = time.time()
         # Arrow transfer: measures engine throughput, not py4j Row
         # materialization (which is 2x the query time on multi-million-row
         # outputs)
         n = fn(spark, sf_dir).toArrow().num_rows
         timings[name] = round(time.time() - t0, 3)
+        segment_of[name] = len(probes_s) - 1
         peak_storage_mb = max(peak_storage_mb, _storage_mb())
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
         if gc_every and (i + 1) % gc_every == 0:
             spark._jvm.System.gc()
-    if not only:
-        probes_s.append(_run_calibration_probe(spark, QUERIES, sf_dir))
-        print(f"# calibration probe (end): {probes_s[-1]:.2f}s", file=sys.stderr)
+        n_done += 1
+        if not only and n_done % PROBE_EVERY == 0:
+            _probe(n_done, "segment")
+    if not only and (not probe_at or probe_at[-1] != n_done):
+        _probe(n_done, "end")
 
     # Self-triage: in-suite per-query numbers are position-dependent (the
     # first consumer of a shared persisted relation pays the whole block's
@@ -185,6 +207,7 @@ def main() -> int:
     # > 5x their isolated-warm re-run (and > 2 s absolute): storm
     # victims, not plan regressions.
     calibration = None
+    degraded_queries: list[str] = []
     if probes_s:
         probe_best = min(probes_s)
         factor = (
@@ -192,12 +215,40 @@ def main() -> int:
             if sf_val == 0.1
             else None  # expectation pinned at sf0.1 only
         )
+        # per-segment readability: a query's host state is bounded by
+        # the probes on either side of it; the OPTIMISTIC bound (min of
+        # the two) flags only genuinely degraded stretches. Queries in
+        # a segment whose bounding-min probe exceeds 2x the suite-best
+        # ran on a measurably different box than the deflator claims —
+        # their in-suite numbers should be read via their own segment
+        # factor, not host_factor.
+        segments = []
+        for k in range(len(probes_s)):
+            hi_p = probes_s[k + 1] if k + 1 < len(probes_s) else probes_s[k]
+            seg_probe = min(probes_s[k], hi_p)
+            segments.append(
+                {
+                    "after_n": probe_at[k],
+                    "probe_s": probes_s[k],
+                    "segment_probe_s": round(seg_probe, 3),
+                    "segment_factor_vs_best": round(seg_probe / probe_best, 2),
+                }
+            )
+        degraded = {
+            k for k, s in enumerate(segments)
+            if s["segment_probe_s"] > 2 * probe_best
+        }
+        degraded_queries = sorted(
+            n for n, k in segment_of.items() if k in degraded
+        )
         calibration = {
             "probe_queries": list(CALIBRATION_QUERIES),
             "probes_s": probes_s,
             "probe_s": probe_best,
             "expected_s": CALIBRATION_EXPECTED_S if sf_val == 0.1 else None,
             "host_factor": factor,
+            "segments": segments,
+            "degraded_segment_queries": degraded_queries,
             # expected_s is pinned to ONE box; on any other host the
             # deflator is computed against an expectation that does not
             # hold there (and the 1.0 floor hides faster hosts). The raw
