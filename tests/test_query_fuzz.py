@@ -649,3 +649,127 @@ def test_spark_and_duckdb_agree_on_case_null_semantics(spark, duck, q):
     assert spark_rows == duck_rows, (
         f"\nSQL: {sql}\nspark={spark_rows[:5]}\nduck={duck_rows[:5]}"
     )
+
+
+# --- set operations + DISTINCT aggregates over nullable keys ----------------
+# Surface 6 (VERDICT r12 "Next round" #6): UNION / EXCEPT / INTERSECT in
+# both ALL and DISTINCT forms, over projections whose key columns are
+# deliberately NULL-producing (CASE with no ELSE, NULLIF) — the classic
+# remaining disagreement class: set-op NULL equality (NULL = NULL in set
+# ops, unlike predicates), duplicate multiplicity in the ALL forms
+# (EXCEPT ALL subtracts per-occurrence), and COUNT(DISTINCT) over groups
+# that include a NULL key. Both the combined relation's exact row
+# multiset AND a distinct-aggregate summary over it are compared.
+
+_NK = st.one_of(
+    # CASE WHEN user_id % k = r THEN user_id END  (NULL elsewhere)
+    st.tuples(
+        st.just("user_case"),
+        st.integers(min_value=2, max_value=5),
+        st.integers(min_value=0, max_value=4),
+    ),
+    # NULLIF(event_type, t)
+    st.tuples(st.just("etype_nullif"), st.sampled_from(_EVENT_TYPES)),
+    # day, never NULL (exercises mixed null/non-null key tuples)
+    st.tuples(st.just("day")),
+)
+
+_SETOP = st.sampled_from(
+    ["UNION ALL", "UNION", "EXCEPT ALL", "EXCEPT", "INTERSECT ALL", "INTERSECT"]
+)
+
+_SETOP_QUERY = st.tuples(
+    st.lists(_NK, min_size=1, max_size=2, unique_by=lambda a: a[0]),
+    st.none() | _ATOM,  # branch 1 filter
+    st.none() | _ATOM,  # branch 2 filter
+    _SETOP,
+)
+
+
+def _nk_sql(a) -> str:
+    if a[0] == "user_case":
+        return (
+            f"CASE WHEN (user_id % {a[1]}) = {a[2]} THEN user_id END"
+        )
+    if a[0] == "etype_nullif":
+        return f"NULLIF(event_type, '{a[1]}')"
+    return "CAST(ts AS DATE)"
+
+
+def _nk_spark(a):
+    if a[0] == "user_case":
+        return F.when((F.col("user_id") % a[1]) == a[2], F.col("user_id"))
+    if a[0] == "etype_nullif":
+        return F.nullif(F.col("event_type"), F.lit(a[1]))
+    return F.to_date("ts")
+
+
+_SETOP_SPARK = {
+    "UNION ALL": lambda a, b: a.union(b),
+    "UNION": lambda a, b: a.union(b).distinct(),
+    "EXCEPT ALL": lambda a, b: a.exceptAll(b),
+    "EXCEPT": lambda a, b: a.subtract(b),
+    "INTERSECT ALL": lambda a, b: a.intersectAll(b),
+    "INTERSECT": lambda a, b: a.intersect(b),
+}
+
+
+@settings(
+    max_examples=_MAX_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=_SETOP_QUERY)
+def test_spark_and_duckdb_agree_on_set_operations(spark, duck, q):
+    keys, f1, f2, op = q
+    e = load_table(spark, SF, "events")
+    names = [f"k{i}" for i in range(len(keys))]
+    key_sql = ", ".join(
+        f"{_nk_sql(a)} AS {n}" for a, n in zip(keys, names)
+    )
+
+    def branch_sql(flt) -> str:
+        where = f" WHERE {_atom_sql(flt)}" if flt is not None else ""
+        return f"SELECT {key_sql} FROM events{where}"
+
+    def branch_spark(flt):
+        sdf = e
+        if flt is not None:
+            sdf = sdf.filter(_atom_spark(flt))
+        return sdf.select(
+            *[_nk_spark(a).alias(n) for a, n in zip(keys, names)]
+        )
+
+    combined_sql = f"({branch_sql(f1)}) {op} ({branch_sql(f2)})"
+    combined = _SETOP_SPARK[op](branch_spark(f1), branch_spark(f2))
+
+    # 1) exact row multiset of the combined relation
+    spark_rows = _norm(
+        [tuple(r) for r in combined.collect()], names
+    )
+    duck_rows = _norm(duck.execute(combined_sql).fetchall(), names)
+    assert spark_rows == duck_rows, (
+        f"\nSQL: {combined_sql}\nspark={spark_rows[:5]}\nduck={duck_rows[:5]}"
+    )
+
+    # 2) DISTINCT aggregates over the combined relation, grouped by the
+    # first key (NULL group included); COUNT(*) vs COUNT(col) vs
+    # COUNT(DISTINCT col) pin the three NULL-counting semantics at once
+    g, v = names[0], names[-1]
+    agg_sql = (
+        f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT({v}) AS BIGINT) AS n_nonnull, "
+        f"CAST(COUNT(DISTINCT {v}) AS BIGINT) AS nd "
+        f"FROM ({combined_sql}) GROUP BY {g}"
+    )
+    agg = combined.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(v).cast("long").alias("n_nonnull"),
+        F.countDistinct(v).cast("long").alias("nd"),
+    )
+    cols = [g, "n", "n_nonnull", "nd"]
+    spark_agg = _norm([tuple(r) for r in agg.select(*cols).collect()], cols)
+    duck_agg = _norm(duck.execute(agg_sql).fetchall(), cols)
+    assert spark_agg == duck_agg, (
+        f"\nSQL: {agg_sql}\nspark={spark_agg[:5]}\nduck={duck_agg[:5]}"
+    )
