@@ -257,3 +257,32 @@ def test_replay_with_concurrent_commit_does_not_resurrect(spark, tmp_path):
     # resurrect the deleted rows into the profile
     assert presence.exists() and not presence.active_files()
     assert _profile_rows(spark, profile) == {}
+
+
+def test_sink_entry_gates_fixed_floor_tools_to_small_inputs(spark, monkeypatch):
+    """The distinct-skip (day_grain_input), the single-file novelty
+    hint and the scoped narrow-shuffle confs are all FIXED-FLOOR tools:
+    the same-hour sf10 A/B measured the distinct-skip at ~2.4x the
+    whole batch loop (the distinct's shuffle pre-partitions the batch
+    for the anti-join and normalizes the cached layout — BASELINE.md
+    round-13), so the entry must disengage every one of them on the
+    >= 64 MB path and engage all of them below it."""
+    import weather_data_ingestion_gcp_spark.plans.round10 as r10
+
+    calls = []
+
+    def fake_run(spark_, ev, novelty_files=None, day_grain=True):
+        calls.append({
+            "novelty_files": novelty_files,
+            "day_grain": day_grain,
+            "aqe": spark_.conf.get("spark.sql.adaptive.enabled"),
+        })
+        return spark_.range(1)
+
+    monkeypatch.setattr(r10, "_staged_sink_run", fake_run)
+    r10.streaming_engagement_sink_equiv(spark, "/root/testdata/sf0.001")
+    monkeypatch.setattr(r10.os.path, "getsize", lambda p: 65 << 20)
+    r10.streaming_engagement_sink_equiv(spark, "/root/testdata/sf0.001")
+    small, big = calls
+    assert small == {"novelty_files": 1, "day_grain": True, "aqe": "false"}
+    assert big == {"novelty_files": None, "day_grain": False, "aqe": "true"}

@@ -136,7 +136,18 @@ def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFra
         for f in ev.inputFiles()
     )
     if _bytes >= (64 << 20):
-        return _staged_sink_run(spark, ev)
+        # decade-scale path: session defaults AND the sink's own
+        # per-batch distinct — the day-grain contract flag is gated
+        # below with the other fixed-floor tools. The distinct is
+        # semantically redundant here (the staged relation is already
+        # (user, day)-deduped), but its shuffle is LOAD-BEARING at
+        # scale: it pre-partitions the batch on the anti-join keys and
+        # normalizes the cached batch layout, and the same-hour sf10
+        # A/B measured the skip at ~2.4x the whole entry (56 s vs 23 s
+        # batch loop; slice recompute 33.5 s vs 8.2 s — BASELINE.md
+        # round-13). Fixed-floor savings belong to the small-input
+        # regime only.
+        return _staged_sink_run(spark, ev, day_grain=False)
     _scoped = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": "8",
@@ -156,7 +167,10 @@ def streaming_engagement_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _staged_sink_run(
-    spark: SparkSession, ev: DataFrame, novelty_files: int | None = None
+    spark: SparkSession,
+    ev: DataFrame,
+    novelty_files: int | None = None,
+    day_grain: bool = True,
 ) -> DataFrame:
     """Body of streaming_engagement_sink_equiv (runs under the scoped
     per-batch confs; the returned frame executes later under the
@@ -204,12 +218,16 @@ def _staged_sink_run(
     # day_grain_input: the staged relation is ev.distinct() over
     # (user_id, to_date(ts)) — already (user, day)-deduped, and the
     # terciles partition it, so each batch honors the sink's day-grain
-    # contract and the per-batch distinct shuffle is provably redundant
+    # contract and the per-batch distinct shuffle is DEDUP-redundant.
+    # It is only skipped in the small-input regime (day_grain=True from
+    # the gated caller): at decade scale the distinct's shuffle is
+    # load-bearing for layout, not dedup — see the gate comment in
+    # streaming_engagement_sink_equiv.
     sink = engagement_sink(
         presence,
         profile,
         "driver-equiv",
-        day_grain_input=True,
+        day_grain_input=day_grain,
         novelty_files=novelty_files,
     )
     for i in range(3):

@@ -71,7 +71,12 @@ def engagement_sink(
     staged replay of a deduped relation), so the sink skips its own
     per-batch ``distinct`` — one whole shuffle per batch. The presence
     table's correctness depends on the contract holding; leave False
-    for raw event streams.
+    for raw event streams. It is a SMALL-BATCH tool like
+    ``novelty_files``: the distinct's shuffle also pre-partitions the
+    batch on the anti-join keys and normalizes the cached batch
+    layout, and at decade scale skipping it measured the whole batch
+    loop ~2.4x slower (sf10 same-hour A/B, BASELINE.md round-13) —
+    leave False for large batches even when the contract holds.
 
     ``novelty_files`` is a per-stream SIZING hint (the conf analog of
     sizing shuffle width to batch volume): coalesce the novelty delta
