@@ -773,3 +773,153 @@ def test_spark_and_duckdb_agree_on_set_operations(spark, duck, q):
     assert spark_agg == duck_agg, (
         f"\nSQL: {agg_sql}\nspark={spark_agg[:5]}\nduck={duck_agg[:5]}"
     )
+
+
+# --- RANGE-frame / peer-semantics fuzz over events ---------------------------
+# Seventh surface. The window surface above fuzzes ROWS frames; RANGE
+# frames are the remaining classic disagreement class: bounds are VALUE
+# offsets along the ordering direction, CURRENT ROW means the whole peer
+# group, ties are first-class (the order key is deliberately bucketed
+# coarse so almost every row has peers), the default frame with ORDER BY
+# is the peer-inclusive cumulative RANGE UNBOUNDED PRECEDING..CURRENT
+# ROW, and NULL order keys form their own peer group that value-offset
+# frames see in isolation. Every drawn output is deterministic by
+# construction: frame membership is value-determined, the aggregates are
+# order-insensitive, and FIRST/LAST_VALUE are taken of the ORDER KEY
+# itself (peers share it, so tie order cannot leak). Spark restricts
+# non-zero RANGE offsets to a single numeric order column — exactly this
+# shape.
+
+_RANGE_FUNCS = ["sum_v", "count_rows", "count_v", "min_v", "max_v",
+                "first_ob", "last_ob"]
+
+_RANGE_QUERY = st.tuples(
+    st.sampled_from(_RANGE_FUNCS),
+    st.lists(st.sampled_from(["event_type", "umod"]), max_size=2, unique=True),
+    st.sampled_from([5, 10, 25, 100]),     # order-key bucket modulus (tie density)
+    st.booleans(),                         # DESC ordering
+    st.booleans(),                         # NULLS FIRST
+    st.booleans(),                         # inject NULL order keys (user_id % 7)
+    st.one_of(                             # frame lo
+        st.none(),                         #   UNBOUNDED PRECEDING
+        st.just("cur"),                    #   CURRENT ROW (peer-group start)
+        st.integers(min_value=0, max_value=3),  # n PRECEDING (0 = value-equal)
+    ),
+    st.one_of(                             # frame hi
+        st.none(),                         #   UNBOUNDED FOLLOWING
+        st.just("cur"),                    #   CURRENT ROW (peer-group end)
+        st.integers(min_value=0, max_value=3),  # n FOLLOWING
+    ),
+    st.booleans(),                         # default frame (ORDER BY, no frame)
+)
+
+
+@settings(
+    max_examples=_MAX_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=_RANGE_QUERY)
+def test_spark_and_duckdb_agree_on_range_frames(spark, duck, q):
+    from pyspark.sql import Window
+
+    func, pkeys, mod, desc, nf, nulls_in, lo, hi, default_frame = q
+
+    e = load_table(spark, SF, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    obkt = cents % mod
+    if nulls_in:
+        obkt = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(obkt)
+    sdf = e.select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 4).alias("umod"),
+        obkt.alias("obkt"),
+        cents.alias("vcents"),
+    )
+
+    okey = F.col("obkt")
+    okey = (
+        (okey.desc_nulls_first() if nf else okey.desc_nulls_last())
+        if desc
+        else (okey.asc_nulls_first() if nf else okey.asc_nulls_last())
+    )
+    w = Window.partitionBy(*pkeys).orderBy(okey)
+    if not default_frame:
+        slo = (
+            Window.unboundedPreceding
+            if lo is None
+            else (Window.currentRow if lo == "cur" else -lo)
+        )
+        shi = (
+            Window.unboundedFollowing
+            if hi is None
+            else (Window.currentRow if hi == "cur" else hi)
+        )
+        w = w.rangeBetween(slo, shi)
+
+    dirs = "DESC" if desc else "ASC"
+    nulls = "NULLS FIRST" if nf else "NULLS LAST"
+    psql = f"PARTITION BY {', '.join(pkeys)} " if pkeys else ""
+    if default_frame:
+        frame = ""
+    else:
+        flo = (
+            "UNBOUNDED PRECEDING"
+            if lo is None
+            else ("CURRENT ROW" if lo == "cur" else f"{lo} PRECEDING")
+        )
+        fhi = (
+            "UNBOUNDED FOLLOWING"
+            if hi is None
+            else ("CURRENT ROW" if hi == "cur" else f"{hi} FOLLOWING")
+        )
+        frame = f" RANGE BETWEEN {flo} AND {fhi}"
+
+    agg = {
+        "sum_v": F.sum("vcents"),
+        "count_rows": F.count(F.lit(1)),
+        "count_v": F.count("vcents"),
+        "min_v": F.min("vcents"),
+        "max_v": F.max("vcents"),
+        "first_ob": F.first("obkt"),
+        "last_ob": F.last("obkt"),
+    }[func].over(w)
+    inner = {
+        "sum_v": "SUM(vcents)",
+        "count_rows": "COUNT(*)",
+        "count_v": "COUNT(vcents)",
+        "min_v": "MIN(vcents)",
+        "max_v": "MAX(vcents)",
+        "first_ob": "FIRST_VALUE(obkt)",
+        "last_ob": "LAST_VALUE(obkt)",
+    }[func]
+    over = f"({psql}ORDER BY obkt {dirs} {nulls}{frame})"
+
+    null_ob = (
+        "CASE WHEN user_id % 7 = 0 THEN NULL ELSE cents % {m} END"
+        if nulls_in
+        else "cents % {m}"
+    ).format(m=mod)
+    sql = (
+        "WITH t AS (SELECT event_id, event_type, user_id, "
+        "user_id % 4 AS umod, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events), "
+        f"u AS (SELECT event_id, event_type, umod, {null_ob} AS obkt, "
+        "cents AS vcents FROM t) "
+        f"SELECT event_id, CAST({inner} OVER {over} AS BIGINT) AS v FROM u"
+    )
+    cols = ["event_id", "v"]
+    spark_rows = _norm(
+        [
+            tuple(r)
+            for r in sdf.select(
+                "event_id", agg.cast("long").alias("v")
+            ).collect()
+        ],
+        cols,
+    )
+    duck_rows = _norm(duck.execute(sql).fetchall(), cols)
+    assert spark_rows == duck_rows, f"\nSQL: {sql}\nfirst diff: " + str(
+        next(((a, b) for a, b in zip(spark_rows, duck_rows) if a != b), None)
+    )
