@@ -1249,3 +1249,57 @@ def test_multimodal_patch_stats_matches_numpy_reference(spark):
         r = got[k]
         assert (r.n_patches, r.mean_byte, r.max_patch_mean) == (n, mean_b, max_m)
         assert (r.p_dark, r.p_dim, r.p_mid, r.p_bright) == hist
+
+
+def test_multimodal_frame_energy_matches_python_reference(spark):
+    """frame_energy (plans/round13.py): the PCM interpretation must
+    match an independent per-byte reference — little-endian int16
+    pairing, sign fold at 32768, the odd trailing byte dropped, the
+    trailing partial frame kept, integer thresholds, and payloads too
+    short for one sample (no rows)."""
+    from weather_data_ingestion_gcp_spark.plans.round13 import (
+        _FRAME_SAMPLES,
+        _LOUD_AT_LEAST,
+        _SILENT_BELOW,
+        frame_energy,
+    )
+
+    texts = [
+        (0, "a"),                       # 1 byte: no complete sample
+        (1, ""),                        # empty
+        (2, "ab"),                      # exactly one sample
+        (3, "x" * 257),                 # 128 samples + odd tail byte
+        (4, "".join(chr(32 + (i * 11) % 90) for i in range(300))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    media = multimodal.with_binary_payload(df, "text", "doc_id")
+    got = {r.doc_id: r for r in frame_energy(media).collect()}
+
+    want = {}
+    for doc_id, text in texts:
+        b = text.encode()
+        samples = []
+        for i in range(0, (len(b) // 2) * 2, 2):
+            s = b[i] + 256 * b[i + 1]
+            samples.append(s - 65536 if s >= 32768 else s)
+        if not samples:
+            continue
+        frames = [
+            sum(v * v for v in samples[f:f + _FRAME_SAMPLES])
+            for f in range(0, len(samples), _FRAME_SAMPLES)
+        ]
+        want[doc_id] = (
+            len(frames),
+            sum(frames),
+            max(frames),
+            sum(1 for e in frames if e < _SILENT_BELOW),
+            sum(1 for e in frames if e >= _LOUD_AT_LEAST),
+        )
+
+    assert set(got) == set(want)
+    for doc_id, (n, tot, mx, sil, loud) in want.items():
+        r = got[doc_id]
+        assert (
+            r.n_frames, r.total_energy, r.max_frame_energy,
+            r.n_silent, r.n_loud,
+        ) == (n, tot, mx, sil, loud)

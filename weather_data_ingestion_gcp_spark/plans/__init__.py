@@ -105,7 +105,8 @@ DRIVER_WINDOW = [
     "dau_wau_engagement",
     "rolling_7d_user_value",
     "set_operations_all",
-    "tpch_q4_order_priority",
+    # (tpch_q4_order_priority stays on its r09 verdict — swapped out for
+    # the new frame-energy entry; the no-pre-r09 goal is unaffected)
     # r08 scalar/dimension scans
     "base64_roundtrip",
     "broadcast_route_lookup",
@@ -120,6 +121,7 @@ DRIVER_WINDOW = [
     # binary payloads (adjacent: same documents/multimodal scan)
     "multimodal_frame_offsets",
     "multimodal_patch_stats",
+    "multimodal_frame_energy",  # NEW r13: audio sibling, same scan
 ]
 
 #: Tail adjacency: cache-sharing queries registered in different modules
