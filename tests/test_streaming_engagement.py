@@ -286,3 +286,22 @@ def test_sink_entry_gates_fixed_floor_tools_to_small_inputs(spark, monkeypatch):
     small, big = calls
     assert small == {"novelty_files": 1, "day_grain": True, "aqe": "false"}
     assert big == {"novelty_files": None, "day_grain": False, "aqe": "true"}
+
+
+def test_sink_entry_big_input_path_matches_small_path(spark, monkeypatch):
+    """The >= 64 MB path (session-default confs, sink-side distinct, no
+    novelty sizing) is the one the decade probes exercise — give it
+    CORRECTNESS coverage too: forced onto sf0.001 via a faked file
+    size, it must produce exactly the small path's converged profile,
+    with the raise_error equivalence guard live on both."""
+    import weather_data_ingestion_gcp_spark.plans.round10 as r10
+
+    entry = r10.streaming_engagement_sink_equiv
+    small = {r.d: r for r in entry(spark, "/root/testdata/sf0.001").collect()}
+    monkeypatch.setattr(r10.os.path, "getsize", lambda p: 65 << 20)
+    big = {r.d: r for r in entry(spark, "/root/testdata/sf0.001").collect()}
+    assert set(small) == set(big) and len(big) > 0
+    for d, s in small.items():
+        b = big[d]
+        assert (s.dau, s.wau, s.stickiness) == (b.dau, b.wau, b.stickiness)
+        assert s.agrees_with_batch and b.agrees_with_batch
