@@ -923,3 +923,107 @@ def test_spark_and_duckdb_agree_on_range_frames(spark, duck, q):
     assert spark_rows == duck_rows, f"\nSQL: {sql}\nfirst diff: " + str(
         next(((a, b) for a, b in zip(spark_rows, duck_rows) if a != b), None)
     )
+
+
+# --- datetime-semantics fuzz over events -------------------------------------
+# Eighth surface. Date/time is the classic convention minefield between
+# engines: day-of-week numbering (Spark's dayofweek is 1=Sunday..7,
+# DuckDB's dow is 0=Sunday..6 — both sides here render the ISO form a
+# user would actually write), ISO week-of-year at year boundaries,
+# date_trunc('week') anchoring, end-of-month clamping in month
+# arithmetic (add_months vs + INTERVAL), and datediff sign conventions.
+# Every drawn output is an integer or a DATE — no floats, no string
+# formatting (Java vs strftime patterns are intentionally out of scope).
+
+_DT_FUNCS = [
+    ("trunc", "year"), ("trunc", "quarter"), ("trunc", "month"),
+    ("trunc", "week"), ("trunc", "day"),
+    ("extract", "year"), ("extract", "quarter"), ("extract", "month"),
+    ("extract", "day"), ("extract", "hour"), ("extract", "doy"),
+    ("extract", "week"), ("extract", "isodow"),
+    ("add_days", None), ("add_months", None), ("datediff", None),
+    ("last_day", None),
+]
+
+_DT_QUERY = st.tuples(
+    st.sampled_from(_DT_FUNCS),
+    st.integers(min_value=-25, max_value=25),   # day/month offset
+    st.dates(dt.date(2023, 11, 15), dt.date(2024, 3, 15)),  # datediff anchor
+    st.booleans(),                              # also group+count by the value
+)
+
+
+@settings(
+    max_examples=_MAX_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=_DT_QUERY)
+def test_spark_and_duckdb_agree_on_datetime_semantics(spark, duck, q):
+    (kind, unit), off, anchor, grouped = q
+
+    e = load_table(spark, SF, "events")
+
+    if kind == "trunc":
+        col = F.date_trunc(unit, F.col("ts")).cast("date")
+        vsql = f"CAST(date_trunc('{unit}', ts) AS DATE)"
+    elif kind == "extract":
+        col = {
+            "year": F.year("ts"),
+            "quarter": F.quarter("ts"),
+            "month": F.month("ts"),
+            "day": F.dayofmonth("ts"),
+            "hour": F.hour("ts"),
+            "doy": F.dayofyear("ts"),
+            "week": F.weekofyear("ts"),
+            # ISO dow (1=Monday..7) — the form portable code writes;
+            # Spark's raw dayofweek is 1=Sunday, DuckDB's raw dow is
+            # 0=Sunday, and comparing either raw form would just test
+            # the documented divergence
+            "isodow": (F.dayofweek("ts") + 5) % 7 + 1,
+        }[unit].cast("long")
+        vsql = {
+            "year": "EXTRACT(year FROM ts)",
+            "quarter": "EXTRACT(quarter FROM ts)",
+            "month": "EXTRACT(month FROM ts)",
+            "day": "EXTRACT(day FROM ts)",
+            "hour": "EXTRACT(hour FROM ts)",
+            "doy": "EXTRACT(doy FROM ts)",
+            "week": "EXTRACT(week FROM ts)",
+            "isodow": "EXTRACT(isodow FROM ts)",
+        }[unit]
+        vsql = f"CAST({vsql} AS BIGINT)"
+    elif kind == "add_days":
+        col = F.date_add(F.to_date("ts"), off)
+        vsql = f"CAST(ts AS DATE) + {off}"
+    elif kind == "add_months":
+        # both engines clamp to month end (2024-01-31 + 1 month ->
+        # 2024-02-29); the fuzz pins that the CLAMPED results agree
+        col = F.add_months(F.to_date("ts"), off)
+        vsql = f"CAST(CAST(ts AS DATE) + ({off}) * INTERVAL 1 MONTH AS DATE)"
+    elif kind == "datediff":
+        col = F.datediff(F.to_date("ts"), F.lit(anchor.isoformat()).cast("date")).cast("long")
+        vsql = f"CAST(date_diff('day', DATE '{anchor.isoformat()}', CAST(ts AS DATE)) AS BIGINT)"
+    else:  # last_day
+        col = F.last_day(F.to_date("ts"))
+        vsql = "last_day(CAST(ts AS DATE))"
+
+    if grouped:
+        got = e.select(col.alias("v")).groupBy("v").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        sql = (
+            f"SELECT {vsql} AS v, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1"
+        )
+        cols = ["v", "n"]
+    else:
+        got = e.select("event_id", col.alias("v"))
+        sql = f"SELECT event_id, {vsql} AS v FROM events"
+        cols = ["event_id", "v"]
+
+    spark_rows = _norm([tuple(r) for r in got.select(*cols).collect()], cols)
+    duck_rows = _norm(duck.execute(sql).fetchall(), cols)
+    assert spark_rows == duck_rows, f"\nSQL: {sql}\nfirst diff: " + str(
+        next(((a, b) for a, b in zip(spark_rows, duck_rows) if a != b), None)
+    )
