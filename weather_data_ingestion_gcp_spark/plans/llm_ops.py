@@ -1250,9 +1250,19 @@ def word_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     enter the join)."""
     min_co = 50
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(text.words(F.col("text"))).alias("token")
-    ).distinct()
+    # round-13 opt: the distinct (doc_id, token) relation is evaluated
+    # by three subtrees (the DF aggregate and both self-join legs);
+    # persist it so the tokenize+distinct shuffle runs once (guide
+    # §2.4 — share one exchange). MEMORY_ONLY via big=True: exploded
+    # token relations recompute cheaper than they disk-round-trip
+    # (persist_tracked docstring), and release_shingle_caches frees it
+    # with the dedup block's relations.
+    toks = dedup.persist_tracked(
+        d.select(
+            "doc_id", F.explode(text.words(F.col("text"))).alias("token")
+        ).distinct(),
+        big=True,
+    )
     n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     hot = dfc.filter(F.col("df") >= min_co).select("token")

@@ -171,11 +171,6 @@ def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", text_ops.words(F.col("text")).alias("ws"))
-    uni = (
-        w.select("doc_id", F.explode("ws").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     # bag bigrams (NOT the distinct shingles relation): same
     # projection-barrier discipline as dedup.shingles — ws materializes
     # in its own select before the multi-reference lambda
@@ -188,10 +183,56 @@ def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
-    big = (
-        w.select("doc_id", F.explode(big_arr).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Round-13 opt (guide §2.3/§2.4): ONE documents scan + ONE explode
+    # feeds both metric orders — grams carry an `ord` tag (1=unigram,
+    # 2=bigram) and the reference/candidate split rides the rows as
+    # (pair_id, side) instead of two filtered re-evaluations of each
+    # gram relation. The old per-metric {inner join + full-outer join +
+    # 3 aggregates} collapses into two stacked aggregates: counts per
+    # (pair_id, ord, g) pivoted to (ca, cb) by side, then per (pair_id,
+    # ord) the clipped-overlap / total sums. Join semantics preserved
+    # exactly: ca/cb stay NULL (never 0) when a side lacks the gram;
+    # the overlap term sums only both-sides-present grams (F.least
+    # skips nulls, hence the explicit guard); an order absent for a
+    # pair yields NULLs exactly like the old left joins. Plan: 29
+    # scans / 88 exchanges / 23 jobs -> 2 scans / 4 shuffles.
+    gram_structs = F.concat(
+        F.transform(
+            F.col("ws"), lambda g: F.struct(F.lit(1).alias("ord"), g.alias("g"))
+        ),
+        F.transform(
+            big_arr, lambda g: F.struct(F.lit(2).alias("ord"), g.alias("g"))
+        ),
+    )
+    grams = w.select(
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(gram_structs).alias("gs"),
+    ).select(
+        "pair_id", "side", F.col("gs.ord").alias("ord"), F.col("gs.g").alias("g")
+    )
+    cnt = grams.groupBy("pair_id", "ord", "g").agg(
+        F.sum(F.when(F.col("side") == 0, 1)).alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1)).alias("cb"),
+    )
+    m = cnt.groupBy("pair_id", "ord").agg(
+        F.sum(
+            F.when(
+                F.col("ca").isNotNull() & F.col("cb").isNotNull(),
+                F.least("ca", "cb"),
+            )
+        )
+        .cast("long")
+        .alias("ov"),
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum("cb").cast("long").alias("tb"),
+    )
+    piv = m.groupBy("pair_id").agg(
+        *[
+            F.max(F.when(F.col("ord") == o, F.col(c))).alias(f"{c}{o}")
+            for o in (1, 2)
+            for c in ("ov", "ta", "tb")
+        ]
     )
     pairs = (
         d.filter(F.col("doc_id") % 2 == 0)
@@ -202,31 +243,7 @@ def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     )
-
-    def metric(grams: DataFrame, tag: str) -> DataFrame:
-        a = grams.filter(F.col("doc_id") % 2 == 0).select(
-            F.col("doc_id").alias("pair_id"), "g", F.col("c").alias("ca")
-        )
-        b = grams.filter(F.col("doc_id") % 2 == 1).select(
-            (F.col("doc_id") - 1).alias("pair_id"), "g", F.col("c").alias("cb")
-        )
-        ov = (
-            a.join(b, ["pair_id", "g"])
-            .groupBy("pair_id")
-            .agg(F.sum(F.least("ca", "cb")).cast("long").alias(f"ov{tag}"))
-        )
-        ta = a.groupBy("pair_id").agg(
-            F.sum("ca").cast("long").alias(f"ta{tag}")
-        )
-        tb = b.groupBy("pair_id").agg(
-            F.sum("cb").cast("long").alias(f"tb{tag}")
-        )
-        return ta.join(tb, "pair_id", "full").join(ov, "pair_id", "left")
-
-    out = (
-        pairs.join(metric(uni, "1"), "pair_id", "left")
-        .join(metric(big, "2"), "pair_id", "left")
-    )
+    out = pairs.join(piv, "pair_id", "left")
 
     def ppm(tag: str) -> list:
         o = f"coalesce(ov{tag}, 0) * 1000000"

@@ -293,24 +293,39 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of the 30-day window vs second half. See module docstring."""
     e = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    r = e.select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.length(cents.cast("string")).cast("long").alias("bucket"),
+    # ONE events scan + ONE partial-aggregated shuffle: everything
+    # downstream (the half split, the smoothing grid's distinct event
+    # types / buckets, min(day)) derives from the tiny (type, day,
+    # bucket) count relation instead of re-scanning events per leg
+    # (round-13 opt: the 4-scan form compiled to 21 scans / 78
+    # exchanges and 18 jobs; this one is 1 scan of events). The
+    # relation is O(types x days x digit-buckets) — calendar-sized,
+    # safe to reference repeatedly at any corpus scale.
+    from ..operators.dedup import persist_tracked
+
+    base = persist_tracked(
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.length(cents.cast("string")).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("bc"))
     )
-    min_day = r.agg(F.min("day").alias("d0"))
-    half = r.crossJoin(F.broadcast(min_day)).select(
+    min_day = base.agg(F.min("day").alias("d0"))
+    half = base.crossJoin(F.broadcast(min_day)).select(
         "event_type",
         "bucket",
         F.when(F.col("day") < F.date_add(F.col("d0"), 15), F.lit(0))
         .otherwise(F.lit(1))
         .alias("h"),
+        "bc",
     )
     cnt = half.groupBy("event_type", "bucket", "h").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+        F.sum("bc").cast("long").alias("c")
     )
-    ets = r.select("event_type").distinct()
-    bks = r.select("bucket").distinct()
+    ets = base.select("event_type").distinct()
+    bks = base.select("bucket").distinct()
     hs = spark.range(2).select(F.col("id").cast("int").alias("h"))
     grid = ets.crossJoin(F.broadcast(bks)).crossJoin(F.broadcast(hs))
     sm = grid.join(cnt, ["event_type", "bucket", "h"], "left").select(
