@@ -667,7 +667,11 @@ def _pagerank_frame(d: DataFrame, pairs: DataFrame) -> DataFrame:
         # the persisted relation is O(nodes) — executor-cached and
         # spillable at any corpus size, never driver-side. The previous
         # round's (cached) scores ARE the node set, so no per-round
-        # re-scan of the documents table is needed.
+        # re-scan of the documents table is needed. (Round-13 probe: a
+        # per-round eager loop_frame checkpoint instead of this persist
+        # shrank the compiled tree 738 -> 12 Exchanges but moved the
+        # same jobs to construction time and measured SLOWER cold —
+        # 2.5 s -> 4.1 s capped — so the persist stands.)
         scores = dedup.cache_pairs_frame(
             scores.select("doc_id", "n")
             .join(inflow, "doc_id", "left")
@@ -751,8 +755,16 @@ def _triangle_frame(pairs: DataFrame) -> DataFrame:
     by the uncapped and capped graph entries."""
     from ..operators import dedup
 
-    # the wedge join scans the edge list three times in one plan
-    e = dedup.cache_pairs_frame(pairs.select("id_a", "id_b"))
+    # the wedge join scans the edge list three times in one plan; the
+    # persist makes execution share one materialization, and the
+    # loop_frame checkpoint additionally hands the three join legs a
+    # LEAF relation — without it each leg's logical plan embeds the
+    # whole minhash lineage and the compiled tree reached 1028
+    # Exchange nodes / 649 scans (round-13 probe), with every compile
+    # re-canonicalizing that tree against the CacheManager (warm 2.5 s
+    # -> see OPTIMIZATION_r13.md). The checkpoint materializes the
+    # O(near-dup pairs) relation once, reading the shared pairs cache.
+    e = dedup.loop_frame(dedup.cache_pairs_frame(pairs.select("id_a", "id_b")))
     e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
