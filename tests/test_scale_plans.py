@@ -884,6 +884,41 @@ def test_session_memo_registry_adds_no_retention():
     dedup.release_shingle_caches()
 
 
+def test_std_minhash_pairs_shared_and_content_identical(spark):
+    """Round-13 opt: the 13 standard-parameter minhash consumers
+    (dedup_minhash_lsh, dedup_clusters, the graph analytics,
+    lsh_recall_contract, the curation/pretrain composites, ...) read
+    one session-memoized verified-pairs relation instead of each
+    re-running the candidate join + Jaccard verify. The memo must (a)
+    hand every consumer the SAME persisted handle within a session and
+    (b) be byte-identical in content to the direct pipeline it
+    replaced (same operator, same parameters) — (b) is the
+    no-result-change contract for all 13 entries at once."""
+    from weather_data_ingestion_gcp_spark.operators import dedup
+    from weather_data_ingestion_gcp_spark.plans.registry import (
+        load_table,
+        std_minhash_pairs,
+    )
+
+    try:
+        a = std_minhash_pairs(spark, SF)
+        b = std_minhash_pairs(spark, SF)
+        assert a is b  # one build per (session, sf_dir)
+        assert a.storageLevel.useMemory or a.storageLevel.useDisk
+        d = load_table(spark, SF, "documents")
+        direct = dedup.minhash_near_duplicates(
+            d, "doc_id", "text", num_hashes=8, rows_per_band=2,
+            shingle_n=3, threshold=0.5,
+        )
+        got = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in a.collect()}
+        want = {
+            (r.id_a, r.id_b, round(r.jaccard, 9)) for r in direct.collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        dedup.release_shingle_caches()
+
+
 def test_dsir_topp_rank_is_range_partitioned_and_cached(spark):
     """The top-p cut needs an exact global rank over corpus-size
     weights; a bare `ROW_NUMBER() OVER (ORDER BY ...)` plans a

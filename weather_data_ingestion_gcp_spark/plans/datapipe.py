@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sampling, text
-from .registry import load_table, register, _sql_hex4_to_int  # noqa: F401 (re-export)
+from .registry import load_table, register, std_minhash_pairs, _sql_hex4_to_int  # noqa: F401 (re-export)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -405,9 +405,7 @@ def curation_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = text.quality_features(d, "text").select(
         "doc_id", "n_words", "stopword_ratio"
     )
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
-    )
+    pairs = std_minhash_pairs(spark, sf_dir)
     comp = graph.connected_components(
         d.select("doc_id"), pairs.select("id_a", "id_b")
     )

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, graph, multimodal, similarity, text
 from .registry import _sql_hex4_to_int
-from .registry import load_table, register
+from .registry import load_table, register, std_minhash_pairs
 
 # DuckDB fragment: distinct lowercase whitespace tokens, one row per (doc_id, token).
 _SQL_TOKENS = r"""
@@ -100,10 +100,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 9.5M LSH candidates at sf0.1 — while trigrams keep candidate
     counts proportional to true overlap). Unigram + bucket-cap skew control
     remains as dedup_minhash_lsh_capped."""
-    d = load_table(spark, sf_dir, "documents")
-    out = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
-    )
+    # session-shared standard-parameter pairs relation (registry.
+    # std_minhash_pairs): built once per session, every consumer entry
+    # reads the persisted O(pairs) relation instead of re-running the
+    # candidate join + verify
+    out = std_minhash_pairs(spark, sf_dir)
     # no ORDER BY: the driver compare is order-insensitive — a full sort
     # here is a pure waste of a range-partition shuffle
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -164,9 +165,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     form that survives 100 TB (state is (node, label) rows, never a
     transitive closure materialization)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
-    )
+    pairs = std_minhash_pairs(spark, sf_dir)
     comp = graph.connected_components(
         d.select("doc_id"), pairs.select("id_a", "id_b")
     )
@@ -1674,10 +1673,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
-        threshold=0.5,
-    )
+    pairs = std_minhash_pairs(spark, sf_dir)
     comp = graph.connected_components(
         d.select("doc_id"), pairs.select("id_a", "id_b")
     )

@@ -141,6 +141,36 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def std_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized verified near-dup pairs at the STANDARD
+    parameters (word-3-gram shingles, 8 hashes, rows_per_band=2,
+    Jaccard >= 0.5, no bucket cap) over the full documents table —
+    the one graph 13 registered entries analyze (dedup_minhash_lsh,
+    dedup_clusters, the graph analytics, lsh_recall_contract, the
+    curation/pretrain composites, ...). Round-13 opt (guide §2.4):
+    before this memo each entry re-ran the LSH verify pipeline per
+    invocation — execution shared the shingle/signature caches but the
+    candidate join + Jaccard verify re-executed every time (~0.5-1.2 s
+    warm per entry). One persisted (id_a, id_b, jaccard) relation —
+    O(near-dup pairs), far below corpus size, the same
+    session_memo_persist discipline as the SNM pair relation — makes
+    every later consumer a cache read. Consumers apply their own
+    projections/rounding; content is byte-identical to the per-entry
+    pipelines it replaces (same operator, same parameters)."""
+    from ..operators import dedup
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return dedup.minhash_near_duplicates(
+            d, "doc_id", "text", num_hashes=8, rows_per_band=2,
+            shingle_n=3, threshold=0.5,
+        )
+
+    return dedup.session_memo_persist(
+        spark, "std_minhash_pairs_tri8", sf_dir, build
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
     """Expose every driver table as a temp view so callers can speak raw
     Spark SQL — the reference's own query interface is SQL (stored

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from ..operators import sketch, text
 from .core import _cents
-from .registry import load_table, register
+from .registry import load_table, register, std_minhash_pairs
 
 #: DuckDB fragment: (doc_id, source, ws) with the shared word-split rule.
 _SQL_WS = r"""
@@ -1196,9 +1196,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup, graph, sampling
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
-    )
+    pairs = std_minhash_pairs(spark, sf_dir)
     comp = graph.connected_components(d.select("doc_id"), pairs.select("id_a", "id_b"))
     split = F.when(
         sampling.hash_bucket(F.col("component")) % 100 < 80, F.lit("train")

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 from ..operators import temporal, text
 from ..operators.similarity import _norm, dot_pandas
 from .core import _KMV_K, _KMV_SPACE, _sql_hex12_to_bigint
-from .registry import ORACLE, load_table, register
+from .registry import ORACLE, load_table, register, std_minhash_pairs
 
 _SQL_WORDS = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
 
@@ -704,10 +704,7 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
-    )
-    return _pagerank_frame(d, pairs)
+    return _pagerank_frame(d, std_minhash_pairs(spark, sf_dir))
 
 
 def _triangle_oracle(pairs: str | None = None) -> str:
@@ -743,11 +740,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     clique-clustered, so wedges stay within clusters."""
     from ..operators import dedup
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
-    )
-    return _triangle_frame(pairs)
+    return _triangle_frame(std_minhash_pairs(spark, sf_dir))
 
 
 def _triangle_frame(pairs: DataFrame) -> DataFrame:
@@ -1731,12 +1724,7 @@ def lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # same (id_a, id_b) subtree the graph-analytics queries persist —
     # CacheManager serves one shared entry across all of them
-    lsh = dedup.cache_pairs_frame(
-        dedup.minhash_near_duplicates(
-            d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
-            threshold=0.5,
-        ).select("id_a", "id_b")
-    )
+    lsh = std_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     exact = ppjoin_prefix_similarity(spark, sf_dir).select("id_a", "id_b")
     return recall_summary(exact, lsh)
 
@@ -2098,11 +2086,8 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = dedup.shingles(d, "doc_id", "text", n=3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cand = dedup.cache_pairs_frame(
-        dedup.minhash_near_duplicates(
-            d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
-            threshold=0.5,
-        ).select("id_a", "id_b")
+    cand = (
+        std_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     )
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -2429,12 +2414,7 @@ def pretrain_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = d.select(
         "doc_id", "source", F.size(text.words(F.col("text"))).alias("n_words")
     ).filter(F.col("n_words") >= 10)
-    pairs = dedup.cache_pairs_frame(
-        dedup.minhash_near_duplicates(
-            d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
-            threshold=0.5,
-        ).select("id_a", "id_b")
-    )
+    pairs = std_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     comp = graph.connected_components(d.select("doc_id"), pairs)
     w_keep = Window.partitionBy("component").orderBy(
         F.desc("n_words"), F.col("doc_id")
@@ -2539,12 +2519,7 @@ def dedup_source_syndication(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.cache_pairs_frame(
-        dedup.minhash_near_duplicates(
-            d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
-            threshold=0.5,
-        ).select("id_a", "id_b")
-    )
+    pairs = std_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     src = d.select("doc_id", "source")
     m = (
         pairs.join(

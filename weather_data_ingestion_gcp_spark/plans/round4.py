@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup, sketch
 from ..operators.sampling import hash_bucket
 from .llm_ops import _SQL_DOCID_BUCKET, _SQL_SHINGLES8
-from .registry import load_table, register
+from .registry import load_table, register, std_minhash_pairs
 
 
 @register(
@@ -319,10 +319,7 @@ def neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
-        threshold=0.5,
-    )
+    pairs = std_minhash_pairs(spark, sf_dir)
     comp = graph.connected_components(
         d.select("doc_id"), pairs.select("id_a", "id_b")
     )
@@ -362,10 +359,7 @@ def dedup_shrinkage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
-        threshold=0.5,
-    )
+    pairs = std_minhash_pairs(spark, sf_dir)
     comp = graph.connected_components(
         d.select("doc_id"), pairs.select("id_a", "id_b")
     )
