@@ -129,6 +129,18 @@ def shingles(
     expression with multiple references — without the barrier the regex
     split re-evaluates per element_at (measured 12.5s -> ~1s for 260k
     shingles at sf0.1).
+
+    Round-13 note: a spread_small (layout.py) of the input HERE was
+    measured and REVERTED — it parallelized the build (2.6 -> 1.6 s for
+    the standard pipeline) but the added REPARTITION_BY_NUM node under
+    every shingle reference defeated subtree reuse across the minhash
+    family's compiled trees (lsh_recall_contract plan: 159 -> 272
+    Exchange, 73 -> 145 scans) and roughly DOUBLED consumer warm times
+    (minhash_estimate_contract 0.77 -> 1.54 s, lsh_recall 0.73 ->
+    2.65 s) — planning cost, not execution. Spread only inputs whose
+    consumers do not re-canonicalize the tree per run (isolated
+    aggregates, or builders whose output is lineage-truncated before
+    consumers see it).
     """
     carry = list(carry_cols or [])
     base = df.select(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.layout import spread_small
 from .registry import load_table, register
 
 
@@ -2059,8 +2060,14 @@ def stats_aggregate_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     POPULATION moments g1 = m3/m2^1.5 and g2 = m4/m2² − 3; DuckDB's
     builtins apply sample corrections, so the oracle spells out the moment
     arithmetic instead (two-pass mean CTE). One shuffle: all aggregates
-    share the l_returnflag grouping."""
-    li = _t(spark, sf_dir, "lineitem")
+    share the l_returnflag grouping.
+
+    Round-13: spread before the aggregate — the exact percentile forces
+    the whole aggregation onto the interpreted ObjectHashAggregate path
+    (per-group value buffers), and on the single-row-group testdata scan
+    that partial ran as ONE task (guide §2.5). Measured 2.1 s -> 1.1 s
+    warm; identity at scale."""
+    li = spread_small(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     return (
         li.groupBy("l_returnflag")
@@ -2298,8 +2305,15 @@ def table_checksum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering, and engine — exactly the cross-system migration-validation
     primitive this repo's own oracle gate embodies. One hash aggregate
     with map-side partials; at 100 TB the per-partition XOR reduces to one
-    long per group before the (tiny) shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
+    long per group before the (tiny) shuffle.
+
+    Round-13: the scan is spread first — the per-row cost here is two
+    md5s over concatenated key strings (1.2M md5 calls at sf0.1), which
+    ran serially on the single-row-group testdata scan (guide §2.5,
+    unsplittable input). Measured 2.0 s -> 0.7 s warm; identity at scale."""
+    li = spread_small(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber"
+    )
     key1 = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),
