@@ -156,14 +156,29 @@ def std_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_memo_persist discipline as the SNM pair relation — makes
     every later consumer a cache read. Consumers apply their own
     projections/rounding; content is byte-identical to the per-entry
-    pipelines it replaces (same operator, same parameters)."""
+    pipelines it replaces (same operator, same parameters).
+
+    The memo value is lineage-truncated (loop_frame: eager
+    localCheckpoint) before the persist: with the raw persist, every
+    one of the 13 consumers embedded the FULL shingle->signature->
+    band->verify lineage in its compiled tree (dedup_minhash_lsh's
+    formatted plan: 2655 lines / 159 Exchange nodes for a 256-row
+    projection) and re-canonicalized it per run. The old objection to
+    checkpointing ("an A/B that checkpointed all 13 call sites lost
+    CacheManager sharing", cache_pairs_frame) is void here: sharing is
+    by memo OBJECT now, not by canonical plan — and the shingle/wide
+    caches the build persists as a side effect still seed the
+    canonical-plan sharers (minhash_estimate_contract, ppjoin ground
+    truth, decontaminate_test_split)."""
     from ..operators import dedup
 
     def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
-        return dedup.minhash_near_duplicates(
-            d, "doc_id", "text", num_hashes=8, rows_per_band=2,
-            shingle_n=3, threshold=0.5,
+        return dedup.loop_frame(
+            dedup.minhash_near_duplicates(
+                d, "doc_id", "text", num_hashes=8, rows_per_band=2,
+                shingle_n=3, threshold=0.5,
+            )
         )
 
     return dedup.session_memo_persist(

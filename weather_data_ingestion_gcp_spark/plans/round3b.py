@@ -2628,9 +2628,26 @@ def minhash_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide is O(sampled docs x 8 x 32B), safe to persist.
     sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=3), big=True)
     wide = dedup.persist_tracked(dedup.minhash_wide_signatures(sh, num_hashes=8))
-    pairs = dedup.verified_pairs_from_wide(
-        wide, sh, num_hashes=8, rows_per_band=2, threshold=0.5
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_exact"))
+    if pct >= 100:
+        # full-corpus path (every driver SF): the pairs leg IS the
+        # standard-parameter relation — read the session-memoized,
+        # lineage-truncated std_minhash_pairs instead of re-deriving the
+        # identical verify tree. Before the memo value was checkpointed
+        # this sharing happened implicitly (the canonical verify plan
+        # matched the persisted std pairs entry); the leaf memo broke
+        # that match and this entry re-ran its verify pipeline per run
+        # (warm 0.97 -> 1.7 s, 7 -> 18 jobs) until it was pointed at the
+        # memo object explicitly.
+        from .registry import std_minhash_pairs
+
+        raw_pairs = std_minhash_pairs(spark, sf_dir)
+    else:
+        raw_pairs = dedup.verified_pairs_from_wide(
+            wide, sh, num_hashes=8, rows_per_band=2, threshold=0.5
+        )
+    pairs = raw_pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_exact")
+    )
     wa = wide.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(8)])
     wb = wide.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(8)])
     n_agree = sum(
