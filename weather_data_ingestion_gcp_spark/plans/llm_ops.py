@@ -661,10 +661,22 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometric k-means clusters is >= 0.6 at sf0.001/0.01/0.1 (nprobe=2 of
     8 clusters), so the pinned bound has 3x slack while still failing the
     hash compare on any real ANN regression."""
+    from ..operators.dedup import loop_frame
     from ..operators.similarity import ivf_topk, kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.join(kmeans_assign(emb, k=8, max_iter=3), "vec_id")
+    # The assignment relation is consumed by BOTH sides of the IVF
+    # (centroid aggregate + candidate search) and the query filter, so
+    # the composed plan references the k-means subtree — pandas UDF,
+    # per-round lineage — several times per run. loop_frame (eager
+    # localCheckpoint) hands every reference a 2000-row leaf instead:
+    # cold 7.2 s -> 3.1 s, warm 3.1 s -> 2.6 s at sf0.1, output
+    # identical. (A spread_small of the embeddings input was also
+    # probed: SLOWER — 2000 rows pay more in per-task overhead across
+    # 32 partitions than the parallel rounds save.)
+    corpus = emb.join(
+        loop_frame(kmeans_assign(emb, k=8, max_iter=3)), "vec_id"
+    )
     queries = corpus.filter(F.col("vec_id") < 8)
     ann = ivf_topk(corpus, queries, k=5, nprobe=2, cluster_col="kmeans_cluster")
     # recall ground truth from the shared memoized relation — the same
