@@ -102,7 +102,12 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataF
 
 
 def _words(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    # round 13: codegen tokenizer (array_remove(split(norm))) — the old
+    # filter(split, w -> w != '') HOF ran through interpreted Catalyst
+    # eval; see operators.text.words for the measured pathology.
+    from .text import words as _words_cg
+
+    return _words_cg(text)
 
 
 def shingles(
@@ -123,48 +128,36 @@ def shingles(
     costs a full shuffle join of the corpus-sized shingle relation
     against the documents table.
 
-    The tokenization is materialized in its own projection BEFORE the
-    n-gram transform: the lambda references the split result ~3n times per
-    shingle, and CollapseProject declines to inline a non-cheap aliased
-    expression with multiple references — without the barrier the regex
-    split re-evaluates per element_at (measured 12.5s -> ~1s for 260k
-    shingles at sf0.1).
+    Round-13 codegen rewrite (guide section 4.1): the n-gram windows
+    were built with a ``transform(sequence, i -> concat_ws(element_at
+    ...))`` lambda — a higher-order function Spark evaluates through
+    INTERPRETED Catalyst eval, whose hot dispatch sites sporadically
+    deoptimize mid-session and ran 10-25x slower on suite runs (see
+    operators.text.words). The regexp_extract_all lookahead form in
+    operators.text.ngram_array produces byte-identical shingles inside
+    whole-stage codegen. (The old pre-materialized ``_ws`` projection
+    barrier existed to stop CollapseProject re-running the split per
+    element_at; the regex form references its input once, so no barrier
+    is needed.)
 
-    Round-13 note: a spread_small (layout.py) of the input HERE was
-    measured and REVERTED — it parallelized the build (2.6 -> 1.6 s for
-    the standard pipeline) but the added REPARTITION_BY_NUM node under
-    every shingle reference defeated subtree reuse across the minhash
-    family's compiled trees (lsh_recall_contract plan: 159 -> 272
-    Exchange, 73 -> 145 scans) and roughly DOUBLED consumer warm times
-    (minhash_estimate_contract 0.77 -> 1.54 s, lsh_recall 0.73 ->
-    2.65 s) — planning cost, not execution. Spread only inputs whose
-    consumers do not re-canonicalize the tree per run (isolated
-    aggregates, or builders whose output is lineage-truncated before
-    consumers see it).
+    Earlier round-13 note, still binding: a spread_small (layout.py) of
+    the input HERE was measured and REVERTED — it parallelized the build
+    (2.6 -> 1.6 s for the standard pipeline) but the added
+    REPARTITION_BY_NUM node under every shingle reference defeated
+    subtree reuse across the minhash family's compiled trees
+    (lsh_recall_contract plan: 159 -> 272 Exchange, 73 -> 145 scans) and
+    roughly DOUBLED consumer warm times (planning cost, not execution).
+    Spread only inputs whose consumers do not re-canonicalize the tree
+    per run (isolated aggregates, or builders whose output is
+    lineage-truncated before consumers see it).
     """
+    from .text import ngram_array
+
     carry = list(carry_cols or [])
-    base = df.select(
-        F.col(id_col).alias("doc_id"), *carry,
-        _words(F.col(text_col)).alias("_ws"),
+    sh = F.array_distinct(ngram_array(F.col(text_col), n))
+    return df.select(
+        F.col(id_col).alias("doc_id"), *carry, F.explode(sh).alias("shingle")
     )
-    ws = F.col("_ws")
-    if n == 1:
-        sh = F.array_distinct(ws)
-    else:
-        # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), which would
-        # index past the array on docs shorter than n tokens
-        idx = F.when(
-            F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
-        ).otherwise(F.expr("array()").cast("array<int>"))
-        sh = F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(n)]
-                ),
-            )
-        )
-    return base.select("doc_id", *carry, F.explode(sh).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -892,23 +885,15 @@ def positioned_shingles(
     (:func:`shingles`) deliberately loses adjacency; span coalescing
     needs it back — two grams only merge into one span if their
     positions are consecutive in BOTH documents. Same tokenization
-    (lowercase, whitespace split) and the same pre-materialized split
-    barrier as shingles()."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_ws")
-    )
-    ws = F.col("_ws")
-    idx = F.when(
-        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return base.select(
-        "doc_id", F.posexplode(grams).alias("_p", "shingle")
+    (lowercase, whitespace split) and the same codegen n-gram capture as
+    shingles() (round 13; regex matches iterate left-to-right, so the
+    array index under posexplode IS the 1-based token position minus
+    one, exactly as with the old transform-over-sequence lambda)."""
+    from .text import ngram_array
+
+    grams = ngram_array(F.col(text_col), n)
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("_p", "shingle")
     ).select("doc_id", (F.col("_p") + 1).cast("long").alias("pos"), "shingle")
 
 

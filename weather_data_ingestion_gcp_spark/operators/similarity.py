@@ -379,7 +379,7 @@ def ivf_parts(
         .agg(F.avg("x").alias("m"))
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+        .select("cluster", F.col("pm").getField("m").alias("centroid"))
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -656,7 +656,13 @@ def semantic_dedup_prune(
     # (~465k pairs at sf0.1 for 2k vectors) while dim is small — the
     # Arrow round-trip of both vectors per pair dominates (measured 2x:
     # 6.2s -> 3.0s at sf0.1). _dot is bitwise-equal by construction, so
-    # the oracle is unaffected.
+    # the oracle is unaffected. Round-13 probe, REJECTED: a 64-term
+    # UNROLLED codegen dot (F.get per element) measured cold 9.1 ->
+    # 26.1 s / warm 1.9 -> 3.0 s — the giant generated method costs more
+    # in JIT/codegen than the interpreted zip_with/aggregate lambdas it
+    # replaced. The fold stays; it is the one interpreted-eval hot loop
+    # kept on purpose (the tokenizer family moved to builtins, see
+    # operators.text.words).
     dup = persist_tracked(
         pairs.join(va, "id_a")
         .join(vb, "id_b")

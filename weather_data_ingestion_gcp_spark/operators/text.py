@@ -26,14 +26,72 @@ STOPWORDS = {
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _norm_ws(text: Column) -> Column:
+    """Lowercased text with every whitespace run collapsed to one space
+    and ends trimmed — the token sequence of ``split(lower, '\\s+')``
+    minus empties, as ONE canonical string. regexp_replace runs before
+    trim because Spark's trim strips ASCII spaces only ('\\t' at the
+    ends would otherwise survive as a leading/trailing empty token)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
 def words(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    """Whitespace tokens of the lowercased text.
+
+    Round-13 optimization (guide section 4.1): formerly
+    ``filter(split(...), w -> w != '')`` — an array-lambda higher-order
+    function, which Spark evaluates through INTERPRETED Catalyst eval
+    (HOFs never enter whole-stage codegen). Fresh-JVM that path is fine,
+    but deep into a many-query session its hot ``Expression.eval``
+    dispatch sites get deoptimized/profile-polluted by unrelated
+    generated classes and the same stage sporadically ran 10-25x slower
+    (measured: full-suite spikes of 15-44 s on tokenizer-bound queries
+    whose isolated-warm cost is ~1-2 s, host and GC exonerated). The
+    split/array_remove form compiles into whole-stage codegen like any
+    builtin and is immune. Byte-identical output (pinned by tests and
+    the DuckDB oracles): empties arise only from leading/trailing
+    whitespace, which the trim in _norm_ws removes; NULL stays NULL."""
+    return F.array_remove(F.split(_norm_ws(text), " "), "")
+
+
+def ngram_array(text: Column, n: int) -> Column:
+    """Overlapping word ``n``-grams (single-space-joined, in token
+    order) of the lowercased whitespace-tokenized text, as an array.
+
+    Codegen formulation (round 13, same motivation as :func:`words`):
+    instead of ``transform(sequence(...), i -> concat_ws(' ',
+    element_at(ws, i)...))`` — an interpreted HOF whose lambda pays
+    2n+1 virtual ``eval`` calls per shingle — the n-gram windows are
+    captured by ONE pass of a compiled regex over the
+    whitespace-normalized string: at each token start, a lookahead
+    captures the next n tokens. On the normalized string (single
+    spaces) the capture IS the concat_ws-joined shingle. Empty capture
+    list on docs shorter than n tokens; the old HOF's NULL-text
+    behavior (empty array, via the when() guard) is preserved with a
+    coalesce. regexp_extract_all compiles its literal pattern once and
+    runs inside whole-stage codegen."""
+    if n == 1:
+        return words(text)
+    pat = r"(?=((?:\S+ ){%d}\S+))\S+" % (n - 1)
+    return F.coalesce(
+        F.regexp_extract_all(_norm_ws(text), F.lit(pat), 1),
+        F.expr("CAST(array() AS array<string>)"),
+    )
 
 
 def stopword_hits(text: Column, lang: str = "en") -> Column:
-    """How many tokens are function words of ``lang``."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(words(text), lambda w: F.array_contains(sw, w)))
+    """How many tokens are function words of ``lang``.
+
+    Codegen form (round 13): counts space-bounded stopword occurrences
+    in the padded normalized string with one compiled regex
+    (zero-width boundary lookarounds, so consecutive stopword tokens
+    all match) instead of ``size(filter(words, w -> contains))`` —
+    the interpreted-HOF pathology described in :func:`words`. NULL
+    text propagates to NULL through concat/regexp_count exactly as it
+    did through size(filter(NULL)) under ANSI semantics."""
+    pat = "(?<= )(?:" + "|".join(STOPWORDS[lang]) + ")(?= )"
+    padded = F.concat(F.lit(" "), _norm_ws(text), F.lit(" "))
+    return F.regexp_count(padded, F.lit(pat)).cast("int")
 
 
 def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -59,18 +117,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     score in [0,1] (monotone in "looks like prose")."""
     text = F.col(text_col)
     n_chars = F.length(text)
-    # materialized token projection: the features below reference the token
-    # array ~6 times, and an un-aliased words(text) would re-run the regex
-    # split per reference (see operators.dedup.shingles)
-    df = df.select("*", words(text).alias("_ws"))
-    toks = F.col("_ws")
+    # materialized normalized-string projection: the features below
+    # derive the token array AND the stopword count from it (~6
+    # references), and an un-aliased _norm_ws(text) would re-run the
+    # regex normalization per reference (see operators.dedup.shingles)
+    df = df.select("*", _norm_ws(text).alias("_norm"))
+    norm = F.col("_norm")
+    toks = F.array_remove(F.split(norm, " "), "")
     n_words = F.size(toks)
     avg_word_len = (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1))
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    sw_ratio = F.size(F.filter(toks, lambda w: F.array_contains(sw, w))) / F.greatest(
-        n_words, F.lit(1)
-    )
+    # space-bounded stopword count on the padded normalized string — the
+    # codegen form of size(filter(toks, w -> contains)); see stopword_hits
+    sw_pat = "(?<= )(?:" + "|".join(STOPWORDS["en"]) + ")(?= )"
+    sw_hits = F.regexp_count(
+        F.concat(F.lit(" "), norm, F.lit(" ")), F.lit(sw_pat)
+    ).cast("int")
+    sw_ratio = sw_hits / F.greatest(n_words, F.lit(1))
     score = (
         F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.4
         + F.least(sw_ratio * 5, F.lit(1.0)) * 0.4
@@ -83,7 +146,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_punct.alias("n_punct"),
         F.round(sw_ratio, 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality_score"),
-    ).drop("_ws")
+    ).drop("_norm")
 
 
 def word_entropy(
@@ -379,19 +442,25 @@ def extract_urls(
 
 
 def bigrams(text: Column, tokenized: bool = False) -> Column:
-    """Adjacent-token bigrams as an array column — built-in ``transform``
-    over an index sequence; no explode until the caller asks for one, so
-    the array stays columnar through intermediate stages.
+    """Adjacent-token bigrams as an array column; no explode until the
+    caller asks for one, so the array stays columnar through
+    intermediate stages.
 
-    Pass ``tokenized=True`` when ``text`` is already a token array (ideally
-    a materialized column — see bigram_counts for why that matters)."""
-    toks = text if tokenized else words(text)
-    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-        )
-    )
+    Pass ``tokenized=True`` when ``text`` is already a token array.
+
+    Round-13 codegen form (see :func:`words` for the interpreted-HOF
+    pathology this removes): the token-array path re-joins the tokens
+    with single spaces (tokens contain no whitespace by construction,
+    so the join IS the normalized string) and captures overlapping
+    windows with one compiled lookahead regex instead of a ``transform``
+    lambda. NULL/short inputs match the old form exactly: a NULL token
+    array propagates NULL (under ANSI size(NULL)=NULL the old when()
+    fell through to a transform over a NULL sequence -> NULL), and a
+    0/1-token array joins to a string with no window -> []."""
+    if not tokenized:
+        return ngram_array(text, 2)
+    pat = r"(?=(\S+ \S+))\S+"
+    return F.regexp_extract_all(F.array_join(text, " "), F.lit(pat), 1)
 
 
 def inverted_index(
@@ -515,12 +584,14 @@ def char_pair_counts(df: DataFrame, text_col: str = "text", k: int = 50) -> Data
     ws = df.select(F.explode(words(F.col(text_col))).alias("w")).filter(
         F.length("w") >= 2
     )
+    # codegen pair capture (round 13, see words()): one compiled regex —
+    # at every char ('.' consumes one; (?s) so no char class is excluded,
+    # though tokens cannot contain \s line breaks anyway) a lookahead
+    # captures the 2-char window, yielding the same len-1 adjacent pairs
+    # as the old transform(sequence, i -> substr(i, 2)) lambda.
     pairs = ws.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w") - 1),
-                lambda i: F.col("w").substr(i, F.lit(2)),
-            )
+            F.regexp_extract_all("w", F.lit(r"(?s)(?=(..))."), 1)
         ).alias("pair")
     )
     return (

@@ -1103,7 +1103,9 @@ def inverted_index_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select(
         "term",
         "df_count",
-        F.array_join(F.transform("postings", lambda x: x.cast("string")), "|").alias(
+        # round 13: elementwise cast via array cast (codegen) instead of
+        # a transform lambda (interpreted) — identical long->string text
+        F.array_join(F.col("postings").cast("array<string>"), "|").alias(
             "postings"
         ),
     ).orderBy("term")
@@ -1430,12 +1432,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = multimodal.with_binary_payload(d, "text", "doc_id")
     out = multimodal.extract_features(media, dim=8)
-    return out.select(
-        "doc_id", F.posexplode(F.transform("feature", lambda x: F.round(x, 6)))
-    ).select(
+    # round 13: round AFTER the posexplode as a scalar projection — the
+    # old transform lambda ran the round through interpreted eval
+    return out.select("doc_id", F.posexplode("feature")).select(
         "doc_id",
         F.col("pos").cast("int").alias("component"),
-        F.col("col").alias("feature_val"),
+        F.round(F.col("col"), 6).alias("feature_val"),
     ).orderBy("doc_id", "component")
 
 

@@ -188,12 +188,11 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_before"))
     after = keep.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
+        # round 13: GetArrayStructFields (codegen) instead of a
+        # transform lambda (interpreted eval) for the ordered projection
         F.concat_ws(
             " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "w"))),
-                lambda x: x["w"],
-            ),
+            F.array_sort(F.collect_list(F.struct("p", "w"))).getField("w"),
         ).alias("text_clean"),
     )
     return (

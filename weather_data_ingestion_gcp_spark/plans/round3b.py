@@ -1640,15 +1640,14 @@ def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = p.withColumn("occ", F.row_number().over(occ_w))
     # ordered reassembly without an ordered string_agg: sort (i, passage)
     # structs, then join the surviving texts — all JVM-side array lambdas
+    # round 13: project the struct field with GetArrayStructFields
+    # (codegen) instead of a transform lambda (interpreted eval)
     kept = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("occ") == 1, F.struct("i", "passage"))
-                ),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("occ") == 1, F.struct("i", "passage"))
             ),
-            lambda s: s.getField("passage"),
-        ),
+        ).getField("passage"),
         " ",
     )
     return (
@@ -2807,10 +2806,11 @@ def journey_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") <= 3)
     # ordered concat without an ordered string_agg: sort (rn, type)
     # structs per group, then join — JVM-side array lambdas
+    # round 13: GetArrayStructFields (codegen) instead of a transform
+    # lambda (interpreted eval) for the ordered projection
     path = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
-            lambda s: s.getField("event_type"),
+        F.array_sort(F.collect_list(F.struct("rn", "event_type"))).getField(
+            "event_type"
         ),
         ">",
     )

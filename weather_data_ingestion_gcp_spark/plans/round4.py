@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, sketch
 from ..operators.sampling import hash_bucket
+from ..operators.text import words as text_words
 from .llm_ops import _SQL_DOCID_BUCKET, _SQL_SHINGLES8
 from .registry import load_table, register, std_minhash_pairs
 
@@ -243,7 +244,8 @@ def packing_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
-        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
+        # round 13: codegen tokenizer (see operators.text.words)
+        F.size(text_words(F.col("text")))
         .cast("long")
         .alias("n_words"),
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.text import words as text_words
 from .datapipe import _sql_hex4_to_int
 from .registry import ORACLE, load_table, register
 from .round4 import dataset_mix_temperature, join_skew_profile
@@ -261,10 +262,8 @@ def regression_words_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     those BIGINTs, so the result is partition-invariant and hash-stable
     at any scale — the 100 TB-safe form of regr_slope/regr_intercept."""
     d = load_table(spark, sf_dir, "documents")
-    y = (
-        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
-        .cast("long")
-    )
+    # round 13: codegen tokenizer (see operators.text.words)
+    y = F.size(text_words(F.col("text"))).cast("long")
     xy = d.select("lang", F.col("n_chars").alias("x"), y.alias("y"))
     s = xy.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -534,9 +533,8 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     wx = d.select(
         "source",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
-        ).alias("w"),
+        # round 13: codegen tokenizer (see operators.text.words)
+        F.explode(text_words(F.col("text"))).alias("w"),
     )
     sw = wx.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("y"))
     wtot = (

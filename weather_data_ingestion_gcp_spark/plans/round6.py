@@ -170,19 +170,6 @@ def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as text_ops
 
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", text_ops.words(F.col("text")).alias("ws"))
-    # bag bigrams (NOT the distinct shingles relation): same
-    # projection-barrier discipline as dedup.shingles — ws materializes
-    # in its own select before the multi-reference lambda
-    big_arr = F.when(
-        F.size("ws") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("ws") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("ws", i), F.element_at("ws", i + 1)
-            ),
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
     # Round-13 opt (guide §2.3/§2.4): ONE documents scan + ONE explode
     # feeds both metric orders — grams carry an `ord` tag (1=unigram,
     # 2=bigram) and the reference/candidate split rides the rows as
@@ -196,20 +183,33 @@ def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skips nulls, hence the explicit guard); an order absent for a
     # pair yields NULLs exactly like the old left joins. Plan: 29
     # scans / 88 exchanges / 23 jobs -> 2 scans / 4 shuffles.
-    gram_structs = F.concat(
-        F.transform(
-            F.col("ws"), lambda g: F.struct(F.lit(1).alias("ord"), g.alias("g"))
-        ),
-        F.transform(
-            big_arr, lambda g: F.struct(F.lit(2).alias("ord"), g.alias("g"))
-        ),
-    )
-    grams = w.select(
+    # round 13 (codegen, see operators.text.words): unigrams and bag
+    # bigrams come from the codegen tokenizer / lookahead-regex capture,
+    # concatenated into ONE array and posexploded — the `ord` tag is
+    # recovered from the position (the first size(words) elements are
+    # the unigrams), replacing the two interpreted struct-tagging
+    # transform lambdas with a plain when() over pos. Same rows, same
+    # one-scan/one-explode shape as the earlier round-13 rewrite.
+    toks = text_ops.words(F.col("text"))
+    both = F.concat(toks, text_ops.ngram_array(F.col("text"), 2))
+    # the gram array MUST materialize in its own projection before the
+    # posexplode: a sibling column (here _nw) next to the generator stops
+    # Generate from claiming the array expression, and the concat (two
+    # full regex passes over the document) re-evaluates PER OUTPUT GRAM —
+    # measured 0.5 -> 7 s at sf0.1 without the barrier.
+    pre = d.select(
         (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),
-        F.explode(gram_structs).alias("gs"),
+        F.size(toks).alias("_nw"),
+        both.alias("_b"),
+    )
+    grams = pre.select(
+        "pair_id", "side", "_nw", F.posexplode("_b").alias("_p", "g")
     ).select(
-        "pair_id", "side", F.col("gs.ord").alias("ord"), F.col("gs.g").alias("g")
+        "pair_id",
+        "side",
+        F.when(F.col("_p") < F.col("_nw"), 1).otherwise(2).alias("ord"),
+        "g",
     )
     cnt = grams.groupBy("pair_id", "ord", "g").agg(
         F.sum(F.when(F.col("side") == 0, 1)).alias("ca"),

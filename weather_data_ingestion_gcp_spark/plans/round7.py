@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sampling import hash_bucket
-from ..operators.text import words
+from ..operators.text import ngram_array
 from .registry import _sql_hex4_to_int, load_table, register
 
 #: DSIR hashed-feature dimensionality and target domain
@@ -151,21 +151,14 @@ def dsir_scored_docs(
     # and value-free); with_meta=False would fork a second full scoring
     # pipeline the CacheManager cannot share
     meta = ["lang", "source"] if with_meta else ["source"]
-    base = d.select("doc_id", *meta, words(F.col("text")).alias("_ws"))
-    ws = F.col("_ws")
-    idx = F.when(
-        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i.cast("int")), F.element_at(ws, (i + 1).cast("int"))
-        ),
-    )
-    bk = base.select(
+    # round 13: bigram windows via the codegen lookahead-regex capture
+    # (operators.text.ngram_array) instead of the interpreted
+    # transform/element_at lambda — byte-identical grams, whole-stage
+    # codegen instead of Catalyst interpreted eval (see text.words).
+    bk = d.select(
         "doc_id",
         *meta,
-        F.explode(grams).alias("g"),
+        F.explode(ngram_array(F.col("text"), 2)).alias("g"),
     ).select(
         "doc_id",
         *meta,
