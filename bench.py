@@ -23,6 +23,12 @@ VERDICT #3), plus ``calibrated_s_per_query`` and ``host_noise``
 (in-suite > 5x isolated-warm) — so a degraded-host record is readable as
 such without cross-referencing BASELINE.md (round-10's 751 s record
 needed hand forensics to attribute to a host storm).
+
+Round 14 (VERDICT-r13 #3, additions only): a query whose in-suite time
+exceeds 5x the trailing median (and 2 s absolute) is re-run immediately;
+``stall_reruns`` records {first, rerun} so per-query JVM-internal stalls
+— which the single-core probes provably cannot see — are attributable
+from the record itself. ``timings``/``value`` keep the first number.
 """
 
 from __future__ import annotations
@@ -142,6 +148,30 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # Per-query stall self-check (round 14, VERDICT-r13 #3, additions
+    # only): the round-13 forensics proved the single-core calibration
+    # probes CANNOT see JVM-internal per-query stalls (interpreted-eval
+    # deopt, GC debt landing on a victim) — wide stages ran 10-25x slow
+    # while every probe stayed at the pin. When an in-suite time exceeds
+    # STALL_FACTOR x the trailing median of recent queries (and a 2 s
+    # absolute floor — sub-second queries can't "stall" meaningfully),
+    # the query is re-run immediately and BOTH numbers land in
+    # ``stall_reruns`` {name: {"first", "rerun"}}. ``timings`` (and the
+    # total) keep the FIRST number — the suite really paid it — so old
+    # records stay comparable; the rerun tells the reader whether it was
+    # a stall/shared-build (rerun fast) or a genuinely expensive plan
+    # (rerun comparable). Bounded by STALL_RERUN_MAX per suite.
+    STALL_FACTOR = 5.0
+    STALL_RERUN_MAX = 15
+    stall_reruns: dict[str, dict[str, float]] = {}
+    recent: list[float] = []  # trailing in-suite timings (this run)
+
+    def _trailing_median() -> float | None:
+        if len(recent) < 8:  # too early to call anything a stall
+            return None
+        window = sorted(recent[-25:])
+        return window[len(window) // 2]
+
     if not only:
         _probe(0, "start")
     n_done = 0
@@ -157,6 +187,24 @@ def main() -> int:
         segment_of[name] = len(probes_s) - 1
         peak_storage_mb = max(peak_storage_mb, _storage_mb())
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        med = _trailing_median()
+        if (
+            not only
+            and med is not None
+            and len(stall_reruns) < STALL_RERUN_MAX
+            and timings[name] > STALL_FACTOR * med
+            and timings[name] > 2.0
+        ):
+            t1 = time.time()
+            fn(spark, sf_dir).toArrow().num_rows
+            rerun = round(time.time() - t1, 3)
+            stall_reruns[name] = {"first": timings[name], "rerun": rerun}
+            print(
+                f"# stall-check rerun {name}: first {timings[name]:.2f}s,"
+                f" rerun {rerun:.2f}s (trailing median {med:.2f}s)",
+                file=sys.stderr,
+            )
+        recent.append(timings[name])
         if gc_every and (i + 1) % gc_every == 0:
             spark._jvm.System.gc()
         n_done += 1
@@ -274,6 +322,7 @@ def main() -> int:
         "isolated_warm": isolated_warm,
         "calibration": calibration,
         "host_noise": host_noise,
+        "stall_reruns": stall_reruns,
         "calibrated_s_per_query": cal_spq,
         "peak_storage_mb": round(peak_storage_mb, 1),
         "sf": sf_val,
@@ -296,6 +345,7 @@ def main() -> int:
                 "isolated_warm": isolated_warm,
                 "calibration": calibration,
                 "host_noise": host_noise,
+                "stall_reruns": stall_reruns,
                 "calibrated_s_per_query": cal_spq,
                 "peak_storage_mb": round(peak_storage_mb, 1),
                 "sf": sf_val,

@@ -25,12 +25,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Adjacent (symbol, next-symbol) pairs of a spelled word — mirrors the
-#: DuckDB list_transform(generate_series(...)) fragment in the oracle.
-_PAIRS_EXPR = (
-    "transform(sequence(1, size(toks) - 1),"
-    " i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))"
-)
+#: Adjacent (symbol, next-symbol) pairs of a spelled word, codegen form
+#: (round 14): ONE compiled lookahead regex over the trimmed seq captures
+#: every overlapping "l r" window — at each symbol start the lookahead
+#: captures the symbol and its right neighbor, exactly the adjacent-pair
+#: statistic (the ngram_array n=2 idiom, operators/text.py). The previous
+#: form, kept here as the reference the differential test restates
+#: (tests/test_codegen_tokenizer.py::test_bpe_pairs_codegen_equals_hof),
+#:
+#:   transform(sequence(1, size(toks) - 1),
+#:             i -> struct(element_at(toks, i) AS l,
+#:                         element_at(toks, i + 1) AS r))
+#:
+#: is an interpreted-eval HOF (array lambdas never enter whole-stage
+#: codegen) paying ~5 virtual eval calls per pair per round — the
+#: round-13 JVM stall pathology class (OPTIMIZATION_r13.md §7). Symbols
+#: are space-free by construction (spell() emits single chars of
+#: whitespace-split tokens; merges concatenate them), so the single
+#: space inside the capture is an unambiguous delimiter and
+#: substring_index recovers (l, r) exactly.
+_PAIRS_PATTERN = r"(?=(\S+ \S+))\S+"
 
 
 def spell(word: Column) -> Column:
@@ -63,12 +77,17 @@ def bpe_learn_merges(
     )
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
-        toks = F.split(F.trim(F.col("seq")), " ")
+        # single-symbol words yield an empty capture array and explode
+        # drops them — the old form's size(toks) >= 2 guard, for free
+        pairs = F.regexp_extract_all(
+            F.trim(F.col("seq")), F.lit(_PAIRS_PATTERN), 1
+        )
         best = (
-            wf.select(F.col("n"), toks.alias("toks"))
-            .where(F.size("toks") >= 2)
-            .select("n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            wf.select("n", F.explode(pairs).alias("p"))
+            .groupBy(
+                F.substring_index("p", " ", 1).alias("l"),
+                F.substring_index("p", " ", -1).alias("r"),
+            )
             .agg(F.sum("n").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "l", "r")
             .limit(1)

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, graph, multimodal, similarity, text
 from .registry import _sql_hex4_to_int
-from .registry import load_table, register, std_minhash_pairs
+from .registry import capped_minhash_pairs, load_table, register, std_minhash_pairs
 
 # DuckDB fragment: distinct lowercase whitespace tokens, one row per (doc_id, token).
 _SQL_TOKENS = r"""
@@ -334,12 +334,10 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production shape of MinHash-LSH: band buckets over 50 docs are
     dropped before pairing (quadratic pair growth is exactly what kills
     LSH on boilerplate/degenerate content; those docs belong to exact
-    dedup). Same verification; the cap is mirrored in the oracle."""
-    d = load_table(spark, sf_dir, "documents")
-    out = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=1,
-        threshold=0.5, max_bucket_size=50,
-    )
+    dedup). Same verification; the cap is mirrored in the oracle. The
+    pairs relation rides the session memo shared with the capped graph
+    entries (registry.capped_minhash_pairs, round-14)."""
+    out = capped_minhash_pairs(spark, sf_dir)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

