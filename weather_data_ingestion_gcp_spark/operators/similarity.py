@@ -628,51 +628,90 @@ def semantic_dedup_prune(
         bkeys = ["band", "bsig", "_sub"]
     else:
         bkeys = ["band", "bsig"]
-    a = bands.select(F.col(id_col).alias("id_a"), *bkeys)
-    b = bands.select(F.col(id_col).alias("id_b"), *bkeys)
-    pairs = (
-        a.join(b, bkeys)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    v = emb.select(
-        F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
-    )
-    va = v.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    vb = v.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
     from .dedup import persist_tracked
 
+    # Round-14 verify (guide §8 / §4.2, VERDICT-r13 #7): candidate
+    # generation AND cosine verify run in ONE grouped Arrow pass per
+    # (band, bsig[, _sub]) bucket — each bucket's vectors cross the
+    # Python boundary once (O(corpus x bands) rows), and the within-
+    # bucket pairwise dots are numpy vector ops, replacing the JVM
+    # per-pair path that joined BOTH 64-dim vectors onto ~465k candidate
+    # pairs (sf0.1) and folded them through the interpreted
+    # zip_with/aggregate lambda. History of this hot loop, all measured
+    # at sf0.1: per-pair Arrow dot (both vectors shipped per pair)
+    # 2x SLOWER than the JVM fold (6.2 vs 3.0 s, round 12); 64-term
+    # unrolled codegen dot REJECTED (cold 9.1 -> 26.1 s — JIT bloat,
+    # round 13); this per-bucket shape measured cold 6.96 -> 2.07 s /
+    # warm 1.22 -> 0.63 s with byte-identical output (round 14 probe).
+    # Parity: ascending-dim accumulation is the exact IEEE sequence of
+    # the `_dot` fold and DuckDB's list_dot_product (the round-7
+    # semdecon recipe); sqrt/divide association matches the old
+    # dot/(na*nb) expression; float32 -> float64 widening is exact; the
+    # 6-dp round + >= tau decision stays in Spark, unchanged. Tiling
+    # bounds per-group memory at TILE^2 doubles regardless of bucket
+    # size (the capped path never exceeds max_bucket_size anyway).
+    TILE = 1024
+
+    def _bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_vid")
+        ids = pdf["_vid"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "raw": pd.Series(dtype="float64"),
+                }
+            )
+        X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        dim_n = X.shape[1]
+        ss = np.zeros(n, dtype=np.float64)
+        for d in range(dim_n):  # ascending-dim fold — parity-critical
+            ss += X[:, d] * X[:, d]
+        nrm = np.sqrt(ss)
+        out_a, out_b, out_r = [], [], []
+        for i0 in range(0, n, TILE):
+            i1 = min(i0 + TILE, n)
+            for j0 in range(i0, n, TILE):
+                j1 = min(j0 + TILE, n)
+                acc = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+                for d in range(dim_n):  # same per-pair IEEE fold
+                    acc += np.outer(X[i0:i1, d], X[j0:j1, d])
+                raw = acc / np.outer(nrm[i0:i1], nrm[j0:j1])
+                ii, jj = np.indices(raw.shape)
+                keep = (i0 + ii) < (j0 + jj)  # upper triangle, id_a < id_b
+                out_a.append(ids[i0 + ii[keep]])
+                out_b.append(ids[j0 + jj[keep]])
+                out_r.append(raw[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "raw": np.concatenate(out_r),
+            }
+        )
+
+    cand = bands.join(
+        emb.select(
+            F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+        ),
+        bands[id_col] == F.col("_vid"),
+    ).select("_vid", "_v", *bkeys)
+    raw_pairs = cand.groupBy(*bkeys).applyInPandas(
+        _bucket_verify, "id_a long, id_b long, raw double"
+    )
     # referenced 3x below (both partner sides + the dropped set); without
     # a persist each reference re-runs the band join AND the Arrow cosine
     # verify. The relation is O(verified near-dup pairs) — bounded far
-    # below corpus size, safe to persist at scale.
-    # verify with the JVM fold, not the Arrow UDF: band_bits=4 keeps the
-    # bucket space coarse (16/band), so the candidate set is large
-    # (~465k pairs at sf0.1 for 2k vectors) while dim is small — the
-    # Arrow round-trip of both vectors per pair dominates (measured 2x:
-    # 6.2s -> 3.0s at sf0.1). _dot is bitwise-equal by construction, so
-    # the oracle is unaffected. Round-13 probe, REJECTED: a 64-term
-    # UNROLLED codegen dot (F.get per element) measured cold 9.1 ->
-    # 26.1 s / warm 1.9 -> 3.0 s — the giant generated method costs more
-    # in JIT/codegen than the interpreted zip_with/aggregate lambdas it
-    # replaced. The fold stays; it is the one interpreted-eval hot loop
-    # kept on purpose (the tokenizer family moved to builtins, see
-    # operators.text.words).
+    # below corpus size, safe to persist at scale. A pair colliding in
+    # several bands is verified once per collision (cheap numpy work) and
+    # deduped here — the old shape deduped candidates BEFORE the verify;
+    # the verified SET is identical because the cosine is deterministic.
     dup = persist_tracked(
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .where(
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            )
-            >= tau
-        )
+        raw_pairs.where(F.round(F.col("raw"), 6) >= tau)
         .select("id_a", "id_b")
+        .distinct()
     )
     partners = (
         dup.select(F.col("id_a").alias(id_col))

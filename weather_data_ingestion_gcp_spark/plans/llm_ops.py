@@ -1509,13 +1509,19 @@ def decontaminate_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_bucket
 
     d = load_table(spark, sf_dir, "documents")
-    # persisted + registry-tracked: the 8-gram relation is shared (via
-    # CacheManager plan-dedup) with the bloom-prefilter variant, so the
+    # persisted + registry-tracked: the full-corpus 8-gram relation is
+    # CacheManager-shared with any other same-shape consumer, so the
     # corpus tokenizes once for the whole decontamination block
     sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=8), big=True)
     b = hash_bucket(F.col("doc_id"))
-    te = sh.join(d.filter(b < 10).select("doc_id"), "doc_id", "left_semi")
-    tr = sh.join(d.filter(b >= 15).select("doc_id"), "doc_id", "left_semi")
+    # round-14 (guide §2.4): the split bucket is a pure function of
+    # doc_id, so filter the gram relation directly instead of
+    # semi-joining it against a filtered documents scan — two broadcast
+    # joins (and their build jobs) removed; same rows by construction
+    # (sh's doc_ids are exactly d's). A/B: warm 1.92 -> 1.70 s, output
+    # byte-equal at sf0.1.
+    te = sh.filter(b < 10)
+    tr = sh.filter(b >= 15)
     out = dedup.ngram_exact_overlap(te, tr, min_shared=2, max_gram_df=50)
     return out.select(
         F.col("probe_id").alias("test_id"),

@@ -87,6 +87,16 @@ def mix_apply_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     away from zero for any source with >= 1 doc at realistic source
     counts (share < 1 ppm would floor to 0 and is rejected by the
     calibration MIN's divide)."""
+    # round-14 probe, REJECTED (guide §1.1 empirical loop): persisting
+    # the composed diagnosis relation (referenced by cal + rates twice;
+    # the compiled tree shows 31 documents scans / 110 Exchanges) was
+    # measured cold 1.35 -> 3.13 s with warm UNCHANGED (1.16 s) — the
+    # entry's cost is per-job fixed overhead (14 jobs warm: broadcast
+    # exchanges + AQE stages over dimension-sized relations), not
+    # subtree re-execution; the documents aggregate itself runs in
+    # 0.15 s and the duplicated subtrees are all post-aggregate 20-row
+    # work. At 100 TB the same holds: every duplicated evaluation is
+    # O(sources). Left alone.
     mix = dataset_mix_temperature(spark, sf_dir)
     cal = mix.agg(
         F.min(F.expr("n_docs * 1000000 div quota_ppm")).cast("long").alias("c")
