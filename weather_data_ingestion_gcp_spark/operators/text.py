@@ -89,9 +89,26 @@ def stopword_hits(text: Column, lang: str = "en") -> Column:
     the interpreted-HOF pathology described in :func:`words`. NULL
     text propagates to NULL through concat/regexp_count exactly as it
     did through size(filter(NULL)) under ANSI semantics."""
-    pat = "(?<= )(?:" + "|".join(STOPWORDS[lang]) + ")(?= )"
+    pat = "(?<= )(?:" + _stopword_alternation(lang) + ")(?= )"
     padded = F.concat(F.lit(" "), _norm_ws(text), F.lit(" "))
     return F.regexp_count(padded, F.lit(pat)).cast("int")
+
+
+def _stopword_alternation(lang: str) -> str:
+    """Regex alternation over the language's stopwords, each escaped
+    (round-14, the r13 ADVICE hardening): today's lists are purely
+    alphabetic so the escape is a no-op, but a future entry containing a
+    regex metacharacter would silently change the count instead of
+    failing, and a whitespace-bearing entry can never match a single
+    token of the normalized string — assert both so a list edit cannot
+    corrupt the pattern."""
+    import re as _re
+
+    ws = STOPWORDS[lang]
+    assert all(w and not _re.search(r"\s", w) for w in ws), (
+        f"STOPWORDS[{lang!r}] must be non-empty single tokens"
+    )
+    return "|".join(_re.escape(w) for w in ws)
 
 
 def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -129,7 +146,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
     # space-bounded stopword count on the padded normalized string — the
     # codegen form of size(filter(toks, w -> contains)); see stopword_hits
-    sw_pat = "(?<= )(?:" + "|".join(STOPWORDS["en"]) + ")(?= )"
+    sw_pat = "(?<= )(?:" + _stopword_alternation("en") + ")(?= )"
     sw_hits = F.regexp_count(
         F.concat(F.lit(" "), norm, F.lit(" ")), F.lit(sw_pat)
     ).cast("int")
@@ -447,6 +464,14 @@ def bigrams(text: Column, tokenized: bool = False) -> Column:
     intermediate stages.
 
     Pass ``tokenized=True`` when ``text`` is already a token array.
+    PARAMETER CONTRACT for that path (round-14, the r13 ADVICE note,
+    explicit instead of implied): every element must be a non-NULL,
+    non-empty, whitespace-free token — i.e. :func:`words` output, which
+    is what every in-repo caller passes. A token containing a space, an
+    empty-string token, or a NULL element would yield different grams
+    than the old transform/element_at form (the array_join can no longer
+    tell token boundaries apart); callers with arrays that may violate
+    the contract must normalize them first.
 
     Round-13 codegen form (see :func:`words` for the interpreted-HOF
     pathology this removes): the token-array path re-joins the tokens

@@ -1514,14 +1514,16 @@ def decontaminate_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus tokenizes once for the whole decontamination block
     sh = dedup.persist_tracked(dedup.shingles(d, "doc_id", "text", n=8), big=True)
     b = hash_bucket(F.col("doc_id"))
-    # round-14 (guide §2.4): the split bucket is a pure function of
-    # doc_id, so filter the gram relation directly instead of
-    # semi-joining it against a filtered documents scan — two broadcast
-    # joins (and their build jobs) removed; same rows by construction
-    # (sh's doc_ids are exactly d's). A/B: warm 1.92 -> 1.70 s, output
-    # byte-equal at sf0.1.
-    te = sh.filter(b < 10)
-    tr = sh.filter(b >= 15)
+    # round-14 probe, REJECTED at decade scale: filtering the gram
+    # relation directly on the md5 doc-id bucket (instead of these
+    # broadcast semi-joins) removed two joins and measured warm
+    # 1.92 -> 1.70 s at sf0.1 — but the same-hour sf10 A/B measured
+    # warm 16 -> 106 s: the md5 bucket then evaluates once per GRAM row
+    # (~70M md5s across both splits at sf10) instead of once per
+    # DOCUMENT row (~1M) on the broadcast build side. The semi-join is
+    # the scale shape; keep it.
+    te = sh.join(d.filter(b < 10).select("doc_id"), "doc_id", "left_semi")
+    tr = sh.join(d.filter(b >= 15).select("doc_id"), "doc_id", "left_semi")
     out = dedup.ngram_exact_overlap(te, tr, min_shared=2, max_gram_df=50)
     return out.select(
         F.col("probe_id").alias("test_id"),

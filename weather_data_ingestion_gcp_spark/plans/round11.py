@@ -266,12 +266,13 @@ def decontaminate_span_provenance(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load_table(spark, sf_dir, "documents")
     g = dedup.positioned_shingles(d, "doc_id", "text", n=8)
     b = hash_bucket(F.col("doc_id"))
-    # round-14 (guide §2.4, same change as decontaminate_ngram_exact):
-    # the split bucket is a pure function of doc_id — filter the gram
-    # relation directly; two broadcast semi-joins removed, rows
-    # identical by construction.
-    te = g.filter(b < 10)
-    tr = g.filter(b >= 15)
+    # round-14 probe, REJECTED at decade scale (see the twin comment in
+    # decontaminate_ngram_exact): filtering the positioned-gram relation
+    # directly on the md5 bucket moves the md5 from once-per-document to
+    # once-per-gram-row — the sf10 A/B on the ngram twin measured warm
+    # 16 -> 106 s. The broadcast semi-join stays.
+    te = g.join(d.filter(b < 10).select("doc_id"), "doc_id", "left_semi")
+    tr = g.join(d.filter(b >= 15).select("doc_id"), "doc_id", "left_semi")
     spans = dedup.cross_repeated_spans(
         te, tr, n=8, min_tokens=12, max_corpus_occ=20
     )
