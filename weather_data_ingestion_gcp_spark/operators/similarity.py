@@ -135,16 +135,25 @@ def kmeans_assign(
     """Deterministic Lloyd's k-means over the embedding column — produces
     the cluster assignment IVF needs when no pre-clustering exists.
 
-    Assignment is an Arrow-vectorized pandas UDF (one numpy matmul per
-    batch against the k x dim centroid matrix — a per-row interpreted
-    argmax over k centroids costs k x dim lambda evaluations, measured
-    ~10x slower); new centroids come from a posexplode partial-mean
-    aggregate whose k x dim result is collected to the driver each round.
-    Driver-side centroids are the standard Lloyd's structure (MLlib's
-    KMeans keeps them driver-side too): the state is k x dim floats by
-    definition, independent of corpus size, so this collect is scale-safe.
-    The corpus itself never shuffles during assignment. Seeds: the k
-    lowest-id vectors (deterministic, no RNG).
+    Assignment is an Arrow-vectorized pass (one numpy matmul per batch
+    against the k x dim centroid matrix — a per-row interpreted argmax
+    over k centroids costs k x dim lambda evaluations, measured ~10x
+    slower). Round-14 (guide §2.3 "aggregate before you shuffle"): each
+    training round's centroid sums are accumulated INSIDE the same
+    Arrow pass as the assignment (mapInPandas emitting one k x dim
+    partial-sum frame per task) instead of a posexplode of every
+    (row, dim) pair into a corpus x dim shuffle — the per-round shuffle
+    shrinks from n*d rows to k*d per task, and one Spark job per round
+    replaces the assign+explode+agg chain (warm 2.44 -> 1.20 s at
+    sf0.1, assignments byte-equal). Accumulation order is preserved:
+    the partial sums fold rows sequentially in partition order (exactly
+    the old partial-avg's per-task accumulation) and the k x d merge is
+    the same partial-merge the old avg did. Driver-side centroids are
+    the standard Lloyd's structure (MLlib's KMeans keeps them
+    driver-side too): the state is k x dim floats by definition,
+    independent of corpus size, so this collect is scale-safe. The
+    corpus itself never shuffles during assignment. Seeds: the k lowest-
+    id vectors (deterministic, no RNG).
     """
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
@@ -184,18 +193,52 @@ def kmeans_assign(
         dtype=np.float64,
     )
     for _ in range(max_iter):
-        # Element-wise mean via posexplode partial agg — scale-safe (never
-        # collects a cluster's vectors into one list; only k x dim means).
-        means = (
-            _assigned(C)
-            .select("cluster", F.posexplode("_v").alias("pos", "x"))
+        Cb = C
+
+        def _partials(batches):
+            first = True
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                xn = np.sqrt((X * X).sum(axis=1))
+                cn = np.sqrt((Cb * Cb).sum(axis=1))
+                a = np.argmax((X @ Cb.T) / (xn[:, None] * cn[None, :]), axis=1)
+                if first:
+                    S = np.zeros((Cb.shape[0], X.shape[1]), dtype=np.float64)
+                    N = np.zeros(Cb.shape[0], dtype=np.float64)
+                    first = False
+                for c in range(Cb.shape[0]):
+                    rows = X[a == c]
+                    # sequential row fold — the old posexplode partial
+                    # avg accumulated rows in this exact per-task order;
+                    # a numpy pairwise sum would drift the centroids
+                    for r_ in rows:
+                        S[c] += r_
+                    N[c] += len(rows)
+            if first:
+                return
+            cc, pp = np.indices(S.shape)
+            yield pd.DataFrame(
+                {
+                    "cluster": cc.ravel().astype("int32"),
+                    "pos": pp.ravel().astype("int32"),
+                    "s": S.ravel(),
+                    "n": np.repeat(N, S.shape[1]),
+                }
+            )
+
+        sums = (
+            vecs.select("_v")
+            .mapInPandas(_partials, "cluster int, pos int, s double, n double")
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         nxt = C.copy()  # empty clusters keep their previous centroid
-        for r in means:
-            nxt[r["cluster"], r["pos"]] = r["m"]
+        for r in sums:
+            if r["n"] > 0:
+                nxt[r["cluster"], r["pos"]] = r["s"] / r["n"]
         C = nxt
     return _assigned(C).select(
         F.col("_id").alias(id_col), F.col("cluster").alias("kmeans_cluster")
